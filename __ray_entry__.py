@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in kgray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship KG pipeline over /root/testdata/sf0.001.
+- ``queries()``    — one callable per implemented operator/pipeline
+                     (SURVEY.md §2 + the training-data operator suites).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+                     (column names match exactly).  Non-relational ops
+                     (LSH internals, language heuristics, checkpointing)
+                     are rows-only checked by the driver.
 """
 
 from __future__ import annotations
@@ -18,27 +17,492 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------------------
+# shared SQL fragments — mirror kgray/sources/generic.py exactly
+# ---------------------------------------------------------------------------
+
+_VOCAB_SQL = ", ".join(f"'{w}'" for w in __import__("kgray.sources.generic",
+                                                    fromlist=["GENERIC_VOCAB"]
+                                                    ).GENERIC_VOCAB)
+
+# token → span → admitted-span → vocabulary-annotation → consecutive pairs
+_KG_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+tok2 AS (
+  SELECT doc_id, tok, i, CAST(floor((i - 1) / 20) AS INT) AS span
+  FROM tok
+),
+spans AS (
+  SELECT doc_id, span, string_agg(tok, ' ' ORDER BY i) AS span_text
+  FROM tok2 GROUP BY doc_id, span
+),
+adm AS (SELECT doc_id, span, span_text FROM spans WHERE length(span_text) >= 20),
+ann AS (
+  SELECT t.doc_id, t.span, t.tok, t.i,
+         row_number() OVER (PARTITION BY t.doc_id, t.span ORDER BY t.i) AS r
+  FROM tok2 t JOIN adm USING (doc_id, span)
+  WHERE t.tok IN ({_VOCAB_SQL})
+),
+pairs AS (
+  SELECT a.doc_id, a.span, a.tok AS ta, b.tok AS tb
+  FROM ann a JOIN ann b
+    ON a.doc_id = b.doc_id AND a.span = b.span AND b.r = a.r + 1
+)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: generic-corpus KG pipeline over sf0.001 → edges Dataset."""
+    from kgray.pipelines.kg import run_kg_pipeline
+    from kgray.sources.generic import generic_documents_dataset, generic_kg_config
+
+    docs = generic_documents_dataset("/root/testdata/sf0.001")
+    res = run_kg_pipeline(docs, generic_kg_config())
+    return res.edges
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def _kg_result(sf_dir: str):
+    from kgray.pipelines.kg import run_kg_pipeline
+    from kgray.sources.generic import generic_documents_dataset, generic_kg_config
+
+    docs = generic_documents_dataset(sf_dir)
+    return run_kg_pipeline(docs, generic_kg_config())
+
+
+def _q_kg_edges(sf_dir: str):
+    return _kg_result(sf_dir).edges.select_columns(
+        ["doc_id", "span_seq", "subj", "pred", "obj"]
+    )
+
+
+def _q_kg_nodes(sf_dir: str):
+    return _kg_result(sf_dir).nodes.select_columns(
+        ["name", "label", "type", "url"]
+    )
+
+
+def _q_kg_annotation_urls(sf_dir: str):
+    import ray.data
+
+    urls = _kg_result(sf_dir).annotation_urls
+    return urls.select_columns(["entry_name", "url"]).groupby(
+        ["entry_name", "url"]
+    ).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def _q_chunk_spans(sf_dir: str):
+    from kgray.sources.generic import generic_documents_dataset
+    from kgray.stages.chunk import explode_spans
+
+    chunks = generic_documents_dataset(sf_dir).map_batches(
+        explode_spans, batch_format="pyarrow"
+    )
+    return chunks.select_columns(["doc_id", "span_seq", "text", "admitted"])
+
+
+def _q_token_count(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.text_analysis import token_count
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(token_count, batch_format="pyarrow")
+
+
+def _q_text_quality(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.text_analysis import text_quality
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(text_quality, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.text_analysis import LangId
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _q_fingerprints(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.text_analysis import fingerprint
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(fingerprint, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return exact_dedup(docs)
+
+
+def _q_minhash_near_dup(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.dedup import minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.dedup import simhash_signatures
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_signatures(docs).select_columns(["doc_id", "simhash"])
+
+
+def _load_queries(sf_dir: str, n: int = 10):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vid = np.asarray(t.column("vec_id").to_pylist())
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    mask = vid < n
+    return emb[mask], vid[mask]
+
+
+def _q_knn_cosine(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.similarity import knn_cosine
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    qm, qids = _load_queries(sf_dir)
+    return knn_cosine(emb, qm, qids, k=5)
+
+
+def _q_knn_lsh(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.similarity import knn_lsh
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    qm, qids = _load_queries(sf_dir)
+    return knn_lsh(emb, qm, qids, k=5)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.similarity import embedding_near_dup_pairs
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+def _q_kg_synthetic_parity(sf_dir: str):
+    """Reference-semantics pipeline on the synthetic corpus; returns per-doc
+    triple precision/recall vs the construction-time gold (self-checking;
+    no SQL equivalent — the reference's eval-harness analogue)."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.corpus import generate_documents
+    from kgray.eval.compare import triple_prf
+    from kgray.pipelines.kg import run_kg_pipeline
+
+    docs, gold, _ = generate_documents(120, seed=42)
+    res = run_kg_pipeline(ray.data.from_arrow(docs))
+    e = res.edges.to_pandas()
+    got = {}
+    for r in e.itertuples():
+        got.setdefault(r.doc_id, set()).add((r.subj, r.pred, r.obj))
+    want = {}
+    g = gold.to_pandas()
+    for r in g.itertuples():
+        want.setdefault(r.doc_id, set()).add((r.subj, r.pred, r.obj))
+    rows = []
+    for d in sorted(set(got) | set(want)):
+        p, r_, f1 = triple_prf(got.get(d, set()), want.get(d, set()))
+        rows.append(
+            {"doc_id": d, "n_got": len(got.get(d, set())),
+             "n_gold": len(want.get(d, set())),
+             "precision": p, "recall": r_}
+        )
+    return pd.DataFrame(rows)
+
+
+def _q_pricing_summary(sf_dir: str):
+    from kgray.pipelines.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from kgray.pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
+def _q_top_parts(sf_dir: str):
+    from kgray.pipelines.relational import top_parts_by_revenue
+
+    return top_parts_by_revenue(sf_dir, k=10)
+
+
+def _q_events_hourly(sf_dir: str):
+    from kgray.pipelines.relational import events_hourly
+
+    return events_hourly(sf_dir)
+
+
+def _q_events_sessions(sf_dir: str):
+    from kgray.pipelines.relational import events_sessions
+
+    return events_sessions(sf_dir, gap_minutes=30)
+
+
+def _q_supplier_balance(sf_dir: str):
+    from kgray.pipelines.relational import supplier_balance_stats
+
+    return supplier_balance_stats(sf_dir)
+
+
+def _q_orders_high_value(sf_dir: str):
+    from kgray.pipelines.relational import filter_orders_high_value
+
+    return filter_orders_high_value(sf_dir, cutoff=100000.0)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG pipeline (generic adapter, fully oracle-checked)
+        "kg_edges": _q_kg_edges,
+        "kg_nodes": _q_kg_nodes,
+        "kg_annotation_urls": _q_kg_annotation_urls,
+        "chunk_spans": _q_chunk_spans,
+        # KG pipeline (reference semantics, self-checking parity)
+        "kg_synthetic_parity": _q_kg_synthetic_parity,
+        # text analysis
+        "token_count": _q_token_count,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        # dedup
+        "dedup_exact": _q_dedup_exact,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "simhash": _q_simhash,
+        # similarity search
+        "knn_cosine": _q_knn_cosine,
+        "knn_lsh": _q_knn_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # relational / events
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_parts": _q_top_parts,
+        "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "supplier_balance": _q_supplier_balance,
+        "orders_high_value": _q_orders_high_value,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_edges": _KG_CTE + """
+SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+       span AS span_seq,
+       'w(X:' || ta || ')' AS subj,
+       'cooccurs' AS pred,
+       'w(X:' || tb || ')' AS obj
+FROM pairs
+""",
+        "kg_nodes": _KG_CTE + """
+, terms AS (
+  SELECT ta AS tok FROM pairs UNION SELECT tb AS tok FROM pairs
+)
+SELECT DISTINCT 'w(X:' || tok || ')' AS name, tok AS label, 'w' AS type,
+       'https://identifiers.org/X:' || tok AS url
+FROM terms
+""",
+        "kg_annotation_urls": _KG_CTE + """
+, spans_with_pairs AS (SELECT DISTINCT doc_id, span FROM pairs)
+SELECT DISTINCT a.tok AS entry_name,
+       'https://identifiers.org/X:' || a.tok AS url
+FROM ann a JOIN spans_with_pairs USING (doc_id, span)
+""",
+        "chunk_spans": _KG_CTE + """
+SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+       span AS span_seq, span_text AS text,
+       length(span_text) >= 20 AS admitted
+FROM spans
+""",
+        "token_count": """
+SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       AS n_tokens
+FROM documents
+""",
+        "text_quality": """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_m,
+  CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+  CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+  CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+  CAST(length(text) - length(regexp_extract_all(text, ' ')) AS DOUBLE)
+    / CAST(greatest(length(regexp_extract_all(text, '\\S+')), 1) AS DOUBLE)
+    AS mean_word_len
+FROM documents
+""",
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+""",
+        "minhash_near_dup": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
+sh AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+s AS (SELECT doc_id, count(*) n FROM ds GROUP BY doc_id),
+inter AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+          FROM ds x JOIN ds y USING (shingle)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a AS doc_a, b AS doc_b
+FROM inter JOIN s sa ON sa.doc_id = inter.a JOIN s sb ON sb.doc_id = inter.b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+""",
+        "knn_cosine": """
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       CAST(row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                  e.vec_id ASC) AS BIGINT) AS rank
+FROM embeddings q, embeddings e
+WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+QUALIFY rank <= 5
+""",
+        # float aggregates use floor(x*10^d + 0.5)/10^d on BOTH sides so
+        # summation-order fp differences between engines cancel out.
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+       floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_by_nation": """
+SELECT n_name,
+       floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "top_parts": """
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, l_partkey ASC) AS BIGINT)
+         AS rnk, l_partkey, p_name,
+       floor(revenue * 100 + 0.5) / 100 AS revenue
+FROM (
+  SELECT l_partkey, p_name,
+         sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_partkey, p_name
+)
+QUALIFY rnk <= 10
+""",
+        "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+FROM s GROUP BY user_id, sess_id
+""",
+        "supplier_balance": """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       floor(sum(s_acctbal) * 100 + 0.5) / 100 AS sum_bal,
+       min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
+FROM supplier GROUP BY s_nationkey
+""",
+        "orders_high_value": """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_totalprice > 100000.0
+""",
+    }

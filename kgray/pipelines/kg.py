@@ -40,8 +40,9 @@ class KGConfig:
     batch_size: int = 256          # paragraphs per extractor call
     annotate_concurrency: tuple = (1, 8)
     extract_concurrency: tuple = (1, 12)
-    backend: str = "stub"
+    backend: object = "stub"       # name, or a backend instance
     backend_kwargs: Dict = field(default_factory=dict)
+    annotator_kwargs: Dict = field(default_factory=dict)
 
 
 @dataclass
@@ -67,6 +68,7 @@ def run_extractions(
         batch_size=cfg.batch_size,
         concurrency=cfg.annotate_concurrency,
         num_cpus=1,
+        fn_constructor_kwargs=cfg.annotator_kwargs,
     )
     return annotated.map_batches(
         BELExtractor,

@@ -1,0 +1,261 @@
+"""Relational demonstration pipelines over the TPC-H-ish driver tables.
+
+These exercise the engine's generic wide operators — combiner-first grouped
+aggregation, broadcast hash joins, sort/top-k, windowed and sessionized
+event aggregation — each with an exact DuckDB oracle in __ray_entry__.
+
+Scale pattern notes:
+- joins: dimension sides (customer/nation/part/orders-at-sf) are broadcast
+  via ``ray.put`` + per-batch pandas merge, never shuffled;
+- aggregates: per-batch partial aggregation before the keyed groupby, so
+  the shuffle moves one row per (key × block);
+- windows/sessions: `groupby(key).map_groups` over per-key ordered pandas.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def _round_half_up(ds: "ray.data.Dataset", cols: Dict[str, int]):
+    """floor(x*10^d + 0.5)/10^d — the exact fp expression the SQL oracles
+    use, so float aggregate results compare bit-identically despite
+    summation-order differences between engines."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for c, d in cols.items():
+            p = float(10 ** d)
+            v = np.floor(
+                batch.column(c).to_numpy(zero_copy_only=False) * p + 0.5
+            ) / p
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c, pa.array(v, pa.float64())
+            )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-shaped grouped aggregate with per-batch partials."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                revenue=("revenue", "sum"),
+                n_rows=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    return _round_half_up(
+        out, {"sum_qty": 2, "sum_base_price": 2, "revenue": 2}
+    )
+
+
+def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """lineitem ⋈ orders ⋈ customer ⋈ nation via broadcast maps, then a
+    combiner-first groupby on n_name."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    o_df = orders.to_pandas()
+    c_df = cust.to_pandas()
+    n_df = nation.to_pandas()
+    # order → nation name, one flat broadcast dict (dimension-sized)
+    oc = o_df.merge(c_df, left_on="o_custkey", right_on="c_custkey")
+    ocn = oc.merge(n_df, left_on="c_nationkey", right_on="n_nationkey")
+    lookup_ref = ray.put(
+        ocn[["o_orderkey", "n_name"]].set_index("o_orderkey")
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    class JoinAndPartial:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)  # indexed frame: C-speed join
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df.join(self.lookup, on="l_orderkey")
+            df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
+            g = df.groupby("n_name", as_index=False).agg(
+                revenue=("revenue", "sum"), n_items=("revenue", "size")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        li.map_batches(JoinAndPartial, batch_format="pyarrow",
+                       concurrency=(1, 8))
+        .repartition(8)
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+    return _round_half_up(out, {"revenue": 2})
+
+
+def top_parts_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Top-k parts by lineitem revenue: broadcast part names, partial agg,
+    groupby, global sort, limit."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    p_df = part.to_pandas()
+    name_ref = ray.put(dict(zip(p_df.p_partkey.to_numpy(), p_df.p_name)))
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    class Partial:
+        def __init__(self):
+            self.names = ray.get(name_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
+            g = df.groupby("l_partkey", as_index=False).agg(
+                revenue=("revenue", "sum")
+            )
+            g["p_name"] = g.l_partkey.map(self.names)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        li.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+        .repartition(8)
+        .groupby(["l_partkey", "p_name"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    top = agg.sort(["revenue", "l_partkey"], descending=[True, False]).limit(k)
+    # rank column makes the result order-insensitive for comparison
+    t = top.to_pandas()
+    t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    t["revenue"] = np.floor(t["revenue"] * 100.0 + 0.5) / 100.0
+    return ray.data.from_pandas(t[["rnk", "l_partkey", "p_name", "revenue"]])
+
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour window per event_type: count + value sum."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df.ts.dt.floor("h")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+    return _round_half_up(out, {"sum_value": 4})
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Sessionization: per user, a new session starts after a ≥gap silence.
+
+    Ordered stateful logic runs inside groupby(user_id).map_groups over the
+    per-user timeline (the Ray Data pattern for keyed windows); output is
+    one row per session with start/end/count.
+    """
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_sess = (g.ts.diff() > gap).cumsum()
+        out = g.groupby(new_sess).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("value", "size"),
+            sum_value=("value", "sum"),
+        )
+        return out.reset_index(drop=True)
+
+    return _round_half_up(
+        ev.groupby("user_id").map_groups(sessionize, batch_format="pandas"),
+        {"sum_value": 4},
+    )
+
+
+def supplier_balance_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Simple multi-aggregate per nation over the supplier dimension."""
+    sup = _read(sf_dir, "supplier",
+                columns=["s_nationkey", "s_acctbal"])
+    out = (
+        sup.groupby("s_nationkey")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("s_acctbal", alias_name="sum_bal"),
+            Min("s_acctbal", alias_name="min_bal"),
+            Max("s_acctbal", alias_name="max_bal"),
+        )
+    )
+    return _round_half_up(out, {"sum_bal": 2})
+
+
+def filter_orders_high_value(sf_dir: str, cutoff: float = 100000.0):
+    """Vectorized Arrow filter + projection (pushdown-style read)."""
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+    )
+    return orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], cutoff)),
+        batch_format="pyarrow",
+    )

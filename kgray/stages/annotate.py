@@ -23,12 +23,27 @@ from ..vocab import ENTITY_BY_NAME, MENTION_RE
 
 
 class DictionaryAnnotator:
-    """Deterministic dictionary grounder with Gilda-shaped output."""
+    """Deterministic dictionary grounder with Gilda-shaped output.
 
-    def __init__(self, extra_vocab: Optional[dict] = None):
+    ``vocab`` replaces the default biomedical vocabulary entirely (a dict of
+    surface form → Entity); ``extra_vocab`` merges into it.  The alternation
+    regex is rebuilt in ``__init__`` — once per actor, never per batch.
+    """
+
+    def __init__(self, extra_vocab: Optional[dict] = None,
+                 vocab: Optional[dict] = None):
+        import re
+
         # once per actor: "load the terms index"
-        self._re = MENTION_RE
-        self._lookup = dict(ENTITY_BY_NAME)
+        if vocab is not None:
+            self._lookup = dict(vocab)
+            names = sorted(self._lookup, key=len, reverse=True)
+            self._re = re.compile(
+                r"\b(" + "|".join(re.escape(n) for n in names) + r")\b"
+            )
+        else:
+            self._re = MENTION_RE
+            self._lookup = dict(ENTITY_BY_NAME)
         if extra_vocab:
             self._lookup.update(extra_vocab)
 

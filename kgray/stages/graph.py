@@ -1,0 +1,156 @@
+"""Per-document graph assembly (CX2 export) and graph merge.
+
+Reference semantics:
+- convert_to_cx2.py:62-170 — one CX2 network per document: dense integer
+  node ids in first-seen order, node attributes (name, label, type, id=url),
+  edge attributes (interaction, source/target labels, bel_expression, text,
+  evidence).  The reference uses ndex2's factory; here the CX2 JSON aspects
+  are emitted directly (same public format) since this engine's primary
+  sinks are the node/edge tables — CX2 is a per-document parity artifact.
+- examples merge_cx2 (simple_example.ipynb "Merge Graphs") — union of two
+  graphs with node dedup by (name, type), edges rewired to the merged ids.
+
+Assembly is ``groupby('doc_id').map_groups`` — per-document state fits in
+one group by construction (a document's graph is KB-sized).
+"""
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..functions.bel import term_label, term_type
+
+
+def _document_cx2(
+    edges: pd.DataFrame, unary: pd.DataFrame, url_map: Dict[str, str]
+) -> dict:
+    """Build one document's CX2-shaped dict with reference id semantics."""
+    node_ids: Dict[str, int] = {}
+
+    def nid(name: str) -> int:
+        if name not in node_ids:
+            node_ids[name] = len(node_ids)
+        return node_ids[name]
+
+    # interleave edge endpoints and unary terms in (span_seq, stmt_seq) order
+    items = []
+    for r in edges.itertuples():
+        items.append((r.span_seq, r.stmt_seq, 0, "edge", r))
+    for r in unary.itertuples():
+        items.append((r.span_seq, r.stmt_seq, 0, "unary", r))
+    items.sort(key=lambda x: (x[0], x[1], x[3] != "edge"))
+
+    cx_edges = []
+    for _, _, _, kind, r in items:
+        if kind == "unary":
+            nid(r.name)
+            continue
+        s, t = nid(r.subj), nid(r.obj)
+        cx_edges.append(
+            {
+                "id": len(cx_edges),
+                "s": s,
+                "t": t,
+                "v": {
+                    "interaction": r.pred,
+                    "source_label": r.subj_label,
+                    "target_label": r.obj_label,
+                    "bel_expression": r.bel_expression,
+                    "text": r.text,
+                    "evidence": r.evidence,
+                },
+            }
+        )
+
+    cx_nodes = []
+    for name, i in node_ids.items():
+        label = term_label(name)
+        v = {"name": name, "label": label, "type": term_type(name)}
+        url = url_map.get(name, url_map.get(label))
+        if url:
+            v["id"] = url
+        cx_nodes.append({"id": i, "v": v})
+
+    return [
+        {"CXVersion": "2.0", "hasFragments": False},
+        {"metaData": [
+            {"name": "nodes", "elementCount": len(cx_nodes)},
+            {"name": "edges", "elementCount": len(cx_edges)},
+        ]},
+        {"nodes": cx_nodes},
+        {"edges": cx_edges},
+        {"status": [{"success": True}]},
+    ]
+
+
+def build_document_graphs(
+    edges: "ray.data.Dataset",
+    unary: "ray.data.Dataset",
+    url_map: Dict[str, str],
+) -> "ray.data.Dataset":
+    """One row per document: (doc_id, cx2 JSON string, n_nodes, n_edges)."""
+    url_ref = ray.put(url_map)
+    unary_pd = unary.to_pandas()  # node-only records are tiny
+    unary_ref = ray.put(unary_pd)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        urls = ray.get(url_ref)
+        u_all = ray.get(unary_ref)
+        doc = g["doc_id"].iloc[0]
+        u = u_all[u_all.doc_id == doc]
+        cx = _document_cx2(g, u, urls)
+        return pd.DataFrame(
+            {
+                "doc_id": [doc],
+                "cx2": [json.dumps(cx)],
+                "n_nodes": [len(cx[2]["nodes"])],
+                "n_edges": [len(cx[3]["edges"])],
+            }
+        )
+
+    return edges.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
+def merge_graphs(
+    nodes_a: pd.DataFrame,
+    edges_a: pd.DataFrame,
+    nodes_b: pd.DataFrame,
+    edges_b: pd.DataFrame,
+):
+    """Union two (nodes, edges) graphs; node identity = (name, type),
+    first graph wins attributes; edges rewired to merged node ids."""
+    merged_nodes = []
+    key_to_id: Dict[tuple, int] = {}
+    old_to_new_a: Dict[int, int] = {}
+    old_to_new_b: Dict[int, int] = {}
+    for df, remap in ((nodes_a, old_to_new_a), (nodes_b, old_to_new_b)):
+        for r in df.itertuples():
+            key = (r.name, r.type)
+            if key not in key_to_id:
+                key_to_id[key] = len(merged_nodes)
+                merged_nodes.append(
+                    {"node_id": key_to_id[key], "name": r.name,
+                     "label": r.label, "type": r.type,
+                     "url": getattr(r, "url", None)}
+                )
+            remap[r.node_id] = key_to_id[key]
+    out_nodes = pd.DataFrame(merged_nodes)
+
+    def rewire(edges: pd.DataFrame, nodes: pd.DataFrame, remap) -> pd.DataFrame:
+        name_to_old = dict(zip(nodes.name, nodes.node_id))
+        e = edges.copy()
+        e["src_id"] = e.subj.map(name_to_old).map(remap)
+        e["dst_id"] = e.obj.map(name_to_old).map(remap)
+        return e
+
+    out_edges = pd.concat(
+        [rewire(edges_a, nodes_a, old_to_new_a),
+         rewire(edges_b, nodes_b, old_to_new_b)],
+        ignore_index=True,
+    )
+    return out_nodes, out_edges

@@ -1,0 +1,272 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_cosine``   — brute-force cosine top-k: the query matrix is broadcast
+                     once (``ray.put``), every batch does one numpy matmul,
+                     emits batch-local top-k, and a tiny groupby reduces to
+                     global top-k.  The scalable baseline.
+- ``knn_lsh``      — random-hyperplane LSH bucketing: vectors hash to
+                     sign-pattern buckets, queries probe their own bucket
+                     (+ optional multiprobe), brute force within bucket.
+                     The scale path: shuffle moves (bucket, vec) rows only.
+- ``embedding_near_dup_pairs`` — cosine-threshold near-duplicate pairs via
+                     the same bucketing.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_cosine(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Global top-k cosine neighbours per query.
+
+    Returns (query_id, neighbor_id, rank) with rank 1..k; ties broken by
+    ascending neighbor_id (deterministic, matches the SQL oracle).
+    """
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((qm, np.asarray(query_ids)))
+
+    class BatchTopK:
+        def __init__(self):
+            self.qm, self.qids = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_to_matrix(batch.column("embedding")))
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            sims = self.qm @ vm.T  # (Q, B)
+            out_q, out_n, out_s = [], [], []
+            kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                idx = np.argpartition(-row, kk - 1)[:kk]
+                for j in idx:
+                    if exclude_self and vids[j] == self.qids[qi]:
+                        continue
+                    out_q.append(self.qids[qi])
+                    out_n.append(vids[j])
+                    out_s.append(row[j])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return (
+        embeddings.map_batches(
+            BatchTopK, batch_format="pyarrow", concurrency=(1, 8)
+        )
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pandas")
+    )
+
+
+class HyperplaneBucketer:
+    """Sign-pattern LSH bucket assignment (state: the hyperplane matrix)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        signs = (m @ self.planes) >= 0
+        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        return batch.append_column(
+            "bucket", pa.array(self.bucket_of(m), pa.int64())
+        )
+
+
+def knn_lsh(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 11,
+) -> "ray.data.Dataset":
+    """Approximate top-k: brute force only within each query's LSH bucket.
+
+    One pass: bucket assignment (actor pool) → filter to buckets that hold a
+    query → ``groupby(bucket).map_groups`` doing the per-bucket matmul with
+    that bucket's queries (broadcast once).  Candidate set per query is
+    |corpus| / 2^n_planes; recall < 1 by construction (bucket boundaries) —
+    the scale path next to exact ``knn_cosine``.
+    """
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    dim = qm.shape[1]
+    bucketer = HyperplaneBucketer(dim, n_planes, seed)
+    q_buckets = bucketer.bucket_of(qm)
+    by_bucket = {}
+    for i, b in enumerate(q_buckets):
+        by_bucket.setdefault(int(b), []).append(i)
+    q_ref = ray.put((qm, np.asarray(query_ids), by_bucket))
+
+    bucketed = embeddings.map_batches(
+        HyperplaneBucketer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_args=(dim, n_planes, seed),
+    )
+
+    def only_query_buckets(batch: pa.Table) -> pa.Table:
+        _, _, qmap = ray.get(q_ref)
+        mask = [b in qmap for b in batch.column("bucket").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    pruned = bucketed.map_batches(only_query_buckets, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qm_, qids_, qmap = ray.get(q_ref)
+        b = int(g["bucket"].iloc[0])
+        q_idx = qmap.get(b, [])
+        if not q_idx:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "rank": []}
+            ).astype("int64")
+        m = _normalize(np.asarray(list(g["embedding"]), dtype=np.float64))
+        vids = g["vec_id"].to_numpy()
+        sims = qm_[q_idx] @ m.T
+        rows = {"query_id": [], "neighbor_id": [], "rank": []}
+        for row_i, qi in enumerate(q_idx):
+            order = sorted(
+                range(len(vids)),
+                key=lambda j: (-sims[row_i, j], vids[j]),
+            )
+            rank = 0
+            for j in order:
+                if vids[j] == qids_[qi]:
+                    continue
+                rank += 1
+                if rank > k:
+                    break
+                rows["query_id"].append(qids_[qi])
+                rows["neighbor_id"].append(vids[j])
+                rows["rank"].append(rank)
+        return pd.DataFrame(rows).astype("int64")
+
+    return pruned.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+class MultiTableBucketer:
+    """L independent sign-LSH tables: each vector row explodes into L
+    (table_id, bucket, …) rows.  OR-amplification: one agreeing table is
+    enough to make a pair candidates — a single table misses near-identical
+    vectors whenever one near-tangent hyperplane flips a sign."""
+
+    def __init__(self, dim: int, n_planes: int, n_tables: int, seed: int):
+        self.tables = [
+            HyperplaneBucketer(dim, n_planes, seed + 1000 * t)
+            for t in range(n_tables)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        parts = []
+        for t, bucketer in enumerate(self.tables):
+            parts.append(
+                batch.append_column(
+                    "table_id", pa.array([t] * batch.num_rows, pa.int32())
+                ).append_column(
+                    "bucket", pa.array(bucketer.bucket_of(m), pa.int64())
+                )
+            )
+        return pa.concat_tables(parts)
+
+
+def embedding_near_dup_pairs(
+    embeddings: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 11,
+    dim: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """(vec_a < vec_b) pairs with cosine ≥ threshold, blocked by multi-table
+    sign-LSH (OR over ``n_tables`` independent tables), exact cosine inside
+    each bucket, distinct across tables via a keyed min-aggregate.
+
+    Recall: P(miss) ≈ (1 - a^n_planes)^n_tables for agreement prob
+    a = 1 - θ/π; effectively 1.0 for near-identical vectors, deliberately
+    approximate for mid-similarity thresholds (the scale path).
+    """
+    if dim is None:
+        first = embeddings.take(1)[0]
+        dim = len(first["embedding"])
+
+    bucketed = embeddings.map_batches(
+        MultiTableBucketer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_args=(dim, n_planes, n_tables, seed),
+    )
+
+    thr = threshold
+
+    def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.asarray(list(g["embedding"]), dtype=np.float64))
+        ids = g["vec_id"].to_numpy()
+        sims = m @ m.T
+        ia, ib = np.where(np.triu(sims, 1) >= thr)
+        a = np.minimum(ids[ia], ids[ib])
+        b = np.maximum(ids[ia], ids[ib])
+        sim = np.floor(sims[ia, ib] * 10000 + 0.5) / 10000
+        return pd.DataFrame({"vec_a": a.astype(np.int64),
+                             "vec_b": b.astype(np.int64),
+                             "sim": sim})
+
+    from ray.data.aggregate import Min
+
+    typed_empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    )
+    out = (
+        bucketed.groupby(["table_id", "bucket"])
+        .map_groups(within_bucket, batch_format="pandas")
+        .repartition(4)
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Min("sim", alias_name="sim"))  # distinct pairs
+    )
+    # union with a typed empty block: a no-pairs result keeps its schema
+    return typed_empty.union(out)

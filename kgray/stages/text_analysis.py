@@ -1,0 +1,160 @@
+"""Text-analysis operators over a generic documents table (doc_id, text).
+
+Large-scale training-data pipeline primitives, all vectorized per batch:
+
+- ``token_count``     — whitespace tokenisation (``\\S+`` matches)
+- ``text_quality``    — length / word / punctuation / uppercase stats
+- ``LangId``          — stopword-profile n-gram-free language heuristic
+                        (actor pool: profiles compiled once per actor)
+- ``fingerprint``     — 64-bit content fingerprint + Rabin-Karp rolling
+                        window minimum (winnowing-style robust fingerprint)
+
+Column names match the DuckDB oracle SQL in __ray_entry__ exactly.
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = r"\S+"
+_PUNCT_RE = r"[.,;:!?]"
+
+
+def token_count(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens) — count of non-whitespace runs."""
+    n = pc.count_substring_regex(batch.column("text"), _TOKEN_RE)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(n, pa.int64()),
+        }
+    )
+
+
+def text_quality(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars_m, n_words, n_punct, punct_ratio, mean_word_len).
+
+    punct_ratio = n_punct / n_chars_m; mean_word_len = alpha-ish chars per
+    word.  Pure double arithmetic in the same expression shape as the SQL
+    oracle so values agree bit-for-bit.
+    """
+    text = batch.column("text")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_words = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.int64())
+    n_spaces = pc.cast(pc.count_substring_regex(text, r" "), pa.int64())
+    punct_ratio = pc.divide(
+        pc.cast(n_punct, pa.float64()), pc.cast(n_chars, pa.float64())
+    )
+    mean_word_len = pc.divide(
+        pc.cast(pc.subtract(n_chars, n_spaces), pa.float64()),
+        pc.cast(pc.max_element_wise(n_words, 1), pa.float64()),
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars_m": n_chars,
+            "n_words": n_words,
+            "n_punct": n_punct,
+            "punct_ratio": punct_ratio,
+            "mean_word_len": mean_word_len,
+        }
+    )
+
+
+# language stopword profiles (public common-word lists, trimmed)
+_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "que"},
+    "es": {"el", "la", "de", "que", "los", "una", "es", "por", "con"},
+    "zh": set(),  # no-latin-stopword fallback bucket
+}
+
+
+class LangId:
+    """Stopword-profile language guesser (actor pool stage).
+
+    Deterministic: scores = fraction of tokens in each language's stopword
+    set; ties and no-hit default to 'en' ('zh' wins only via the CJK check).
+    """
+
+    def __init__(self):
+        import re
+
+        self._tok = re.compile(r"[a-zA-Z]+")
+        self._cjk = re.compile(r"[一-鿿]")
+        self._profiles = {k: v for k, v in _PROFILES.items() if v}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = []
+        for t in batch.column("text").to_pylist():
+            if self._cjk.search(t or ""):
+                langs.append("zh")
+                continue
+            toks = [w.lower() for w in self._tok.findall(t or "")]
+            best, best_score = "en", 0.0
+            for lang, stop in self._profiles.items():
+                score = (
+                    sum(1 for w in toks if w in stop) / len(toks)
+                    if toks
+                    else 0.0
+                )
+                if score > best_score:
+                    best, best_score = lang, score
+            langs.append(best)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(langs, pa.string()),
+            }
+        )
+
+
+_RK_BASE = np.uint64(1000003)
+_RK_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _rolling_min_hash(data: bytes, k: int = 16) -> int:
+    """Minimum Rabin-Karp hash over all k-byte windows (vectorized numpy).
+
+    Content-defined: insensitive to document offset shifts, so two texts
+    sharing any long run agree on the window minimum with high probability.
+    """
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n == 0:
+        return 0
+    if n <= k:
+        h = np.uint64(0)
+        for x in b:
+            h = (h * _RK_BASE + x) & _RK_MASK
+        return int(h)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[k - 1] = np.uint64(1)
+    for i in range(k - 2, -1, -1):
+        powers[i] = (powers[i + 1] * _RK_BASE) & _RK_MASK
+    # windowed dot product mod 2^64 via strided matmul in chunks
+    windows = np.lib.stride_tricks.sliding_window_view(b, k)
+    with np.errstate(over="ignore"):
+        hashes = (windows * powers).sum(axis=1, dtype=np.uint64)
+    return int(hashes.min())
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp_crc, fp_rolling): exact content crc + rolling-min hash."""
+    texts = batch.column("text").to_pylist()
+    crcs = [zlib.crc32((t or "").encode("utf-8")) for t in texts]
+    rolls = [_rolling_min_hash((t or "").encode("utf-8")) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fp_crc": pa.array(crcs, pa.int64()),
+            "fp_rolling": pa.array(
+                [r & 0x7FFFFFFFFFFFFFFF for r in rolls], pa.int64()
+            ),
+        }
+    )

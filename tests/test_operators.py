@@ -1,0 +1,254 @@
+"""Unit tests: text analysis, dedup, similarity, graph assembly, sources."""
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kgray.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    exact_dedup,
+    minhash_lsh_pairs,
+    _shingles,
+)
+from kgray.stages.graph import build_document_graphs, merge_graphs
+from kgray.stages.multimodal import MediaDecoder, MediaResizer, decode_media
+from kgray.stages.similarity import knn_cosine, embedding_near_dup_pairs
+from kgray.stages.text_analysis import (
+    LangId,
+    fingerprint,
+    text_quality,
+    token_count,
+)
+from kgray.sources.textfile import (
+    clean_paragraph,
+    decode_payload,
+    raw_text_to_documents,
+    split_paragraphs,
+)
+
+
+def _docs_table():
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "the cat and the dog",
+                "the cat and the dog",   # exact dup of 0
+                "ein Hund und eine Katze ist nicht da",
+                "completely different words here now",
+            ],
+        }
+    )
+
+
+def test_token_count_and_quality():
+    t = token_count(_docs_table())
+    assert t.column("n_tokens").to_pylist() == [5, 5, 8, 5]
+    q = text_quality(_docs_table())
+    assert q.column("n_words").to_pylist() == [5, 5, 8, 5]
+    assert q.column("n_punct").to_pylist() == [0, 0, 0, 0]
+
+
+def test_lang_id():
+    out = LangId()(_docs_table())
+    langs = out.column("lang_pred").to_pylist()
+    assert langs[0] == "en" and langs[2] == "de"
+
+
+def test_fingerprint_shift_invariance():
+    a = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": ["prefix junk " + "shared content block " * 5]})
+    b = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": ["other start!! " + "shared content block " * 5]})
+    fa = fingerprint(a).column("fp_rolling").to_pylist()[0]
+    fb = fingerprint(b).column("fp_rolling").to_pylist()[0]
+    assert fa == fb  # rolling-min window lands inside the shared run
+
+
+def test_exact_dedup():
+    ds = ray.data.from_arrow(_docs_table())
+    out = exact_dedup(ds).to_pandas()
+    assert len(out) == 3
+    assert set(out.doc_id) == {0, 2, 3}
+
+
+def test_minhash_finds_planted_near_dup():
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(50)]
+    base = " ".join(rng.choice(vocab, 60))
+    mutated = base.split()
+    mutated[5] = "zzz"  # one-token change: jaccard >> 0.5
+    texts = [base, " ".join(mutated)] + [
+        " ".join(rng.choice(vocab, 60)) for _ in range(20)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    )
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert (0, 1) in set(zip(pairs.doc_a, pairs.doc_b))
+    # signature determinism across instances
+    m1, m2 = MinHasher(), MinHasher()
+    assert (m1.signature(base) == m2.signature(base)).all()
+
+
+def test_shingles_and_simhash():
+    assert _shingles("a b c d", 3) == ["a b c", "b c d"]
+    assert _shingles("a", 3) == ["a"]
+    s1 = SimHasher.simhash64("the quick brown fox jumps over the dog")
+    s2 = SimHasher.simhash64("the quick brown fox jumps over the cat")
+    s3 = SimHasher.simhash64("completely unrelated text about engines")
+    ham12 = bin(s1 ^ s2).count("1")
+    ham13 = bin(s1 ^ s3).count("1")
+    assert ham12 < ham13
+
+
+def test_knn_cosine_exact():
+    rng = np.random.RandomState(0)
+    emb = rng.standard_normal((40, 8))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(
+                    [e.tolist() for e in emb], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    got = knn_cosine(ds, emb[:3], np.arange(3), k=4).to_pandas()
+    # brute-force reference
+    m = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    # match engine float32 storage: cosine on float32-rounded vectors
+    m32 = emb.astype(np.float32).astype(np.float64)
+    m32 = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = m32[:3] @ m32.T
+    for q in range(3):
+        order = sorted(
+            (j for j in range(40) if j != q),
+            key=lambda j: (-sims[q, j], j),
+        )[:4]
+        mine = got[got.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert mine == order
+
+
+def test_embedding_near_dup_pairs():
+    rng = np.random.RandomState(1)
+    emb = rng.standard_normal((30, 8))
+    emb[7] = emb[3] + rng.standard_normal(8) * 0.01  # planted near-dup
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), pa.int64()),
+                "embedding": pa.array(
+                    [e.tolist() for e in emb], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert (3, 7) in set(zip(pairs.vec_a, pairs.vec_b))
+
+
+def test_document_graph_assembly():
+    from kgray.corpus import generate_documents
+    from kgray.pipelines.kg import run_kg_pipeline
+
+    docs, _, _ = generate_documents(12, seed=9)
+    res = run_kg_pipeline(ray.data.from_arrow(docs))
+    graphs = build_document_graphs(
+        res.edges, res.unary_nodes, res.url_map
+    ).to_pandas()
+    edges_pd = res.edges.to_pandas()
+    assert set(graphs.doc_id) == set(edges_pd.doc_id)
+    g = graphs.iloc[0]
+    cx = json.loads(g.cx2)
+    nodes_aspect = cx[2]["nodes"]
+    edges_aspect = cx[3]["edges"]
+    assert g.n_nodes == len(nodes_aspect) and g.n_edges == len(edges_aspect)
+    # dense per-doc ids 0..n-1; every edge endpoint refers to a real node
+    ids = [n["id"] for n in nodes_aspect]
+    assert ids == list(range(len(ids)))
+    for e in edges_aspect:
+        assert e["s"] in ids and e["t"] in ids
+        assert e["v"]["bel_expression"]
+
+
+def test_merge_graphs():
+    na = pd.DataFrame(
+        {"node_id": [0, 1], "name": ["p(HGNC:A)", "p(HGNC:B)"],
+         "label": ["A", "B"], "type": ["p", "p"], "url": [None, None]}
+    )
+    ea = pd.DataFrame(
+        {"subj": ["p(HGNC:A)"], "obj": ["p(HGNC:B)"], "pred": ["increases"]}
+    )
+    nb = pd.DataFrame(
+        {"node_id": [0, 1], "name": ["p(HGNC:B)", "p(HGNC:C)"],
+         "label": ["B", "C"], "type": ["p", "p"], "url": [None, None]}
+    )
+    eb = pd.DataFrame(
+        {"subj": ["p(HGNC:B)"], "obj": ["p(HGNC:C)"], "pred": ["decreases"]}
+    )
+    nodes, edges = merge_graphs(na, ea, nb, eb)
+    assert len(nodes) == 3  # B deduped by (name, type)
+    assert len(edges) == 2
+    b_id = nodes[nodes.name == "p(HGNC:B)"].node_id.iloc[0]
+    assert edges.iloc[0].dst_id == b_id and edges.iloc[1].src_id == b_id
+
+
+def test_textfile_source():
+    raw = (
+        "Introduction\n\nFirst paragraph\nwith a wrapped line.\n\n"
+        "Second paragraph here.\n\nReferences\n\n1. Dropped citation."
+    )
+    assert clean_paragraph("a\n\nb\nc") == "a b c"
+    paras = split_paragraphs(raw)
+    assert paras == [
+        "First paragraph with a wrapped line.",
+        "Second paragraph here.",
+    ]
+    docs = raw_text_to_documents(
+        pa.table({"doc_id": ["F1"], "raw_text": [raw]})
+    )
+    spans = docs.column("spans").to_pylist()[0]
+    assert [s["text"] for s in spans] == paras
+    assert spans[0]["offset"] < spans[1]["offset"]
+    assert decode_payload(b"hello", "txt") == "hello"
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"%PDF", "pdf")
+    with pytest.raises(ValueError):
+        decode_payload(b"x", "docx")
+
+
+def test_multimodal_plumbing():
+    from kgray.corpus import generate_documents
+    from kgray.stages.chunk import explode_spans
+
+    docs, _, _ = generate_documents(20, seed=4)
+    chunks = ray.data.from_arrow(docs).map_batches(
+        explode_spans, batch_format="pyarrow"
+    )
+    feats = decode_media(chunks).to_pandas()
+    assert len(feats) > 0
+    assert feats.media_ref.str.startswith("synthetic://").all()
+    assert feats.feature.map(len).eq(16).all()
+    # determinism: same ref → same feature
+    d1 = MediaDecoder().decode("synthetic://x", None)
+    d2 = MediaDecoder().decode("synthetic://x", None)
+    assert (d1["feature"] == d2["feature"]).all()
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(strict=True).decode("synthetic://x", None)
+    resized = MediaResizer(max_w=100, max_h=100)(
+        pa.table(
+            {
+                "width": pa.array([1000, 50], pa.int32()),
+                "height": pa.array([500, 80], pa.int32()),
+            }
+        )
+    )
+    assert resized.column("width").to_pylist() == [100, 50]
+    assert resized.column("height").to_pylist() == [50, 80]
