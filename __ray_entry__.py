@@ -286,6 +286,177 @@ def _q_kg_synthetic_parity(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_kg_eval_matcher(sf_dir: str):
+    """Statement-matching eval harness (bel_parser semantics): pipeline
+    edges vs construction-gold statements, per document (rows-only)."""
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.corpus import generate_documents
+    from kgray.eval.matcher import match_edge_datasets
+    from kgray.pipelines.kg import run_kg_pipeline
+
+    docs, gold, _ = generate_documents(60, seed=42)
+    res = run_kg_pipeline(ray.data.from_arrow(docs))
+    g = gold.to_pandas()
+    g["bel_expression"] = g.subj + " " + g.pred + " " + g.obj
+    gold_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(g.doc_id, pa.string()),
+                "bel_expression": pa.array(g.bel_expression, pa.string()),
+            }
+        )
+    )
+    return match_edge_datasets(res.edges, gold_ds)
+
+
+def _q_entity_faithfulness(sf_dir: str):
+    """compare_annotations.py semantics: every ns:value in an emitted
+    statement must be grounded in the span's annotations (rows-only)."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.corpus import generate_documents
+    from kgray.eval.compare import entity_faithfulness
+    from kgray.pipelines.kg import run_extractions
+
+    docs, _, _ = generate_documents(60, seed=42)
+    ext = run_extractions(ray.data.from_arrow(docs))
+
+    def per_batch(batch):
+        rows = {"doc_id": [], "correct": [], "manufactured": [],
+                "wrong_namespace": [], "total": []}
+        for did, res, anns in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("results").to_pylist(),
+            batch.column("annotations").to_pylist(),
+        ):
+            if not res:
+                continue
+            score = entity_faithfulness(
+                [r["bel_statement"] for r in res], anns or []
+            )
+            rows["doc_id"].append(did)
+            for k in ("correct", "manufactured", "wrong_namespace", "total"):
+                rows[k].append(score[k])
+        return pd.DataFrame(rows)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ext.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("correct", alias_name="correct"),
+            Sum("manufactured", alias_name="manufactured"),
+            Sum("wrong_namespace", alias_name="wrong_namespace"),
+            Sum("total", alias_name="total"),
+        )
+    )
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: media spans → decoded metadata (rows-only)."""
+    import ray.data
+
+    from kgray.corpus import generate_documents
+    from kgray.stages.chunk import explode_spans
+    from kgray.stages.multimodal import decode_media
+
+    docs, _, _ = generate_documents(80, seed=42)
+    chunks = ray.data.from_arrow(docs).map_batches(
+        explode_spans, batch_format="pyarrow"
+    )
+    return decode_media(chunks).select_columns(
+        ["doc_id", "span_seq", "media_ref", "width", "height"]
+    )
+
+
+def _q_graph_summaries(sf_dir: str):
+    """Per-document CX2 assembly + metadata naming (rows-only)."""
+    import ray.data
+
+    from kgray.corpus import generate_documents
+    from kgray.pipelines.kg import run_kg_pipeline
+    from kgray.sources.metadata import name_graphs
+    from kgray.stages.graph import build_document_graphs
+
+    docs, _, _ = generate_documents(40, seed=42)
+    res = run_kg_pipeline(ray.data.from_arrow(docs))
+    graphs = build_document_graphs(res.edges, res.unary_nodes, res.url_map)
+    return name_graphs(graphs).select_columns(
+        ["doc_id", "n_nodes", "n_edges", "pmid", "journal", "network_name"]
+    )
+
+
+def _q_checkpoint_lineage(sf_dir: str):
+    """Checkpointed extraction lineage manifests (rows-only; deterministic
+    fields only)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray.data
+
+    from kgray.corpus import generate_documents
+    from kgray.pipelines.checkpoint import (
+        checkpoint_summary,
+        run_checkpointed_extractions,
+    )
+
+    docs, _, _ = generate_documents(40, seed=42)
+    d = tempfile.mkdtemp(prefix="kgray_ckpt_q_")
+    try:
+        run_checkpointed_extractions(
+            ray.data.from_arrow(docs), d, num_partitions=8
+        ).count()
+        mans = checkpoint_summary(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return pd.DataFrame(
+        [
+            {
+                "partition_id": m["partition_id"],
+                "n_docs": m["n_docs"],
+                "n_spans": m["n_spans"],
+                "n_admitted": m["n_admitted"],
+                "n_statements": m["n_statements"],
+                "input_fingerprint": m["input_fingerprint"],
+            }
+            for m in mans
+        ]
+    )
+
+
+def _q_doc_quarantine(sf_dir: str):
+    """Doc-id validation with row quarantine instead of abort (rows-only)."""
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.corpus import generate_documents
+    from kgray.sources.metadata import split_valid_documents
+
+    docs, _, _ = generate_documents(30, seed=42)
+    # plant invalid ids among valid ones
+    bad = pa.table(
+        {
+            "doc_id": pa.array(["bogus-1", "pmc77", "PMCxyz"], pa.string()),
+            "spans": pa.array([[], [], []], docs.schema.field("spans").type),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([docs, bad]))
+    valid, quarantined = split_valid_documents(ds)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n_valid": [valid.count()],
+            "n_quarantined": [quarantined.count()],
+        }
+    )
+
+
 def _q_pricing_summary(sf_dir: str):
     from kgray.pipelines.relational import pricing_summary
 
@@ -337,6 +508,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_spans": _q_chunk_spans,
         # KG pipeline (reference semantics, self-checking parity)
         "kg_synthetic_parity": _q_kg_synthetic_parity,
+        "kg_eval_matcher": _q_kg_eval_matcher,
+        "entity_faithfulness": _q_entity_faithfulness,
+        "media_features": _q_media_features,
+        "graph_summaries": _q_graph_summaries,
+        "checkpoint_lineage": _q_checkpoint_lineage,
+        "doc_quarantine": _q_doc_quarantine,
         # text analysis
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,

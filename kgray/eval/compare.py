@@ -34,6 +34,35 @@ def extract_ns_pairs(statement: str) -> List[Tuple[str, str]]:
     return out
 
 
+def simplify_annotations(annotations: Sequence[dict]) -> List[str]:
+    """Annotations → "db:entry_name" strings (the eval harness's compact
+    form, llm_tests/test_pipeline.py:50-55)."""
+    return [
+        f"{a.get('db', '')}:{a.get('entry_name', '')}" for a in annotations
+    ]
+
+
+def reviewer_consensus(
+    votes_by_statement: Dict[str, Sequence[str]], majority: int = 3
+) -> Dict[str, Dict]:
+    """Per-statement reviewer consensus (comp_reviews.py:28-65 semantics):
+    count identical error fingerprints across reviewers; consensus when the
+    top fingerprint has ≥ ``majority`` votes."""
+    from collections import Counter
+
+    out = {}
+    for stmt, votes in votes_by_statement.items():
+        counts = Counter(votes)
+        top, n = counts.most_common(1)[0] if counts else ("", 0)
+        out[stmt] = {
+            "votes": dict(counts),
+            "top": top,
+            "top_count": n,
+            "consensus": n >= majority,
+        }
+    return out
+
+
 def entity_faithfulness(
     statements: Iterable[str],
     annotations: Sequence[dict],

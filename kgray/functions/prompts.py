@@ -1,0 +1,67 @@
+"""Prompt-block loading (the reference's prompt configuration surface).
+
+Reference semantics (get_interactions.py:9-35): a prompt file holds multiple
+blocks delimited by ``# <identifier>`` marker lines; loading captures every
+line after the marker containing the identifier until the next ``#`` line
+(once at least one line was captured); a UTF-8 BOM is stripped.  Nine prompt
+variants ship with the reference (data/prompt_file*.txt) — selection via
+(prompt_file, prompt_identifier) is the user-extension hook (main.py:358-367).
+
+In this engine the loaded prompt text is an actor-constructor argument for
+the extraction backend (broadcast once per actor, never per batch).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+DEFAULT_IDENTIFIER = "general prompt"
+
+# This engine's own default system prompt (not the reference's text): the
+# contract mirrors bel_model.py's function-calling setup — emit only
+# interactions grounded in the provided annotations, as JSON
+# {"interactions": [{"bel_statement", "evidence"}]}.
+_BUILTIN = """# general prompt
+You extract biological interactions from scientific text as BEL statements.
+Use ONLY entities present in the provided annotations, with their given
+namespaces and identifiers. For each interaction found, produce a JSON
+object with keys "bel_statement" (a BEL statement such as
+p(HGNC:AKT1) increases act(p(HGNC:HSF1))) and "evidence" (the exact source
+sentence). Return {"interactions": [...]}; return an empty list when the
+text states no interaction. Do not emit duplicate interactions.
+# minimal prompt
+Extract (subject, relation, object) BEL statements from the text using only
+annotated entities. Return {"interactions": [{"bel_statement", "evidence"}]}.
+"""
+
+
+def extract_block(content: str, identifier: str) -> str:
+    """Capture the lines between ``# <identifier>`` and the next ``#`` line
+    (reference scan loop, get_interactions.py:18-29, including its quirk of
+    joining captured lines WITHOUT newlines)."""
+    if content.startswith("﻿"):
+        content = content.lstrip("﻿")
+    captured = []
+    capturing = False
+    for line in content.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("#") and identifier in line:
+            capturing = True
+            continue
+        if capturing:
+            if stripped.startswith("#") and captured:
+                break
+            captured.append(line)
+    return "".join(captured)
+
+
+def load_prompt(
+    prompt_file: Optional[str] = None,
+    identifier: str = DEFAULT_IDENTIFIER,
+) -> str:
+    """Load a prompt block from a file path, or from the builtin prompt set
+    when no file is given."""
+    if prompt_file is None:
+        return extract_block(_BUILTIN, identifier)
+    with open(os.fspath(prompt_file), encoding="utf-8") as f:
+        return extract_block(f.read(), identifier)

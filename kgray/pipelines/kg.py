@@ -27,6 +27,20 @@ from ..stages.extract import BELExtractor
 from ..stages.nodes import node_tables
 
 
+class AnnotateExtract:
+    """Fused grounding + extraction actor (one pool, one IPC hop)."""
+
+    def __init__(self, annotator_kwargs=None, backend="stub",
+                 backend_kwargs=None):
+        self._annotate = DictionaryAnnotator(**(annotator_kwargs or {}))
+        self._extract = BELExtractor(
+            backend=backend, **(backend_kwargs or {})
+        )
+
+    def __call__(self, batch):
+        return self._extract(self._annotate(batch))
+
+
 @dataclass
 class KGConfig:
     """Stage knobs; defaults sized for a 32-CPU node and scaled by Ray's
@@ -43,6 +57,11 @@ class KGConfig:
     backend: object = "stub"       # name, or a backend instance
     backend_kwargs: Dict = field(default_factory=dict)
     annotator_kwargs: Dict = field(default_factory=dict)
+    # One fused annotate+extract pool instead of two: halves per-batch IPC
+    # through the object store and stops the two pools fragmenting a small
+    # CPU budget.  Keep False when the two stages need different resources
+    # (e.g. GPU extraction vs CPU grounding).
+    fuse_annotate_extract: bool = False
 
 
 @dataclass
@@ -62,6 +81,19 @@ def run_extractions(
     """documents → EXTRACTIONS dataset (the LLM-bearing prefix)."""
     cfg = cfg or KGConfig()
     chunks = documents.map_batches(explode_spans, batch_format="pyarrow")
+    if cfg.fuse_annotate_extract:
+        return chunks.map_batches(
+            AnnotateExtract,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.extract_concurrency,
+            num_cpus=1,
+            fn_constructor_kwargs={
+                "annotator_kwargs": cfg.annotator_kwargs,
+                "backend": cfg.backend,
+                "backend_kwargs": cfg.backend_kwargs,
+            },
+        )
     annotated = chunks.map_batches(
         DictionaryAnnotator,
         batch_format="pyarrow",
@@ -103,6 +135,12 @@ def run_graph_stages(
     ann_urls = extractions.map_batches(
         edge_stage.extractions_to_annotation_urls, batch_format="pyarrow"
     )
+    if materialize:
+        # edges feeds ≥2 consumers (canonicalization + the user's sink);
+        # pinning it avoids re-running the BEL parse per consumer.  unary /
+        # ann_urls are each consumed exactly once downstream — they stream
+        # (an extra materialize barrier each was pure overhead).
+        edges = edges.materialize()
     nodes, url_map = node_tables(edges, unary, ann_urls)
     return KGResult(
         chunks=None,

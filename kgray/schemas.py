@@ -125,8 +125,15 @@ def validate_schema(table: pa.Table, expected: pa.Schema, stage: str) -> pa.Tabl
         )
     for g, e in zip(got, expected):
         if not g.type.equals(e.type):
-            # allow large_string/string interchange from concat paths
-            if {str(g.type), str(e.type)} == {"string", "large_string"}:
+            # allow large_string/string interchange from concat paths and
+            # dictionary-encoded string columns (a physical encoding of the
+            # same logical type)
+            g_t, e_t = g.type, e.type
+            if pa.types.is_dictionary(g_t):
+                g_t = g_t.value_type
+            if {str(g_t), str(e_t)} == {"string", "large_string"} or (
+                str(g_t) == str(e_t)
+            ):
                 continue
             raise SchemaMismatch(
                 f"{stage}: column {g.name}: got {g.type}, want {e.type}"

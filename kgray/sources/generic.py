@@ -71,12 +71,27 @@ class CooccurrenceBackend:
     annotations (in appearance order) becomes ``w(X:a) cooccurs w(X:b)``.
 
     Pure function of (text, annotations) → SQL-expressible with a window
-    lead() over vocabulary token positions.
+    lead() over vocabulary token positions.  ``simulate_ms_per_doc`` as in
+    StubBackend (benchmark-only calibrated inference cost; results
+    unchanged).
     """
+
+    def __init__(self, simulate_ms_per_doc: float = 0.0):
+        self._sim_s = simulate_ms_per_doc / 1000.0
+
+    def _burn(self) -> None:
+        import time
+
+        end = time.perf_counter() + self._sim_s
+        x = 0
+        while time.perf_counter() < end:
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
 
     def extract_batch(self, texts, annotations):
         out = []
         for text, anns in zip(texts, annotations):
+            if self._sim_s:
+                self._burn()
             names = [a["entry_name"] for a in anns]
             res = [
                 {
@@ -97,10 +112,10 @@ def generic_documents_dataset(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(table_to_documents, batch_format="pyarrow")
 
 
-def generic_kg_config():
+def generic_kg_config(simulate_ms_per_doc: float = 0.0):
     from ..pipelines.kg import KGConfig
 
     cfg = KGConfig()
-    cfg.backend = CooccurrenceBackend()
+    cfg.backend = CooccurrenceBackend(simulate_ms_per_doc)
     cfg.annotator_kwargs = {"vocab": GENERIC_ENTITIES}
     return cfg

@@ -31,9 +31,15 @@ class DictionaryAnnotator:
     """
 
     def __init__(self, extra_vocab: Optional[dict] = None,
-                 vocab: Optional[dict] = None):
+                 vocab: Optional[dict] = None,
+                 drop_dbs: Optional[set] = None):
         import re
 
+        # drop_dbs: optional namespace filter, e.g. {"MESH", "MESHD"} — the
+        # reference's eval variants drop MESH groundings
+        # (llm_tests/test_pipeline.py:123); the production path keeps them,
+        # so the default here is None.
+        self._drop_dbs = set(drop_dbs) if drop_dbs else None
         # once per actor: "load the terms index"
         if vocab is not None:
             self._lookup = dict(vocab)
@@ -51,6 +57,8 @@ class DictionaryAnnotator:
         out = []
         for m in self._re.finditer(text):
             e = self._lookup[m.group(1)]
+            if self._drop_dbs and e.db in self._drop_dbs:
+                continue
             out.append({"db": e.db, "id": e.id, "entry_name": e.entry_name})
         return out
 

@@ -70,13 +70,32 @@ class StubBackend:
     Only emits statements whose entity surface forms are present in the
     paragraph's annotations — the analogue of the prompt rules 3/4 forcing
     the model to use only annotated entities (prompt_file_v7.txt:9-10).
+
+    ``simulate_ms_per_doc``: optional calibrated CPU burn per paragraph,
+    standing in for a real model forward pass in benchmark scaling runs
+    (the regex stub is orders of magnitude cheaper than any LLM, which
+    makes scheduler constants dominate scaling measurements).  0 = off;
+    results are unaffected either way.
     """
+
+    def __init__(self, simulate_ms_per_doc: float = 0.0):
+        self._sim_s = simulate_ms_per_doc / 1000.0
+
+    def _burn(self) -> None:
+        import time
+
+        end = time.perf_counter() + self._sim_s
+        x = 0
+        while time.perf_counter() < end:
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
 
     def extract_batch(
         self, texts: Sequence[str], annotations: Sequence[Sequence[dict]]
     ) -> List[List[dict]]:
         out: List[List[dict]] = []
         for text, anns in zip(texts, annotations):
+            if self._sim_s:
+                self._burn()
             allowed = {a["entry_name"] for a in anns}
             results: List[dict] = []
             for sentence in _SENTENCE_SPLIT.split(text):
