@@ -457,6 +457,50 @@ def _q_doc_quarantine(sf_dir: str):
     )
 
 
+def _q_entity_linking(sf_dir: str):
+    """Embedding-based entity linking with candidate blocking (rows-only):
+    mentions (incl. case variants) → best KB entity + score."""
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.stages.link import link_mentions
+    from kgray.vocab import ENTITIES
+
+    mentions = []
+    for e in ENTITIES:
+        mentions += [e.entry_name, e.entry_name.lower(),
+                     e.entry_name.upper()]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    [f"M{i}" for i in range(len(mentions))], pa.string()
+                ),
+                "span_seq": pa.array([0] * len(mentions), pa.int32()),
+                "mention": pa.array(mentions, pa.string()),
+            }
+        )
+    )
+    return link_mentions(ds, min_score=0.5)
+
+
+def _q_surface_clusters(sf_dir: str):
+    """Minhash + connected-components surface-form canonicalization
+    (rows-only): node names + planted variants → cluster mapping."""
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.stages.cluster import cluster_surface_forms
+    from kgray.vocab import ENTITIES
+
+    names = []
+    for e in ENTITIES[:20]:
+        names += [e.entry_name, e.entry_name.lower(),
+                  e.entry_name.replace("1", "-1")]
+    ds = ray.data.from_arrow(pa.table({"name": sorted(set(names))}))
+    return cluster_surface_forms(ds, threshold=0.55)
+
+
 def _q_pricing_summary(sf_dir: str):
     from kgray.pipelines.relational import pricing_summary
 
@@ -514,6 +558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_summaries": _q_graph_summaries,
         "checkpoint_lineage": _q_checkpoint_lineage,
         "doc_quarantine": _q_doc_quarantine,
+        "entity_linking": _q_entity_linking,
+        "surface_clusters": _q_surface_clusters,
         # text analysis
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,

@@ -169,6 +169,55 @@ class OpenAIChatBackend:
         return out
 
 
+class VLLMBackend:
+    """In-process vLLM engine backend (the north-star production path).
+
+    One engine per actor (weights load once in ``__init__``), continuous
+    batching across the paragraph batch, decoding constrained to the
+    BELInteractions JSON schema via guided decoding.  vLLM (and a GPU) are
+    not present in this container, so construction raises immediately —
+    the actor-pool wiring, prompt assembly and schema contract are the
+    tested parts (StubBackend exercises them end-to-end).
+    """
+
+    def __init__(
+        self,
+        prompt_text: str,
+        model: str = "Qwen/Qwen2.5-7B-Instruct",
+        max_model_len: int = 8192,
+        temperature: float = 0.0,
+    ):
+        try:
+            from vllm import LLM, SamplingParams  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "VLLMBackend requires the `vllm` package and a GPU; use "
+                "StubBackend or OpenAIChatBackend in this environment"
+            ) from e
+        self._llm = LLM(model=model, max_model_len=max_model_len)  # pragma: no cover
+        self._params = SamplingParams(  # pragma: no cover
+            temperature=temperature,
+            max_tokens=1024,
+            guided_decoding={"json": BEL_INTERACTIONS_JSON_SCHEMA},
+        )
+        self._prompt = prompt_text
+
+    def extract_batch(self, texts, annotations):  # pragma: no cover
+        prompts = [
+            f"{self._prompt}\n\n{t} | Annotations: {clean_annotations(a)}"
+            for t, a in zip(texts, annotations)
+        ]
+        outs = self._llm.generate(prompts, self._params)
+        results = []
+        for o in outs:
+            try:
+                data = json.loads(o.outputs[0].text)
+                results.append(list(data.get("interactions", [])))
+            except (json.JSONDecodeError, IndexError, AttributeError):
+                results.append([])
+        return results
+
+
 class BELExtractor:
     """Actor-pool stage: ANNOTATED_CHUNKS batch → EXTRACTIONS batch.
 
@@ -184,6 +233,7 @@ class BELExtractor:
             self._backend = {
                 "stub": StubBackend,
                 "openai": OpenAIChatBackend,
+                "vllm": VLLMBackend,
             }[backend](**backend_kwargs)
         else:
             self._backend = backend

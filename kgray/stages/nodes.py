@@ -127,6 +127,7 @@ def canonicalize_nodes(
     edges: "ray.data.Dataset",
     unary: "ray.data.Dataset",
     url_map_ref: "ray.ObjectRef",
+    salt_buckets: int = 1,
 ) -> "ray.data.Dataset":
     """edges + unary mentions → NODES dataset with dense first-seen ids."""
     mentions = edges.map_batches(
@@ -136,9 +137,33 @@ def canonicalize_nodes(
     # names × #blocks) rows — coalesce before the shuffle so the groupby /
     # sort don't fan out into hundreds of near-empty partitions (a pure
     # scheduling tax measured at ~20s on a 32-CPU node)
+    mentions = mentions.repartition(8)
+    if salt_buckets > 1:
+        # explicit salted two-phase aggregation for hot keys: phase 1
+        # reduces (name, salt) partials, phase 2 unsalts.  The per-batch
+        # combiner already bounds reducer fan-in to one row per name per
+        # block; salting additionally splits a hot name's reducer row set
+        # across `salt_buckets` reducers when block counts are huge.
+        def add_salt(batch: pa.Table) -> pa.Table:
+            import zlib
+
+            salts = [
+                zlib.crc32(k.encode()) % salt_buckets
+                for k in batch.column("first_key").to_pylist()
+            ]
+            return batch.append_column(
+                "salt", pa.array(salts, pa.int32())
+            )
+
+        mentions = (
+            mentions.map_batches(add_salt, batch_format="pyarrow")
+            .groupby(["name", "salt"])
+            .aggregate(Min("first_key", alias_name="first_key"))
+            .drop_columns(["salt"])
+            .repartition(8)
+        )
     canonical = (
-        mentions.repartition(8)
-        .groupby("name")
+        mentions.groupby("name")
         .aggregate(Min("first_key", alias_name="first_key"))
         .repartition(4)
         .sort("first_key")
@@ -177,7 +202,8 @@ def node_tables(
     edges: "ray.data.Dataset",
     unary: "ray.data.Dataset",
     annotation_urls: "ray.data.Dataset",
+    salt_buckets: int = 1,
 ) -> Tuple["ray.data.Dataset", Dict[str, str]]:
     url_map = build_url_map(annotation_urls)
     ref = ray.put(url_map)
-    return canonicalize_nodes(edges, unary, ref), url_map
+    return canonicalize_nodes(edges, unary, ref, salt_buckets), url_map

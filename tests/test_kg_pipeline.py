@@ -115,6 +115,21 @@ def test_first_seen_node_order(pipeline_result):
     assert list(nodes.name) == expected_order
 
 
+def test_salted_canonicalization_identical(pipeline_result):
+    """The salted two-phase aggregate yields exactly the same node table."""
+    from kgray.stages.nodes import node_tables
+
+    _, _, _, res = pipeline_result
+    salted, _ = node_tables(
+        res.edges, res.unary_nodes, res.annotation_urls, salt_buckets=7
+    )
+    a = res.nodes.to_pandas().sort_values("name").reset_index(drop=True)
+    b = salted.to_pandas().sort_values("name").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_span_invariant_through_pipeline(pipeline_result):
     docs, _, _, res = pipeline_result
     chunk_cols = ["doc_id", "span_seq", "kind", "text", "media_ref", "offset"]
