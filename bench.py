@@ -124,6 +124,8 @@ def run_bench() -> dict:
     headline = time.time() - t0
     n_docs *= replicate
     timings["kg_pipeline"] = round(headline, 3)
+    # free tmpfs promptly — /dev/shm is shared with Ray's object store
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     if os.environ.get("KGRAY_BENCH_HEADLINE_ONLY"):
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
