@@ -94,20 +94,42 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
-    """lineitem ⋈ orders ⋈ customer ⋈ nation via broadcast maps, then a
-    combiner-first groupby on n_name."""
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+def revenue_by_nation(
+    sf_dir: str, join_partitions: int = 16
+) -> "ray.data.Dataset":
+    """lineitem ⋈ orders ⋈ customer ⋈ nation: the TRUE dimensions
+    (customer, nation) are broadcast; the fact-fact hop
+    (lineitem ↔ orders on l_orderkey) is a distributed repartition join
+    (utils.repartition_join) — orders scales with sf, so it must never be
+    collected on the driver.  Lineitem is pre-aggregated per l_orderkey
+    inside map_batches before the join, so the join's left side carries
+    ≤ one row per (orderkey × block)."""
+    from ..utils import repartition_join
+
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
-    o_df = orders.to_pandas()
-    c_df = cust.to_pandas()
-    n_df = nation.to_pandas()
-    # order → nation name, one flat broadcast dict (dimension-sized)
-    oc = o_df.merge(c_df, left_on="o_custkey", right_on="c_custkey")
-    ocn = oc.merge(n_df, left_on="c_nationkey", right_on="n_nationkey")
-    lookup_ref = ray.put(
-        ocn[["o_orderkey", "n_name"]].set_index("o_orderkey")
+    cn = cust.to_pandas().merge(
+        nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
+    )
+    cn_ref = ray.put(
+        cn[["c_custkey", "n_name"]].set_index("c_custkey")["n_name"]
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    class AttachNation:
+        def __init__(self):
+            self.lookup = ray.get(cn_ref)  # customer-dimension-sized
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["n_name"] = df.o_custkey.map(self.lookup)
+            return pa.Table.from_pandas(
+                df[["o_orderkey", "n_name"]], preserve_index=False
+            )
+
+    o_n = orders.map_batches(
+        AttachNation, batch_format="pyarrow", concurrency=(1, 4)
     )
 
     li = _read(
@@ -116,23 +138,34 @@ def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    class JoinAndPartial:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)  # indexed frame: C-speed join
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df = df.join(self.lookup, on="l_orderkey")
-            df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
-            g = df.groupby("n_name", as_index=False).agg(
-                revenue=("revenue", "sum"), n_items=("revenue", "size")
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
+    joined = repartition_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        o_n,
+        "l_orderkey",
+        "o_orderkey",
+        {"l_orderkey": pa.int64(), "revenue": pa.float64(),
+         "n_items": pa.int64()},
+        {"o_orderkey": pa.int64(), "n_name": pa.string()},
+        num_partitions=join_partitions,
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        li.map_batches(JoinAndPartial, batch_format="pyarrow",
-                       concurrency=(1, 8))
-        .repartition(8)
+        joined.map_batches(nation_partial, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(
             Sum("revenue", alias_name="revenue"),

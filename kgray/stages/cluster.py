@@ -5,34 +5,43 @@ convert_to_cx2.py:74-111); the north-star extends this with clustering of
 *variant surface forms* (case, punctuation, hyphenation) into one
 canonical entity before id assignment.
 
-Pipeline shape (all but the final union-find distributed):
-1. normalize each name (casefold, strip non-alnum) — exact variants
-   collapse immediately;
-2. minhash signatures over char 3-grams of the normalized form, banded
-   LSH → candidate pairs (groupby on (band, hash), shard-vectorized);
-3. exact Jaccard verification of candidates;
-4. connected components over the verified pair graph.  Components are run
-   with union-find on the driver over the CANDIDATE PAIRS ONLY — the pair
-   set is orders of magnitude smaller than the name set (provably bounded
-   by LSH bucket sizes); a corpus whose pair set itself is huge would
-   switch to the iterative min-label-propagation groupby loop, same
-   outputs.
+Pipeline shape (distributed end to end except the component solve):
+1. distinct names (keyed aggregate — no driver collection);
+2. exact-normalization edges via ``groupby(norm)`` — each group emits
+   (min_name, other) pairs, so exact variants always cluster even when
+   LSH misses them;
+3. minhash signatures over char 3-grams of the normalized form, banded
+   LSH → candidate pairs (groupby on a coarse shard of (band, hash),
+   vectorized self-merge, hot buckets capped at MAX_BUCKET — the same
+   salt-the-hot-key guard dedup uses);
+4. exact char-shingle Jaccard verification of candidates inside the same
+   shard groups (names are self-contained: both sides of a pair are in
+   the row, so no join is needed);
+5. connected components: union-find on the driver over the VERIFIED PAIR
+   EDGES ONLY — the edge set is bounded by LSH bucket caps (≤ MAX_BUCKET²
+   per bucket) and is orders of magnitude smaller than the name set.  The
+   name set itself is never collected: the component mapping (names that
+   appear in ≥1 edge) is broadcast via ``ray.put`` and applied to the
+   distinct-name Dataset in map_batches; names in no edge are singleton
+   clusters by default.
 
-Output mapping: name → (cluster_id, canonical) where canonical is the
-lexicographically smallest ORIGINAL form in the cluster (deterministic
-across runs and partitionings).
+Output: Dataset (name, cluster_id, canonical) where canonical is the
+lexicographically smallest ORIGINAL form in the cluster and cluster_id is
+a stable 63-bit hash of the canonical form (deterministic across runs,
+partitionings and cluster sizes — no global rank is computed).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+from ray.data.aggregate import Count
 
-from .dedup import MinHasher, _band_rows
+from .dedup import MinHasher, _band_rows, _hash_token_array
 
 
 def normalize_surface(s: str) -> str:
@@ -46,32 +55,52 @@ def _char_shingles(s: str, k: int = 3) -> List[str]:
     return [s[i : i + k] for i in range(len(s) - k + 1)]
 
 
+def _char_shingle_sets(names: List[str], k: int = 3) -> List[np.ndarray]:
+    """Distinct hashed char-k-gram sets of the NORMALIZED forms, one
+    vectorized hash pass for the whole batch."""
+    shing = [_char_shingles(normalize_surface(n), k) for n in names]
+    lens = np.fromiter((len(x) for x in shing), dtype=np.int64,
+                       count=len(shing))
+    flat = np.array([g for gs in shing for g in gs], dtype=object)
+    th = _hash_token_array(flat)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    return [np.unique(th[offs[i]: offs[i + 1]]) for i in range(len(shing))]
+
+
+def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
 class _CharMinHasher(MinHasher):
     """MinHasher over char shingles of the normalized surface form."""
 
+    def shingle_sets(self, texts: List[str]) -> List[np.ndarray]:
+        return _char_shingle_sets(texts, self.k)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            self.signature(t or "") for t in batch.column("name").to_pylist()
-        ]
+        sig = self.signatures(batch.column("name").to_pylist())
+        vals = pa.array(sig.astype(np.int64).ravel(), pa.int64())
+        offsets = pa.array(
+            np.arange(0, (len(sig) + 1) * self.n, self.n, dtype=np.int32)
+        )
         return batch.append_column(
-            "minhash",
-            pa.array(
-                [s.astype(np.int64).tolist() for s in sigs],
-                pa.list_(pa.int64()),
-            ),
+            "minhash", pa.ListArray.from_arrays(offsets, vals)
         )
 
-    def signature(self, text: str) -> np.ndarray:
-        import zlib
 
-        sh = _char_shingles(normalize_surface(text), self.k)
-        h = np.array(
-            [zlib.crc32(x.encode()) + (len(x) << 32) for x in sh],
-            dtype=np.uint64,
-        )
-        with np.errstate(over="ignore"):
-            m = (h[None, :] * self.a[:, None] + self.b[:, None]) % ((1 << 61) - 1)
-        return m.min(axis=1)
+def cluster_id_of(canonical: str) -> int:
+    """Stable 63-bit id of a canonical surface form."""
+    return int(
+        _hash_token_array(np.array([canonical], dtype=object))[0]
+        & np.uint64(0x7FFFFFFFFFFFFFFF)
+    )
+
+
+MAX_BUCKET = 256
 
 
 def cluster_surface_forms(
@@ -79,14 +108,41 @@ def cluster_surface_forms(
     threshold: float = 0.6,
     num_hashes: int = 64,
     bands: int = 32,
-) -> pd.DataFrame:
-    """names dataset with column ``name`` → DataFrame (name, cluster_id,
+) -> "ray.data.Dataset":
+    """names dataset with column ``name`` → Dataset (name, cluster_id,
     canonical)."""
     rows = num_hashes // bands
-    distinct = names.groupby("name").map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    distinct = (
+        names.groupby("name").aggregate(Count(alias_name="_n"))
+        .select_columns(["name"])
     )
 
+    # --- exact-normalization edges: groupby(norm) emits (min, other) pairs
+    def add_norm(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "norm",
+            pa.array(
+                [normalize_surface(n)
+                 for n in batch.column("name").to_pylist()],
+                pa.string(),
+            ),
+        )
+
+    def norm_edges(g: pd.DataFrame) -> pd.DataFrame:
+        ns = sorted(g["name"])
+        if len(ns) < 2:
+            return pd.DataFrame({"name_a": [], "name_b": []}, dtype=object)
+        return pd.DataFrame(
+            {"name_a": [ns[0]] * (len(ns) - 1), "name_b": ns[1:]}
+        )
+
+    exact_edges = (
+        distinct.map_batches(add_norm, batch_format="pyarrow")
+        .groupby("norm")
+        .map_groups(norm_edges, batch_format="pandas")
+    )
+
+    # --- LSH candidate pairs over char shingles of the normalized form
     sigs = distinct.map_batches(
         _CharMinHasher,
         batch_format="pyarrow",
@@ -94,7 +150,6 @@ def cluster_surface_forms(
         fn_constructor_kwargs={"num_hashes": num_hashes, "shingle_k": 3},
     )
 
-    # reuse the banded explode, keyed by name instead of doc_id
     def to_bands(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
@@ -105,7 +160,8 @@ def cluster_surface_forms(
             }
         )
         b = _band_rows(t, bands, rows)
-        return b.append_column(
+        return b.set_column(
+            b.schema.get_field_index("doc_id"),
             "name",
             pa.array(
                 np.repeat(
@@ -118,68 +174,83 @@ def cluster_surface_forms(
 
     band_tbl = sigs.map_batches(to_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ns = sorted(set(g["name"]))
-        out_a, out_b = [], []
-        for i in range(len(ns)):
-            for j in range(i + 1, len(ns)):
-                out_a.append(ns[i])
-                out_b.append(ns[j])
-        return pd.DataFrame({"name_a": out_a, "name_b": out_b})
+    # Coarse shard of the bucket key (same pattern as dedup.shard_pairs):
+    # thousands of buckets per pandas group, one vectorized self-merge,
+    # hot buckets capped.  Verification happens in the same group — both
+    # names of a pair are in the row, so no join hop is needed.
+    def add_shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    cand = (
-        band_tbl.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+        return batch.append_column(
+            "shard",
+            pc.cast(
+                pc.bit_wise_and(batch.column("band_hash"), 255), pa.int32()
+            ),
+        )
+
+    thr = threshold
+
+    def shard_verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band_id", "band_hash", "name"])
+        sizes = g.groupby(["band_id", "band_hash"])["name"].transform("size")
+        g = g[sizes <= MAX_BUCKET]
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m.name_x < m.name_y]
+        cand = m[["name_x", "name_y"]].drop_duplicates()
+        if cand.empty:
+            return pd.DataFrame({"name_a": [], "name_b": []}, dtype=object)
+        uniq = pd.unique(cand[["name_x", "name_y"]].values.ravel())
+        sets = dict(zip(uniq, _char_shingle_sets(list(uniq), 3)))
+        keep = [
+            _jaccard(sets[a], sets[b]) >= thr
+            for a, b in zip(cand.name_x, cand.name_y)
+        ]
+        out = cand[np.asarray(keep, dtype=bool)].copy()
+        out.columns = ["name_a", "name_b"]
+        return out
+
+    lsh_edges = (
+        band_tbl.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_verified_pairs, batch_format="pandas")
     )
 
-    # exact Jaccard verify on normalized char shingles
-    def jac(a: str, b: str) -> float:
-        sa = set(_char_shingles(normalize_surface(a)))
-        sb = set(_char_shingles(normalize_surface(b)))
-        u = len(sa | sb)
-        return len(sa & sb) / u if u else 0.0
-
-    verified: List[Tuple[str, str]] = [
-        (r.name_a, r.name_b)
-        for r in cand.itertuples()
-        if normalize_surface(r.name_a) == normalize_surface(r.name_b)
-        or jac(r.name_a, r.name_b) >= threshold
-    ]
-
-    all_names = distinct.to_pandas()["name"].tolist()
-    # exact-normalization edges (always clustered, even if LSH missed them)
-    by_norm: Dict[str, str] = {}
-    for n in all_names:
-        key = normalize_surface(n)
-        if key in by_norm:
-            verified.append((by_norm[key], n))
-        else:
-            by_norm[key] = n
-
-    parent: Dict[str, str] = {n: n for n in all_names}
+    # --- connected components over the pair edges only (driver union-find;
+    # the edge list is LSH-bounded, the name set is never collected)
+    edges = exact_edges.union(lsh_edges).to_pandas().drop_duplicates()
+    parent: Dict[str, str] = {}
 
     def find(x: str) -> str:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
 
-    for a, b in verified:
+    for a, b in zip(edges.name_a, edges.name_b):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    clusters: Dict[str, List[str]] = {}
-    for n in all_names:
-        clusters.setdefault(find(n), []).append(n)
-    out_rows = []
-    for members in clusters.values():
-        canonical = min(members)
-        for cid, m in enumerate(sorted(members)):
-            out_rows.append({"name": m, "canonical": canonical})
-    df = pd.DataFrame(out_rows).sort_values("name").reset_index(drop=True)
-    canon_ids = {c: i for i, c in enumerate(sorted(df.canonical.unique()))}
-    df["cluster_id"] = df.canonical.map(canon_ids).astype("int64")
-    return df[["name", "cluster_id", "canonical"]]
+    canon: Dict[str, str] = {}
+    for n in set(edges.name_a) | set(edges.name_b):
+        canon[n] = find(n)
+    canon_ref = ray.put(canon)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(canon_ref)
+        ns = batch.column("name").to_pylist()
+        canonical = np.array([cmap.get(n, n) for n in ns], dtype=object)
+        cids = (
+            _hash_token_array(canonical) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "name": batch.column("name"),
+                "cluster_id": pa.array(cids, pa.int64()),
+                "canonical": pa.array(canonical, pa.string()),
+            }
+        )
+
+    return distinct.map_batches(assign, batch_format="pyarrow")

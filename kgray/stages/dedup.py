@@ -9,14 +9,16 @@
                            keys for hamming-neighbour blocking)
 
 Scale design: every stage is a map_batches partial + one keyed groupby —
-shingle/band rows shuffle (band_id, band_hash) keys, never full texts;
-candidate verification joins texts back via a broadcast only when the
-candidate set is small (sandbox path) and documents-keyed bucket join
-otherwise (see docstring of ``minhash_lsh_pairs``).
+shingle/band rows shuffle (band_id, band_hash) keys, never full texts —
+and candidate verification is a pair of doc_id-keyed distributed hash
+joins (``Dataset.join``) that attach each side's text to the candidate
+pair rows; nothing is ever collected on the driver.  Shingle hashing is
+vectorized: one ``pandas.util.hash_array`` pass over all tokens of a
+batch, then a numpy sliding-window combine with per-position multipliers.
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 import pandas as pd
@@ -27,22 +29,80 @@ from ray.data.aggregate import Min
 
 _M61 = (1 << 61) - 1
 
+# Odd 64-bit mixing constants (splitmix64 / xxhash famila) used as
+# per-position multipliers so shingle hashes are order-sensitive:
+# h("a b c") != h("c b a").
+_POS_C = np.array(
+    [
+        0x9E3779B97F4A7C15,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x27D4EB2F165667C5,
+        0x85EBCA77C2B2AE63,
+        0xFF51AFD7ED558CCD,
+        0xC4CEB9FE1A85EC53,
+        0xD6E8FEB86659FD93,
+    ],
+    dtype=np.uint64,
+)
 
-def _hash_shingles(shingles: List[str]) -> np.ndarray:
-    """Stable 64-bit hashes of shingle strings (crc-free, numpy-friendly)."""
-    import zlib
 
-    return np.array(
-        [zlib.crc32(s.encode()) + (len(s) << 32) for s in shingles],
-        dtype=np.uint64,
+def _pos_consts(k: int) -> np.ndarray:
+    if k <= len(_POS_C):
+        return _POS_C[:k]
+    rng = np.random.RandomState(0x5EED)
+    return (
+        rng.randint(1, 2 ** 62, size=k, dtype=np.int64).astype(np.uint64) | 1
     )
 
 
+def _hash_token_array(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized, process-stable 64-bit hashes of an object array of
+    strings (pandas siphash with the fixed default key)."""
+    from pandas.util import hash_array
+
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return hash_array(tokens, categorize=True).astype(np.uint64)
+
+
 def _shingles(text: str, k: int) -> List[str]:
+    """String word-k-grams (kept for tests / debugging; the hot path uses
+    ``shingle_hash_sets``).  NOTE unlike the hashed path, short texts
+    (< k tokens) produce one whole-text shingle here."""
     toks = text.split()
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def shingle_hash_sets(texts: List[str], k: int) -> List[np.ndarray]:
+    """DISTINCT sorted uint64 word-k-gram shingle hashes, one array per
+    text.  Token hashing is one vectorized pass over the whole batch;
+    k-window combination is numpy with per-position multipliers.  Texts
+    with fewer than k tokens yield an EMPTY set — matching the SQL-oracle
+    semantics (only full-width windows emit shingles), so such docs can
+    never form a verified pair.
+    """
+    toks = [t.split() if t else [] for t in texts]
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    flat = np.array([w for ts in toks for w in ts], dtype=object)
+    th = _hash_token_array(flat)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    C = _pos_consts(k)
+    out: List[np.ndarray] = []
+    with np.errstate(over="ignore"):
+        for i in range(len(toks)):
+            h = th[offs[i] : offs[i + 1]]
+            n = len(h)
+            if n < k:
+                out.append(np.empty(0, dtype=np.uint64))
+                continue
+            s = h[0 : n - k + 1] * C[0]
+            for j in range(1, k):
+                s = s + h[j : n - k + 1 + j] * C[j]
+            out.append(np.unique(s))
+    return out
 
 
 class MinHasher:
@@ -59,45 +119,66 @@ class MinHasher:
         self.k = shingle_k
         self.n = num_hashes
 
-    def signature(self, text: str) -> np.ndarray:
-        h = _hash_shingles(_shingles(text, self.k))
-        if len(h) == 0:
+    def _sig_from_hashes(self, sh: np.ndarray) -> np.ndarray:
+        if len(sh) == 0:
             return np.zeros(self.n, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            m = (h[None, :] * self.a[:, None] + self.b[:, None]) % _M61
+            m = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _M61
         return m.min(axis=1)
 
+    def signatures(self, texts: List[str]) -> np.ndarray:
+        """(len(texts), num_hashes) uint64 signature matrix."""
+        sets = self.shingle_sets(texts)
+        sig = np.zeros((len(sets), self.n), dtype=np.uint64)
+        for i, sh in enumerate(sets):
+            sig[i] = self._sig_from_hashes(sh)
+        return sig
+
+    def shingle_sets(self, texts: List[str]) -> List[np.ndarray]:
+        return shingle_hash_sets(texts, self.k)
+
+    def signature(self, text: str) -> np.ndarray:
+        return self.signatures([text])[0]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            self.signature(t or "") for t in batch.column("text").to_pylist()
-        ]
+        sig = self.signatures(batch.column("text").to_pylist())
+        vals = pa.array(sig.astype(np.int64).ravel(), pa.int64())
+        offsets = pa.array(
+            np.arange(0, (len(sig) + 1) * self.n, self.n, dtype=np.int32)
+        )
         return batch.append_column(
-            "minhash",
-            pa.array([s.astype(np.int64).tolist() for s in sigs],
-                     pa.list_(pa.int64())),
+            "minhash", pa.ListArray.from_arrays(offsets, vals)
         )
 
 
 def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
-    """Explode signatures into (band_id, band_hash, doc_id) rows."""
-    import zlib
-
-    doc_ids = batch.column("doc_id").to_pylist()
-    sigs = batch.column("minhash").to_pylist()
-    o_doc, o_band, o_hash = [], [], []
-    for d, s in zip(doc_ids, sigs):
-        for b in range(bands):
-            chunk = s[b * rows : (b + 1) * rows]
-            o_doc.append(d)
-            o_band.append(b)
-            o_hash.append(
-                zlib.crc32(np.array(chunk, dtype=np.int64).tobytes())
-            )
+    """Explode signatures into (band_id, band_hash, doc_id) rows —
+    fully vectorized (reshape + per-position multiplier combine)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], batch.column("doc_id").type),
+            }
+        )
+    col = batch.column("minhash")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    sig = flat.reshape(n, bands, rows)
+    C = _pos_consts(rows)
+    with np.errstate(over="ignore"):
+        bh = (sig * C[None, None, :]).sum(axis=2)  # (n, bands) uint64
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "band_id": pa.array(o_band, pa.int32()),
-            "band_hash": pa.array(o_hash, pa.int64()),
-            "doc_id": pa.array(o_doc, pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
+            ),
+            "band_hash": pa.array(bh.ravel().view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(doc, bands)),
         }
     )
 
@@ -128,29 +209,64 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+class JaccardVerifier:
+    """Exact word-k-gram Jaccard filter over joined candidate pair rows
+    (doc_a, doc_b, text_a, text_b).  Shingle-hash sets are re-derived per
+    side with the same vectorized kernel the signature stage uses; 64-bit
+    hash collisions are the only deviation from string-set Jaccard
+    (negligible: ~n²/2⁶⁴ per doc)."""
+
+    def __init__(self, threshold: float, shingle_k: int = 3):
+        self.thr = threshold
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sa = shingle_hash_sets(batch.column("text_a").to_pylist(), self.k)
+        sb = shingle_hash_sets(batch.column("text_b").to_pylist(), self.k)
+        keep = np.zeros(len(sa), dtype=bool)
+        for i, (x, y) in enumerate(zip(sa, sb)):
+            if len(x) == 0 or len(y) == 0:
+                continue
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = len(x) + len(y) - inter
+            keep[i] = union > 0 and inter / union >= self.thr
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(mask),
+                "doc_b": batch.column("doc_b").filter(mask),
+            }
+        )
+
+
 def minhash_lsh_pairs(
     docs: "ray.data.Dataset",
     threshold: float = 0.5,
     num_hashes: int = 128,
     bands: int = 32,
     shingle_k: int = 3,
+    join_partitions: int = 16,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (doc_a < doc_b) with exact word-``k``-gram
     Jaccard ≥ ``threshold``, found via MinHash-LSH banding.
 
     Pipeline: signature actor pool → band explode → groupby(band_id,
-    band_hash) → per-bucket pairs → distinct → exact-Jaccard verify.
+    band_hash) → per-bucket pairs → distinct → doc_id-keyed distributed
+    join (attach text_a, then text_b) → exact-Jaccard verify actor pool.
     Recall: a pair at Jaccard j is missed with prob (1-j^r)^b — with the
     defaults (r=4, b=32) that is ~5e-8 at j=0.8 and ~1.3e-1 at j=0.5, so
     raise ``bands`` (or lower rows-per-band) when hunting low-similarity
     pairs at scale.
 
-    Verification joins candidate doc texts via an object-store broadcast of
-    just the candidate documents (small by construction); if the candidate
-    set were corpus-sized, swap in a bucket-keyed repartition join keyed on
-    doc_id — the LSH stages are unchanged.
+    Everything stays a Dataset end to end: candidate verification uses two
+    ``Dataset.join`` hops on doc_id (hash-shuffle joins, ``join_partitions``
+    aggregators), so the candidate set is never materialized on the driver
+    and the op survives corpora whose candidate sets are themselves huge.
     """
+    from ..utils import repartition_join
+
     rows = num_hashes // bands
+    doc_txt = docs.select_columns(["doc_id", "text"])
     sigs = docs.map_batches(
         MinHasher,
         batch_format="pyarrow",
@@ -195,6 +311,21 @@ def minhash_lsh_pairs(
 
     from ray.data.aggregate import Count
 
+    # The keyed aggregate's reducer emits EMPTY pandas blocks with no
+    # columns for key-less partitions; normalize every block to the fixed
+    # (doc_a, doc_b) arrow schema or the downstream hash join rejects them.
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def normalize_pairs(batch: pa.Table) -> pa.Table:
+        if "doc_a" not in batch.schema.names or batch.num_rows == 0:
+            return pairs_schema.empty_table()
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").cast(pa.int64()),
+                "doc_b": batch.column("doc_b").cast(pa.int64()),
+            }
+        )
+
     cand = (
         band_tbl.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
@@ -202,102 +333,102 @@ def minhash_lsh_pairs(
         .repartition(8)
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))   # distinct via keyed aggregate
-        .select_columns(["doc_a", "doc_b"])
+        .map_batches(normalize_pairs, batch_format="pyarrow")
     )
 
-    # exact verify on the (small) candidate set
-    cand_tbl = cand.to_pandas()
-    if cand_tbl.empty:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                }
-            )
-        )
-    needed = set(cand_tbl.doc_a) | set(cand_tbl.doc_b)
-    needed_ref = ray.put(needed)
-
-    def pick_needed(batch: pa.Table) -> pa.Table:
-        want = ray.get(needed_ref)
-        mask = [d in want for d in batch.column("doc_id").to_pylist()]
-        return pa.table(
-            {"doc_id": batch.column("doc_id"), "text": batch.column("text")}
-        ).filter(pa.array(mask, pa.bool_()))
-
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in docs.map_batches(pick_needed, batch_format="pyarrow")
-        .take_all()
-    }
-    texts_ref = ray.put(texts)
-    k = shingle_k
-    thr = threshold
-
-    def verify(batch: pa.Table) -> pa.Table:
-        tmap = ray.get(texts_ref)
-        keep_a, keep_b = [], []
-        for da, db in zip(
-            batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
-        ):
-            sa, sb = set(_shingles(tmap[da], k)), set(_shingles(tmap[db], k))
-            union = len(sa | sb)
-            if union and len(sa & sb) / union >= thr:
-                keep_a.append(da)
-                keep_b.append(db)
-        return pa.table(
-            {
-                "doc_a": pa.array(keep_a, pa.int64()),
-                "doc_b": pa.array(keep_b, pa.int64()),
-            }
-        )
-
-    return ray.data.from_pandas(cand_tbl).map_batches(
-        verify, batch_format="pyarrow"
+    # Distributed exact verification: two doc_id-keyed repartition joins
+    # attach the candidate texts (the right side streams the corpus through
+    # one all-to-all per hop — the repartition-join cost, paid off-driver),
+    # then an actor-pool Jaccard filter.  ``repartition_join`` (utils.py)
+    # rather than ``Dataset.join``: the 2.49 hash-join deadlocks small CPU
+    # budgets and rejects sparse partitions — see its docstring.
+    texts_a = doc_txt.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "text_a": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    texts_b = doc_txt.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "text_b": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    withs_a = repartition_join(
+        cand,
+        texts_a,
+        "doc_a",
+        "doc_id",
+        {"doc_a": pa.int64(), "doc_b": pa.int64()},
+        {"doc_id": pa.int64(), "text_a": pa.string()},
+        num_partitions=join_partitions,
+    )
+    withs_ab = repartition_join(
+        withs_a,
+        texts_b,
+        "doc_b",
+        "doc_id",
+        {"doc_b": pa.int64(), "doc_a": pa.int64(), "text_a": pa.string()},
+        {"doc_id": pa.int64(), "text_b": pa.string()},
+        num_partitions=join_partitions,
+    )
+    return withs_ab.map_batches(
+        JaccardVerifier,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"threshold": threshold, "shingle_k": shingle_k},
     )
 
 
 class SimHasher:
-    """64-bit SimHash over word unigram hashes (actor pool stage)."""
+    """64-bit SimHash over word unigram hashes (actor pool stage) —
+    vectorized: one hash_array pass per batch, one bit-unpack matmul."""
 
     def __init__(self, bands: int = 4):
         self.bands = bands
 
     @staticmethod
     def simhash64(text: str) -> int:
-        import zlib
+        return int(SimHasher._simhash_batch([text])[0])
 
-        toks = text.split()
-        if not toks:
-            return 0
-        hashes = np.array(
-            [
-                zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
-                for t in toks
-            ],
-            dtype=np.uint64,
+    @staticmethod
+    def _simhash_batch(texts: List[str]) -> np.ndarray:
+        toks = [t.split() if t else [] for t in texts]
+        lens = np.fromiter(
+            (len(x) for x in toks), dtype=np.int64, count=len(toks)
         )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+        flat = np.array([w for ts in toks for w in ts], dtype=object)
+        th = _hash_token_array(flat)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
             np.int64
         )
-        vote = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i, v in enumerate(vote):
-            if v > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return int(out)
+        votes = 2 * bits - 1  # (T, 64)
+        out = np.zeros(len(toks), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i in range(len(toks)):
+            v = votes[offs[i] : offs[i + 1]]
+            if len(v) == 0:
+                continue
+            pos = (v.sum(axis=0) > 0).astype(np.uint64)
+            out[i] = np.bitwise_or.reduce(pos << shifts)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = [self.simhash64(t or "") for t in batch.column("text").to_pylist()]
+        sh = self._simhash_batch(batch.column("text").to_pylist())
         out = {
             "doc_id": batch.column("doc_id"),
-            "simhash": pa.array([s & 0x7FFFFFFFFFFFFFFF for s in sh], pa.int64()),
+            "simhash": pa.array(
+                (sh & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64), pa.int64()
+            ),
         }
         # banded 16-bit chunks for hamming-distance blocking
         for b in range(self.bands):
             out[f"band{b}"] = pa.array(
-                [(s >> (16 * b)) & 0xFFFF for s in sh], pa.int32()
+                ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                    np.int32
+                ),
+                pa.int32(),
             )
         return pa.table(out)
 

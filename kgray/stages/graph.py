@@ -88,22 +88,67 @@ def _document_cx2(
     ]
 
 
+_GRAPH_UNION_COLS = [
+    "doc_id", "span_seq", "stmt_seq", "kind", "subj", "pred", "obj",
+    "subj_label", "obj_label", "bel_expression", "text", "evidence", "name",
+]
+
+
+def _tag_for_union(batch: "pa.Table", kind: int) -> "pa.Table":
+    """Project edge (kind=0) or unary (kind=1) rows onto the shared union
+    schema, nulling the columns the other side owns."""
+    import pyarrow as pa
+
+    n = batch.num_rows
+    cols = {}
+    for c in _GRAPH_UNION_COLS:
+        if c == "kind":
+            cols[c] = pa.array([kind] * n, pa.int8())
+        elif c in batch.column_names:
+            col = batch.column(c)
+            if pa.types.is_dictionary(col.type):
+                col = col.cast(pa.string())
+            cols[c] = col
+        else:
+            cols[c] = pa.nulls(n, pa.string())
+    return pa.table(cols)
+
+
 def build_document_graphs(
     edges: "ray.data.Dataset",
     unary: "ray.data.Dataset",
     url_map: Dict[str, str],
 ) -> "ray.data.Dataset":
-    """One row per document: (doc_id, cx2 JSON string, n_nodes, n_edges)."""
+    """One row per document WITH ≥1 edge: (doc_id, cx2 JSON string,
+    n_nodes, n_edges).
+
+    Edges and unary node records are tagged onto one shared schema and
+    unioned, so a single ``groupby(doc_id)`` co-groups both record kinds —
+    no driver-side collection, no per-group scan of a broadcast unary
+    table (the round-1 O(docs × unary_rows) pattern).  Documents whose
+    statements are all unary emit no graph row (parity with the edge-keyed
+    grouping the reference's per-document CX2 export implies)."""
     url_ref = ray.put(url_map)
-    unary_pd = unary.to_pandas()  # node-only records are tiny
-    unary_ref = ray.put(unary_pd)
+    tagged = edges.map_batches(
+        lambda b: _tag_for_union(b, 0), batch_format="pyarrow"
+    ).union(
+        unary.map_batches(
+            lambda b: _tag_for_union(b, 1), batch_format="pyarrow"
+        )
+    )
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        ge = g[g.kind == 0]
+        if ge.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=object),
+                 "cx2": pd.Series([], dtype=object),
+                 "n_nodes": pd.Series([], dtype="int64"),
+                 "n_edges": pd.Series([], dtype="int64")}
+            )
         urls = ray.get(url_ref)
-        u_all = ray.get(unary_ref)
         doc = g["doc_id"].iloc[0]
-        u = u_all[u_all.doc_id == doc]
-        cx = _document_cx2(g, u, urls)
+        cx = _document_cx2(ge, g[g.kind == 1], urls)
         return pd.DataFrame(
             {
                 "doc_id": [doc],
@@ -113,7 +158,7 @@ def build_document_graphs(
             }
         )
 
-    return edges.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    return tagged.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
 
 
 def merge_graphs(

@@ -37,3 +37,136 @@ def zip_with_index(
         _append_index.remote(r, col, int(o)) for r, o in zip(refs, offsets)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+def ensure_join_resources(
+    ds: "ray.data.Dataset" = None, cpus_per_partition: float = 0.05
+) -> None:
+    """Cap the CPU reservation of ``Dataset.join`` aggregator actors.
+
+    Ray 2.49's hash-join reserves ``min(1, (cluster_cpus/2)/P)`` CPUs per
+    aggregator — i.e. HALF the cluster per join operator regardless of
+    ``num_partitions``.  A pipeline with a join plus any actor-pool stage
+    (or two joins) then deadlocks on small CPU budgets: the long-lived,
+    mostly-idle aggregators pin every core and the producing map tasks can
+    never schedule.  Aggregators block on network/IPC, not CPU, so a small
+    fractional reservation is correct; set it once per session (a no-op if
+    the user already configured an override).  On a large cluster raise it
+    (e.g. 0.25-0.5) so finalization gets real cores.
+
+    Each Dataset CAPTURES a DataContext copy at creation, so patching the
+    global context after an input dataset exists has no effect on its plan
+    — pass the pipeline's input dataset to patch its captured context too.
+    """
+    ctxs = [ray.data.DataContext.get_current()]
+    if ds is not None:
+        ctxs.append(ds.context)
+    for ctx in ctxs:
+        if ctx.join_operator_actor_num_cpus_per_partition_override is None:
+            ctx.join_operator_actor_num_cpus_per_partition_override = (
+                cpus_per_partition
+            )
+
+
+def repartition_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    left_types: dict,
+    right_types: dict,
+    num_partitions: int = 64,
+):
+    """Distributed inner hash-join via tag-union + coarse-partition groupby
+    + per-partition vectorized pandas merge.
+
+    Why not ``Dataset.join``: Ray 2.49's hash-join aggregators (a) reserve
+    half the cluster's CPUs per join operator regardless of
+    ``num_partitions`` (deadlocks pipelines that also hold actor pools on
+    small CPU budgets) and (b) finalize EMPTY partitions as zero-column
+    Arrow tables, which the underlying acero join rejects ("No match for
+    key field") whenever a partition receives no rows — i.e. whenever the
+    build side is sparse.  This helper uses only the sort-based shuffle
+    (task-based, empty-block tolerant) and scales the same way: both
+    sides move through one all-to-all partitioned on ``hash(key) %
+    num_partitions``, and each partition joins with one in-memory merge.
+
+    ``left_types`` / ``right_types``: {column: pyarrow type} for each
+    side INCLUDING its key column (schemas are declared, not inferred, so
+    the lazy plans are never executed early).  Non-key column names must
+    be disjoint.  Output columns: [left_on] + left non-keys + right
+    non-keys, as pandas blocks.
+    """
+    from pandas.util import hash_array
+
+    lcols = [c for c in left_types if c != left_on]
+    rcols = [c for c in right_types if c != right_on]
+    key_type = left_types[left_on]
+    P = num_partitions
+
+    def pkey_of(arr: pa.ChunkedArray) -> pa.Array:
+        v = arr.to_numpy(zero_copy_only=False)
+        h = hash_array(np.asarray(v)) % np.uint64(P)
+        return pa.array(h.astype(np.int32), pa.int32())
+
+    def pad(n: int, t: pa.DataType) -> pa.Array:
+        # Zero-pad numeric filler columns: null-padded ints become float64
+        # after the pandas conversion inside the groupby, corrupting the
+        # joined dtypes.  The filler values are never read (the merge only
+        # takes each side's own columns from its own rows).
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            return pa.array(np.zeros(n, dtype=t.to_pandas_dtype()), t)
+        return pa.nulls(n, t)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        jkey = b.column(left_on).cast(key_type)
+        cols = {
+            "_pkey": pkey_of(jkey),
+            "_side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            "_jkey": jkey,
+        }
+        for c in lcols:
+            cols[c] = b.column(c)
+        for c in rcols:
+            cols[c] = pad(b.num_rows, right_types[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        jkey = b.column(right_on).cast(key_type)
+        cols = {
+            "_pkey": pkey_of(jkey),
+            "_side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            "_jkey": jkey,
+        }
+        for c in lcols:
+            cols[c] = pad(b.num_rows, left_types[c])
+        for c in rcols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    out_cols = [left_on] + lcols + rcols
+
+    def merge_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        l = g[g._side == 0]
+        r = g[g._side == 1]
+        if l.empty or r.empty:
+            # ZERO-column empty frame: map_batches passes empties through
+            # untouched and pd.concat ignores column-less frames, so this
+            # never pollutes the joined schema downstream.
+            return pd.DataFrame()
+        m = l[["_jkey"] + lcols].merge(
+            r[["_jkey"] + rcols], on="_jkey", how="inner"
+        )
+        m = m.rename(columns={"_jkey": left_on})
+        return m[out_cols]
+
+    return (
+        tagged.groupby("_pkey")
+        .map_groups(merge_partition, batch_format="pandas")
+    )

@@ -49,7 +49,8 @@ def test_cluster_surface_forms():
     names = ["TP53", "tp53", "TP-53", "AKT1", "Akt-1", "insulin",
              "Insulin", "rapamycin"]
     ds = ray.data.from_arrow(pa.table({"name": names}))
-    df = cluster_surface_forms(ds, threshold=0.55)
+    df = (cluster_surface_forms(ds, threshold=0.55).to_pandas()
+          .sort_values("name").reset_index(drop=True))
     by_name = df.set_index("name")
     tp = {by_name.loc[n, "cluster_id"] for n in ["TP53", "tp53", "TP-53"]}
     akt = {by_name.loc[n, "cluster_id"] for n in ["AKT1", "Akt-1"]}
@@ -59,5 +60,6 @@ def test_cluster_surface_forms():
     assert by_name.loc["rapamycin", "cluster_id"] not in tp | akt | ins
     # canonical = lexicographically smallest member, deterministic
     assert by_name.loc["tp53", "canonical"] == min("TP53", "tp53", "TP-53")
-    df2 = cluster_surface_forms(ds, threshold=0.55)
+    df2 = (cluster_surface_forms(ds, threshold=0.55).to_pandas()
+           .sort_values("name").reset_index(drop=True))
     assert df.equals(df2)
