@@ -65,3 +65,29 @@ def load_prompt(
         return extract_block(_BUILTIN, identifier)
     with open(os.fspath(prompt_file), encoding="utf-8") as f:
         return extract_block(f.read(), identifier)
+
+
+def resolve_default_prompt(identifier: str = DEFAULT_IDENTIFIER) -> str:
+    """The default system prompt for real-LLM backends, resolved in order:
+
+    1. ``$KGRAY_PROMPT_FILE`` — an explicit prompt file path;
+    2. the reference package's production prompt (``prompt_file_v7.txt``
+       shipped inside an installed ``textToKnowledgeGraph``, the file
+       main.py:358-367 selects by default) — so a user migrating from the
+       reference gets byte-identical prompt text automatically;
+    3. this engine's builtin block (contract-equivalent wording).
+    """
+    env = os.environ.get("KGRAY_PROMPT_FILE")
+    if env:
+        return load_prompt(env, identifier)
+    try:  # pragma: no cover - reference package not installed in sandbox
+        from importlib.resources import files
+
+        content = (
+            files("textToKnowledgeGraph")
+            .joinpath("prompt_file_v7.txt")
+            .read_text(encoding="utf-8")
+        )
+        return extract_block(content, identifier)
+    except Exception:
+        return extract_block(_BUILTIN, identifier)

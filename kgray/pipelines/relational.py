@@ -106,8 +106,19 @@ def revenue_by_nation(
     ≤ one row per (orderkey × block)."""
     from ..utils import repartition_join
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    # Dimensions are read driver-local with pyarrow (KB-to-MB sized): going
+    # through a ray.data read + to_pandas costs ~1s of task overhead each
+    # for tables that will be ray.put as a broadcast anyway.
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
     cn = cust.to_pandas().merge(
         nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
     )
@@ -178,8 +189,11 @@ def revenue_by_nation(
 def top_parts_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     """Top-k parts by lineitem revenue: broadcast part names, partial agg,
     groupby, global sort, limit."""
-    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
-    p_df = part.to_pandas()
+    import pyarrow.parquet as pq
+
+    p_df = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    ).to_pandas()
     name_ref = ray.put(dict(zip(p_df.p_partkey.to_numpy(), p_df.p_name)))
 
     li = _read(

@@ -10,11 +10,13 @@
 
 Scale design: every stage is a map_batches partial + one keyed groupby —
 shingle/band rows shuffle (band_id, band_hash) keys, never full texts —
-and candidate verification is a pair of doc_id-keyed distributed hash
-joins (``Dataset.join``) that attach each side's text to the candidate
-pair rows; nothing is ever collected on the driver.  Shingle hashing is
-vectorized: one ``pandas.util.hash_array`` pass over all tokens of a
-batch, then a numpy sliding-window combine with per-position multipliers.
+and candidate verification is a distributed repartition join: pair rows
+are tagged once per side key, co-partitioned with the corpus texts on
+hash(doc_id) (the corpus crosses the wire exactly once), then the
+half-joined candidate rows regroup by pair for the exact-Jaccard check.
+Nothing is ever collected on the driver.  Shingle hashing is vectorized:
+one ``pandas.util.hash_array`` pass over all tokens of a batch, then a
+numpy sliding-window combine with per-position multipliers.
 """
 from __future__ import annotations
 
@@ -209,34 +211,24 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
-class JaccardVerifier:
-    """Exact word-k-gram Jaccard filter over joined candidate pair rows
-    (doc_a, doc_b, text_a, text_b).  Shingle-hash sets are re-derived per
-    side with the same vectorized kernel the signature stage uses; 64-bit
-    hash collisions are the only deviation from string-set Jaccard
+def jaccard_verify_frame(
+    df: pd.DataFrame, threshold: float, shingle_k: int
+) -> pd.DataFrame:
+    """Exact word-k-gram Jaccard filter over candidate pair rows
+    (doc_a, doc_b, text_a, text_b).  Shingle-hash sets are derived with
+    the same vectorized kernel the signature stage uses; 64-bit hash
+    collisions are the only deviation from string-set Jaccard
     (negligible: ~n²/2⁶⁴ per doc)."""
-
-    def __init__(self, threshold: float, shingle_k: int = 3):
-        self.thr = threshold
-        self.k = shingle_k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sa = shingle_hash_sets(batch.column("text_a").to_pylist(), self.k)
-        sb = shingle_hash_sets(batch.column("text_b").to_pylist(), self.k)
-        keep = np.zeros(len(sa), dtype=bool)
-        for i, (x, y) in enumerate(zip(sa, sb)):
-            if len(x) == 0 or len(y) == 0:
-                continue
-            inter = np.intersect1d(x, y, assume_unique=True).size
-            union = len(x) + len(y) - inter
-            keep[i] = union > 0 and inter / union >= self.thr
-        mask = pa.array(keep)
-        return pa.table(
-            {
-                "doc_a": batch.column("doc_a").filter(mask),
-                "doc_b": batch.column("doc_b").filter(mask),
-            }
-        )
+    sa = shingle_hash_sets(list(df.text_a), shingle_k)
+    sb = shingle_hash_sets(list(df.text_b), shingle_k)
+    keep = np.zeros(len(sa), dtype=bool)
+    for i, (x, y) in enumerate(zip(sa, sb)):
+        if len(x) == 0 or len(y) == 0:
+            continue
+        inter = np.intersect1d(x, y, assume_unique=True).size
+        union = len(x) + len(y) - inter
+        keep[i] = union > 0 and inter / union >= threshold
+    return df.loc[keep, ["doc_a", "doc_b"]].reset_index(drop=True)
 
 
 def minhash_lsh_pairs(
@@ -258,13 +250,15 @@ def minhash_lsh_pairs(
     raise ``bands`` (or lower rows-per-band) when hunting low-similarity
     pairs at scale.
 
-    Everything stays a Dataset end to end: candidate verification uses two
-    ``Dataset.join`` hops on doc_id (hash-shuffle joins, ``join_partitions``
-    aggregators), so the candidate set is never materialized on the driver
-    and the op survives corpora whose candidate sets are themselves huge.
+    Everything stays a Dataset end to end: candidate verification is a
+    distributed repartition join — candidate pairs are tagged twice (once
+    per side key), unioned with the corpus texts, co-partitioned by
+    hash(doc_id) so each partition attaches texts with one vectorized map,
+    then the half-joined rows (candidate-sized, not corpus-sized) regroup
+    by pair to run the exact-Jaccard check.  The corpus moves through
+    exactly ONE all-to-all; nothing is materialized on the driver, so the
+    op survives corpora whose candidate sets are themselves huge.
     """
-    from ..utils import repartition_join
-
     rows = num_hashes // bands
     doc_txt = docs.select_columns(["doc_id", "text"])
     sigs = docs.map_batches(
@@ -309,74 +303,121 @@ def minhash_lsh_pairs(
         out.columns = ["doc_a", "doc_b"]
         return out.astype("int64")
 
-    from ray.data.aggregate import Count
 
-    # The keyed aggregate's reducer emits EMPTY pandas blocks with no
-    # columns for key-less partitions; normalize every block to the fixed
-    # (doc_a, doc_b) arrow schema or the downstream hash join rejects them.
-    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-
-    def normalize_pairs(batch: pa.Table) -> pa.Table:
-        if "doc_a" not in batch.schema.names or batch.num_rows == 0:
-            return pairs_schema.empty_table()
-        return pa.table(
-            {
-                "doc_a": batch.column("doc_a").cast(pa.int64()),
-                "doc_b": batch.column("doc_b").cast(pa.int64()),
-            }
-        )
-
+    # Duplicate pairs (the same pair surfacing from several bands/shards)
+    # are tolerated here: the final pair-grouped verify dedupes for free,
+    # so no separate distinct-aggregate shuffle is needed.
     cand = (
         band_tbl.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(shard_pairs, batch_format="pandas")
-        .repartition(8)
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))   # distinct via keyed aggregate
-        .map_batches(normalize_pairs, batch_format="pyarrow")
     )
 
-    # Distributed exact verification: two doc_id-keyed repartition joins
-    # attach the candidate texts (the right side streams the corpus through
-    # one all-to-all per hop — the repartition-join cost, paid off-driver),
-    # then an actor-pool Jaccard filter.  ``repartition_join`` (utils.py)
-    # rather than ``Dataset.join``: the 2.49 hash-join deadlocks small CPU
-    # budgets and rejects sparse partitions — see its docstring.
-    texts_a = doc_txt.map_batches(
-        lambda b: pa.table(
-            {"doc_id": b.column("doc_id"), "text_a": b.column("text")}
-        ),
-        batch_format="pyarrow",
+    # ---- distributed verification, corpus shuffled exactly once ----
+    from pandas.util import hash_array
+
+    P = join_partitions
+
+    def _pkey(ids: np.ndarray) -> pa.Array:
+        h = hash_array(np.asarray(ids, dtype=np.int64)) % np.uint64(P)
+        return pa.array(h.astype(np.int32), pa.int32())
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        if "doc_a" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table(
+                {"_pkey": pa.array([], pa.int32()),
+                 "_jkey": pa.array([], pa.int64()),
+                 "_side": pa.array([], pa.int8()),
+                 "doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}
+            )
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        n = len(a)
+        jkey = np.concatenate([a, b])
+        return pa.table(
+            {
+                "_pkey": _pkey(jkey),
+                "_jkey": pa.array(jkey, pa.int64()),
+                "_side": pa.array(
+                    np.repeat(np.array([0, 1], np.int8), n), pa.int8()
+                ),
+                "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "text": pa.array([""] * (2 * n), pa.string()),
+            }
+        )
+
+    def tag_texts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "_pkey": _pkey(ids),
+                "_jkey": pa.array(ids, pa.int64()),
+                "_side": pa.array(np.full(n, 2, np.int8), pa.int8()),
+                "doc_a": z,
+                "doc_b": z,
+                "text": batch.column("text"),
+            }
+        )
+
+    tagged = cand.map_batches(tag_pairs, batch_format="pyarrow").union(
+        doc_txt.map_batches(tag_texts, batch_format="pyarrow")
     )
-    texts_b = doc_txt.map_batches(
-        lambda b: pa.table(
-            {"doc_id": b.column("doc_id"), "text_b": b.column("text")}
-        ),
-        batch_format="pyarrow",
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g[g._side < 2]
+        if pairs.empty:
+            return pd.DataFrame()
+        tmap = g[g._side == 2].set_index("_jkey")["text"]
+        out = pairs[["doc_a", "doc_b", "_side"]].copy()
+        out["text"] = pairs._jkey.map(tmap)
+        return out
+
+    half = tagged.groupby("_pkey").map_groups(
+        attach_text, batch_format="pandas"
     )
-    withs_a = repartition_join(
-        cand,
-        texts_a,
-        "doc_a",
-        "doc_id",
-        {"doc_a": pa.int64(), "doc_b": pa.int64()},
-        {"doc_id": pa.int64(), "text_a": pa.string()},
-        num_partitions=join_partitions,
-    )
-    withs_ab = repartition_join(
-        withs_a,
-        texts_b,
-        "doc_b",
-        "doc_id",
-        {"doc_b": pa.int64(), "doc_a": pa.int64(), "text_a": pa.string()},
-        {"doc_id": pa.int64(), "text_b": pa.string()},
-        num_partitions=join_partitions,
-    )
-    return withs_ab.map_batches(
-        JaccardVerifier,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"threshold": threshold, "shingle_k": shingle_k},
+
+    thr, k = threshold, shingle_k
+
+    def add_pshard(batch: pa.Table) -> pa.Table:
+        if "doc_a" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "_side": pa.array([], pa.int8()),
+                 "text": pa.array([], pa.string()),
+                 "_pshard": pa.array([], pa.int32())}
+            )
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            mix = a.astype(np.uint64) * _POS_C[0] + b.astype(np.uint64)
+        return batch.append_column(
+            "_pshard",
+            pa.array((mix % np.uint64(P)).astype(np.int32), pa.int32()),
+        )
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_a", "doc_b", "_side"])
+        lhs = g[g._side == 0][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        rhs = g[g._side == 1][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        m = lhs.merge(rhs, on=["doc_a", "doc_b"])
+        if m.empty:
+            return pd.DataFrame()
+        return jaccard_verify_frame(m, thr, k)
+
+    return (
+        half.map_batches(add_pshard, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(verify_group, batch_format="pandas")
     )
 
 

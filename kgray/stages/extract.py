@@ -130,12 +130,16 @@ class OpenAIChatBackend:
 
     def __init__(
         self,
-        prompt_text: str,
+        prompt_text: Optional[str] = None,
         model: str = "gpt-4o-mini",
         api_key: Optional[str] = None,
         base_url: Optional[str] = None,
         temperature: float = 0.0,
     ):
+        if prompt_text is None:
+            from ..functions.prompts import resolve_default_prompt
+
+            prompt_text = resolve_default_prompt()
         try:
             from openai import OpenAI  # type: ignore
         except ImportError as e:  # pragma: no cover - sandbox has no openai
@@ -182,11 +186,15 @@ class VLLMBackend:
 
     def __init__(
         self,
-        prompt_text: str,
+        prompt_text: Optional[str] = None,
         model: str = "Qwen/Qwen2.5-7B-Instruct",
         max_model_len: int = 8192,
         temperature: float = 0.0,
     ):
+        if prompt_text is None:
+            from ..functions.prompts import resolve_default_prompt
+
+            prompt_text = resolve_default_prompt()
         try:
             from vllm import LLM, SamplingParams  # type: ignore
         except ImportError as e:

@@ -118,6 +118,7 @@ def build_document_graphs(
     edges: "ray.data.Dataset",
     unary: "ray.data.Dataset",
     url_map: Dict[str, str],
+    style: Optional[Dict[str, list]] = None,
 ) -> "ray.data.Dataset":
     """One row per document WITH ≥1 edge: (doc_id, cx2 JSON string,
     n_nodes, n_edges).
@@ -127,8 +128,12 @@ def build_document_graphs(
     no driver-side collection, no per-group scan of a broadcast unary
     table (the round-1 O(docs × unary_rows) pattern).  Documents whose
     statements are all unary emit no graph row (parity with the edge-keyed
-    grouping the reference's per-document CX2 export implies)."""
+    grouping the reference's per-document CX2 export implies).
+
+    ``style``: pre-loaded visual aspects (``load_visual_style``) appended
+    to every document's CX2 (reference --style_path / cx_style.json)."""
     url_ref = ray.put(url_map)
+    style_ref = ray.put(style)
     tagged = edges.map_batches(
         lambda b: _tag_for_union(b, 0), batch_format="pyarrow"
     ).union(
@@ -148,7 +153,9 @@ def build_document_graphs(
             )
         urls = ray.get(url_ref)
         doc = g["doc_id"].iloc[0]
-        cx = _document_cx2(ge, g[g.kind == 1], urls)
+        cx = apply_style(
+            _document_cx2(ge, g[g.kind == 1], urls), ray.get(style_ref)
+        )
         return pd.DataFrame(
             {
                 "doc_id": [doc],
@@ -159,6 +166,44 @@ def build_document_graphs(
         )
 
     return tagged.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
+def load_visual_style(style_path: str) -> Dict[str, list]:
+    """Read the visual aspects of a CX2 style file.
+
+    Reference: convert_to_cx2.py:50-59 (``add_style_to_network``) — the
+    style file is itself a CX2 aspect list; its ``visualProperties`` and
+    ``visualEditorProperties`` aspects are copied onto the generated
+    network (data/cx_style.json is the shipped default, selected by
+    main.py:368-373 ``--style_path``)."""
+    with open(style_path) as f:
+        aspects = json.load(f)
+    out: Dict[str, list] = {}
+    for aspect in aspects:
+        if not isinstance(aspect, dict):
+            continue
+        for key in ("visualProperties", "visualEditorProperties"):
+            if key in aspect:
+                out[key] = aspect[key]
+    return out
+
+
+def apply_style(cx2: list, style: Optional[Dict[str, list]]) -> list:
+    """Insert the style's visual aspects into a CX2 aspect list (before the
+    trailing status aspect), replacing same-named aspects if present."""
+    if not style:
+        return cx2
+    keep = [
+        a for a in cx2
+        if not (isinstance(a, dict)
+                and (set(a) & {"visualProperties", "visualEditorProperties"}))
+    ]
+    styled = keep[:-1] if keep and "status" in keep[-1] else keep
+    tail = keep[len(styled):]
+    for key in ("visualProperties", "visualEditorProperties"):
+        if key in style:
+            styled = styled + [{key: style[key]}]
+    return styled + tail
 
 
 def merge_graphs(

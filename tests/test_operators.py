@@ -252,3 +252,60 @@ def test_multimodal_plumbing():
     )
     assert resized.column("width").to_pylist() == [100, 50]
     assert resized.column("height").to_pylist() == [50, 80]
+
+
+def test_minhash_no_driver_collection():
+    """The dedup op must stay a Dataset end to end: no take_all/to_pandas
+    inside the operator, on an 8x-amplified corpus (VERDICT r1 item 1)."""
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(80)]
+    base = " ".join(rng.choice(vocab, 60))
+    near = base.split(); near[7] = "qqq"
+    texts, ids = [], []
+    for rep in range(8):
+        texts += [base, " ".join(near)] + [
+            " ".join(rng.choice(vocab, 60)) for _ in range(8)
+        ]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collection inside dedup op")
+
+    orig_take_all = ray.data.Dataset.take_all
+    orig_to_pandas = ray.data.Dataset.to_pandas
+    ray.data.Dataset.take_all = boom
+    ray.data.Dataset.to_pandas = boom
+    try:
+        pairs_ds = minhash_lsh_pairs(ds, threshold=0.5)
+        # force full execution without driver collection
+        n = pairs_ds.count()
+    finally:
+        ray.data.Dataset.take_all = orig_take_all
+        ray.data.Dataset.to_pandas = orig_to_pandas
+    assert n >= 1  # the planted near-pair (per replica) survives verification
+
+
+def test_cluster_surface_forms_scale():
+    """50k generated name variants cluster without materializing the name
+    set on the driver (only verified pair edges are collected)."""
+    from kgray.stages.cluster import cluster_surface_forms
+
+    base_names = [f"GENE{i}" for i in range(10000)]
+    variants = []
+    for n in base_names:
+        variants += [n, n.lower(), f"{n[:-1]}-{n[-1]}"]
+    rng = np.random.RandomState(5)
+    noise = ["".join(rng.choice(list("abcdefghij"), 8)) for _ in range(20000)]
+    names = variants + noise
+    ds = ray.data.from_arrow(pa.table({"name": names})).repartition(8)
+    out = cluster_surface_forms(ds, threshold=0.9)
+    df = out.to_pandas()
+    assert len(df) == len(set(names))
+    by_name = df.set_index("name")
+    # exact-normalization variants always co-cluster
+    assert by_name.loc["GENE0", "cluster_id"] == by_name.loc["gene0", "cluster_id"]
+    assert by_name.loc["GENE123", "cluster_id"] == by_name.loc["gene123", "cluster_id"]
+    assert by_name.loc["GENE0", "cluster_id"] != by_name.loc["GENE123", "cluster_id"]

@@ -1,7 +1,11 @@
 """Prompt-block loader, metadata/naming, id validation, id-map lookup."""
+import os
+
 import pyarrow as pa
+import pytest
 import ray.data
 
+from kgray.functions import prompts
 from kgray.functions.prompts import extract_block, load_prompt
 from kgray.sources.metadata import (
     map_ids,
@@ -70,3 +74,68 @@ def test_map_ids():
     out = map_ids(ds, {"1": "PMC10", "3": "PMC30"}, "pmid", "pmcid")
     df = out.to_pandas().sort_values("pmid")
     assert df.pmcid.tolist() == ["PMC10", None, "PMC30"]
+
+
+# --- golden parity of extract_block vs the reference's scan loop over the
+# reference's OWN prompt files (get_interactions.py:9-29), all 9 variants ---
+
+_REF_DATA = "/root/reference/data"
+_REF_PROMPT_FILES = [
+    "minimal_prompt_1.txt", "minimal_prompt_2.txt", "prompt_file.txt",
+    "prompt_file_v2.txt", "prompt_file_v3.txt", "prompt_file_v4.txt",
+    "prompt_file_v5.txt", "prompt_file_v6.txt", "prompt_file_v7.txt",
+]
+
+
+def _reference_scan(content: str, identifier: str) -> str:
+    """Independent transcription of the reference capture loop
+    (get_interactions.py:12-29) used ONLY as the golden in this test."""
+    if content.startswith("﻿"):
+        content = content.lstrip("﻿")
+    prompt, capture = [], False
+    for line in content.splitlines():
+        if line.strip().startswith("#") and identifier in line:
+            capture = True
+            continue
+        if capture:
+            if line.strip().startswith("#") and len(prompt) > 0:
+                break
+            prompt.append(line)
+    return "".join(prompt)
+
+
+def _identifiers_in(content: str):
+    ids = []
+    for line in content.splitlines():
+        s = line.strip()
+        if s.startswith("#") and len(s) > 1:
+            ids.append(s.lstrip("#").strip())
+    return [i for i in ids if i]
+
+
+@pytest.mark.parametrize("fname", _REF_PROMPT_FILES)
+def test_extract_block_golden_vs_reference_files(fname):
+    path = os.path.join(_REF_DATA, fname)
+    if not os.path.exists(path):
+        pytest.skip("reference prompt files not present")
+    with open(path, encoding="utf-8") as f:
+        content = f.read()
+    idents = _identifiers_in(content) or ["general prompt"]
+    for ident in idents + ["general prompt"]:
+        got = prompts.extract_block(content, ident)
+        want = _reference_scan(content, ident)
+        assert got == want, (fname, ident)
+    # v7's general prompt must be non-trivial (the production prompt)
+    if fname == "prompt_file_v7.txt":
+        assert len(prompts.extract_block(content, "general prompt")) > 1000
+
+
+def test_resolve_default_prompt_env(tmp_path, monkeypatch):
+    p = tmp_path / "p.txt"
+    p.write_text("# general prompt\nCUSTOM BLOCK\n# other\nx\n")
+    monkeypatch.setenv("KGRAY_PROMPT_FILE", str(p))
+    assert prompts.resolve_default_prompt() == "CUSTOM BLOCK"
+    monkeypatch.delenv("KGRAY_PROMPT_FILE")
+    # without env + without the reference package installed: builtin block
+    out = prompts.resolve_default_prompt()
+    assert "BEL" in out
