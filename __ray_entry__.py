@@ -543,6 +543,94 @@ def _q_orders_high_value(sf_dir: str):
     return filter_orders_high_value(sf_dir, cutoff=100000.0)
 
 
+def _q_bioc_ingest(sf_dir: str):
+    """BioC/PubTator XML ingestion (reference pub.py:29-66): wrap each
+    document's text in a BioC passage (XML-escaped), parse with BiocReader,
+    explode to chunks.  Oracle: admission is len(text) >= 20 over the same
+    rows — the XML round-trip must be lossless."""
+    import os
+
+    from xml.sax.saxutils import escape
+
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.sources.bioc import read_bioc_documents
+    from kgray.stages.chunk import explode_spans
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).filter(lambda r: r["doc_id"] < 200)
+
+    def to_xml(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        xmls = [
+            "<collection><document><id>%s</id>"
+            '<passage><infon key="section_type">INTRO</infon>'
+            "<offset>0</offset><text>%s</text></passage>"
+            "</document></collection>" % (i, escape(t or ""))
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([str(i) for i in ids], pa.string()),
+                "xml": pa.array(xmls, pa.string()),
+            }
+        )
+
+    chunks = read_bioc_documents(
+        docs.map_batches(to_xml, batch_format="pyarrow")
+    ).map_batches(explode_spans, batch_format="pyarrow")
+    return chunks.select_columns(
+        ["doc_id", "span_seq", "kind", "text", "admitted"]
+    )
+
+
+def _q_eutils_metadata(sf_dir: str):
+    """E-utilities metadata XML parse (reference pub.py:69-211): synthesize
+    a PubMed-dialect efetch record per document, parse both fields back.
+    Oracle reconstructs the same strings in SQL."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.sources.metadata import EutilsMetadataParser
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).filter(lambda r: r["doc_id"] < 200)
+
+    def to_xml(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        xmls = [
+            "<PubmedArticleSet><PubmedArticle>"
+            "<MedlineCitation><PMID>%d</PMID><Article>"
+            "<Journal><Title>Journal %d</Title></Journal>"
+            "<ArticleTitle>Document %d</ArticleTitle>"
+            "<AuthorList><Author><LastName>Author%d</LastName>"
+            "<ForeName>A.</ForeName></Author></AuthorList>"
+            "</Article></MedlineCitation>"
+            "<PubmedData><ArticleIdList>"
+            '<ArticleId IdType="doi">10.1000/doc%d</ArticleId>'
+            "</ArticleIdList></PubmedData>"
+            "</PubmedArticle></PubmedArticleSet>"
+            % (i, i % 5, i, i % 7, i)
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([str(i) for i in ids], pa.string()),
+                "xml": pa.array(xmls, pa.string()),
+            }
+        )
+
+    return docs.map_batches(to_xml, batch_format="pyarrow").map_batches(
+        EutilsMetadataParser, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "pmid", "title", "doi", "journal"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline (generic adapter, fully oracle-checked)
@@ -581,6 +669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "supplier_balance": _q_supplier_balance,
         "orders_high_value": _q_orders_high_value,
+        # XML sources (BioC ingestion + E-utilities metadata kernels)
+        "bioc_ingest": _q_bioc_ingest,
+        "eutils_metadata": _q_eutils_metadata,
     }
 
 
@@ -727,5 +818,21 @@ FROM supplier GROUP BY s_nationkey
         "orders_high_value": """
 SELECT o_orderkey, o_totalprice, o_orderstatus
 FROM orders WHERE o_totalprice > 100000.0
+""",
+        "bioc_ingest": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(0 AS INTEGER) AS span_seq,
+       'text' AS kind,
+       trim(text) AS text,
+       length(trim(text)) >= 20 AS admitted
+FROM documents WHERE doc_id < 200
+""",
+        "eutils_metadata": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'pmid' || CAST(doc_id AS VARCHAR) AS pmid,
+       'Document ' || CAST(doc_id AS VARCHAR) AS title,
+       '10.1000/doc' || CAST(doc_id AS VARCHAR) AS doi,
+       'Journal ' || CAST(doc_id % 5 AS VARCHAR) AS journal
+FROM documents WHERE doc_id < 200
 """,
     }

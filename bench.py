@@ -176,8 +176,54 @@ def run_bench() -> dict:
     }
 
 
+def _burn_worker(args):
+    """Fixed CPU work unit for the raw-hardware control probe."""
+    n_units, spin = args
+    import time as _t
+
+    for _ in range(n_units):
+        end = _t.perf_counter() + spin
+        x = 0
+        while _t.perf_counter() < end:
+            x += 1
+    return x
+
+
+def raw_cpu_control(lo: int, hi: int, total_units: int = 1280,
+                    spin: float = 0.01) -> dict:
+    """Hardware scaling ceiling, independent of Ray: the same total amount
+    of pure-CPU spin work executed by ``lo`` and then ``hi`` OS processes.
+    Published alongside the Ray numbers so an efficiency shortfall can be
+    attributed to the box (SMT/turbo) vs the engine."""
+    import multiprocessing as mp
+
+    def tput(workers: int) -> float:
+        per = total_units // workers
+        t0 = time.time()
+        with mp.get_context("spawn").Pool(workers) as pool:
+            pool.map(_burn_worker, [(per, spin)] * workers)
+        return (per * workers) / (time.time() - t0)
+
+    t_lo, t_hi = tput(lo), tput(hi)
+    return {
+        "tput_lo": round(t_lo, 1),
+        "tput_hi": round(t_hi, 1),
+        "efficiency": round((t_hi / t_lo) / (hi / lo), 3),
+    }
+
+
 def run_scaling() -> dict:
-    """Same headline job at 8 and 32 CPUs in fresh processes."""
+    """The headline job at two parallelism levels in fresh processes — the
+    sandbox stand-in for the N vs 4N node criterion.
+
+    Two legs are measured and published together:
+      * 8 vs 32 CPUs — the driver-stated configuration (primary metric);
+      * 4 vs 16 CPUs — the same 4× ratio inside the band where this box's
+        cores scale linearly.
+    Plus a raw-CPU control probe (pure-python spin under multiprocessing,
+    no Ray) at both ratios: on this box 8→32 is SMT-limited (~0.8 of ideal
+    in hardware), which a real 4× node count would not be; the control
+    quantifies exactly how much of any Ray-leg shortfall is the box."""
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    KGRAY_BENCH_HEADLINE_ONLY="1")
@@ -192,26 +238,35 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # 4 vs 16 workers: same 4× ratio as the N vs 4N cluster criterion, but
-    # inside the band where this box's cores scale linearly (raw-CPU probe:
-    # 4→16 gives 3.86×/4; 8→32 only 3.2×/4 from SMT/turbo effects that a
-    # real multi-node cluster would not have)
-    lo, hi = 4, 16
-    r_lo = one(lo)
-    r_hi = one(hi)
-    tput_lo = r_lo["n_docs"] / r_lo["value"]
-    tput_hi = r_hi["n_docs"] / r_hi["value"]
-    eff = (tput_hi / tput_lo) / (hi / lo)
+    legs = {}
+    controls = {}
+    for lo, hi in ((8, 32), (4, 16)):
+        r_lo, r_hi = one(lo), one(hi)
+        tput_lo = r_lo["n_docs"] / r_lo["value"]
+        tput_hi = r_hi["n_docs"] / r_hi["value"]
+        eff = (tput_hi / tput_lo) / (hi / lo)
+        legs[f"{lo}v{hi}"] = {
+            "cpus_lo": lo, "cpus_hi": hi,
+            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "docs_per_sec_lo": round(tput_lo, 2),
+            "docs_per_sec_hi": round(tput_hi, 2),
+            "efficiency": round(eff, 3),
+        }
+        controls[f"{lo}v{hi}"] = raw_cpu_control(lo, hi)
+
+    primary = legs["8v32"]
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": primary["efficiency"],
         "unit": "ratio",
-        "cpus_lo": lo,
-        "cpus_hi": hi,
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
-        "docs_per_sec_lo": round(tput_lo, 2),
-        "docs_per_sec_hi": round(tput_hi, 2),
+        "cpus_lo": primary["cpus_lo"],
+        "cpus_hi": primary["cpus_hi"],
+        "sec_lo": primary["sec_lo"],
+        "sec_hi": primary["sec_hi"],
+        "docs_per_sec_lo": primary["docs_per_sec_lo"],
+        "docs_per_sec_hi": primary["docs_per_sec_hi"],
+        "legs": legs,
+        "raw_cpu_control": controls,
     }
 
 

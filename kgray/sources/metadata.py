@@ -153,3 +153,127 @@ def map_ids(
         concurrency=(1, 4),
         fn_constructor_args=(ref, src_col, dst_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# E-utilities metadata XML parsing (pub.py:69-211), both dialects.
+# The HTTP fetch itself is out of scope (no network); these kernels parse
+# recorded efetch responses so a reference user can point the metadata
+# dimension at their own cached XML instead of the synthesized table.
+# ---------------------------------------------------------------------------
+
+def _empty_metadata() -> dict:
+    return {
+        "pmid": None,
+        "title": None,
+        "authors": [],
+        "abstract": None,
+        "doi": None,
+        "journal": None,
+    }
+
+
+def parse_pubmed_metadata_xml(content: str) -> dict:
+    """PubMed efetch dialect (pub.py:126-166): PubmedArticle records."""
+    import xml.etree.ElementTree as ET
+
+    md = _empty_metadata()
+    tree = ET.fromstring(content)
+    art = tree.find(".//PubmedArticle")
+    if art is None:
+        return md
+    pmid = art.find(".//PMID")
+    if pmid is not None and pmid.text:
+        md["pmid"] = f"pmid{pmid.text.strip()}"
+    title = art.find(".//ArticleTitle")
+    if title is not None and title.text:
+        md["title"] = title.text.strip()
+    for author in art.findall(".//AuthorList/Author"):
+        last = author.findtext("LastName")
+        fore = author.findtext("ForeName")
+        if last or fore:
+            md["authors"].append(" ".join([fore or "", last or ""]).strip())
+    abstracts = art.findall(".//Abstract/AbstractText")
+    if abstracts:
+        combined = " ".join(e.text for e in abstracts if e.text)
+        md["abstract"] = combined.strip() if combined else None
+    doi = art.find(".//ArticleId[@IdType='doi']")
+    if doi is not None and doi.text:
+        md["doi"] = doi.text.strip()
+    journal = art.find(".//Journal/Title")
+    if journal is not None and journal.text:
+        md["journal"] = journal.text.strip()
+    return md
+
+
+def parse_pmc_metadata_xml(content: str) -> dict:
+    """PMC efetch dialect (pub.py:167-211): JATS <article> records."""
+    import xml.etree.ElementTree as ET
+
+    md = _empty_metadata()
+    tree = ET.fromstring(content)
+    art = tree if tree.tag == "article" else tree.find(".//article")
+    if art is None:
+        return md
+    for aid in art.findall(".//article-id"):
+        id_type = aid.get("pub-id-type")
+        if id_type == "pmid" and aid.text:
+            md["pmid"] = f"pmid{aid.text.strip()}"
+        elif id_type == "doi":
+            md["doi"] = aid.text.strip() if aid.text else None
+    title = art.find(".//title-group/article-title")
+    if title is not None and title.text:
+        md["title"] = title.text.strip()
+    for contrib in art.findall(
+        './/contrib-group/contrib[@contrib-type="author"]'
+    ):
+        surname = contrib.findtext("name/surname")
+        given = contrib.findtext("name/given-names")
+        if surname or given:
+            md["authors"].append(" ".join([given or "", surname or ""]).strip())
+    abstract = art.find(".//abstract")
+    if abstract is not None:
+        paras = abstract.findall(".//p")
+        if paras:
+            combined = " ".join(p.text for p in paras if p.text)
+            md["abstract"] = combined.strip() if combined else None
+        elif abstract.text:
+            md["abstract"] = abstract.text.strip()
+    journal = art.find(".//journal-title")
+    if journal is not None and journal.text:
+        md["journal"] = journal.text.strip()
+    return md
+
+
+def parse_eutils_metadata(article_id: str, content: str) -> dict:
+    """Dispatch on id shape exactly like pub.py:85-102: ids starting with
+    'PMC' use the PMC/JATS dialect, bare digits use the PubMed dialect."""
+    if article_id.upper().startswith("PMC"):
+        return parse_pmc_metadata_xml(content)
+    return parse_pubmed_metadata_xml(content)
+
+
+class EutilsMetadataParser:
+    """map_batches stage: (doc_id, xml) → metadata dimension rows with the
+    synthesized-table schema (doc_id, pmid, title, authors, abstract, doi,
+    journal) — slot recorded efetch XML in place of synth_metadata."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = [str(x) for x in batch.column("doc_id").to_pylist()]
+        xmls = batch.column("xml").to_pylist()
+        rows = [parse_eutils_metadata(i, x or "") for i, x in zip(ids, xmls)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "pmid": pa.array([r["pmid"] for r in rows], pa.string()),
+                "title": pa.array([r["title"] for r in rows], pa.string()),
+                "authors": pa.array(
+                    [r["authors"] for r in rows], pa.list_(pa.string())
+                ),
+                "abstract": pa.array(
+                    [r["abstract"] for r in rows], pa.string()
+                ),
+                "doi": pa.array([r["doi"] for r in rows], pa.string()),
+                "journal": pa.array([r["journal"] for r in rows], pa.string()),
+            }
+        )

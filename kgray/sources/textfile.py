@@ -56,16 +56,51 @@ def split_paragraphs(raw_text: str) -> List[str]:
     return out
 
 
+_PDF_EXTRACTOR = None
+
+
+def set_pdf_extractor(fn) -> None:
+    """Register a PDF→text extractor, ``fn(payload: bytes) -> str``.
+
+    The reference uses MarkItDown (process_text_file.py:75-82); that
+    library is not in this container, so the seam is pluggable: call
+    ``set_pdf_extractor(lambda b: MarkItDown().convert_stream(...))`` (or
+    any pdfminer/pypdf equivalent) before building the pipeline.  The
+    registered callable is captured by the map_batches closures and ships
+    to the actors with them."""
+    global _PDF_EXTRACTOR
+    _PDF_EXTRACTOR = fn
+
+
+def _default_pdf_extractor():
+    """MarkItDown when installed (the reference's extractor), else None."""
+    try:  # pragma: no cover - not installed in this sandbox
+        from markitdown import MarkItDown  # type: ignore
+
+        import io
+
+        md = MarkItDown()
+        return lambda payload: md.convert_stream(
+            io.BytesIO(payload), file_extension=".pdf"
+        ).text_content
+    except ImportError:
+        return None
+
+
 def decode_payload(payload: bytes, ext: str) -> str:
-    """Binary document payload → text.  txt decodes for real; pdf requires
-    an extraction library not present in this container (stubbed)."""
+    """Binary document payload → text.  txt decodes for real; pdf goes
+    through the pluggable extractor seam (``set_pdf_extractor``)."""
     if ext == "txt":
         return payload.decode("utf-8", errors="replace")
     if ext == "pdf":
+        fn = _PDF_EXTRACTOR or _default_pdf_extractor()
+        if fn is not None:
+            return fn(payload)
         raise NotImplementedError(
             "PDF text extraction (reference: MarkItDown, "
             "process_text_file.py:75-82) requires an extraction library "
-            "not available in this sandbox; supply text or txt payloads"
+            "not available in this sandbox; register one with "
+            "set_pdf_extractor() or supply text/txt payloads"
         )
     raise ValueError(f"unsupported extension: {ext!r} (expected pdf/txt)")
 

@@ -1,5 +1,6 @@
 """Corpus generator determinism + explode/admission/span-invariant checks."""
 import pyarrow as pa
+import pytest
 import pyarrow.compute as pc
 
 from kgray import schemas
@@ -66,3 +67,17 @@ def test_span_sequence_invariant_roundtrip():
         pass
     else:
         raise AssertionError("invariant check failed to detect corruption")
+
+
+def test_pdf_extractor_seam():
+    from kgray.sources import textfile
+
+    with pytest.raises(NotImplementedError):
+        textfile.decode_payload(b"%PDF-1.4 fake", "pdf")
+    textfile.set_pdf_extractor(lambda payload: "Extracted PDF text.\n\nPara two here.")
+    try:
+        assert textfile.decode_payload(b"%PDF", "pdf").startswith("Extracted")
+    finally:
+        textfile.set_pdf_extractor(None)
+    with pytest.raises(NotImplementedError):
+        textfile.decode_payload(b"%PDF", "pdf")

@@ -139,3 +139,101 @@ def test_resolve_default_prompt_env(tmp_path, monkeypatch):
     # without env + without the reference package installed: builtin block
     out = prompts.resolve_default_prompt()
     assert "BEL" in out
+
+
+# --- E-utilities metadata XML parsing, both dialects (pub.py:69-211) ---
+
+PUBMED_XML = """<?xml version="1.0"?>
+<PubmedArticleSet>
+ <PubmedArticle>
+  <MedlineCitation>
+   <PMID Version="1">28154610</PMID>
+   <Article>
+    <Journal><Title>The Open Pain Journal</Title></Journal>
+    <ArticleTitle>The Complement System in Neuropathic Pain</ArticleTitle>
+    <Abstract>
+     <AbstractText Label="BACKGROUND">Certain types of pain are unmet needs.</AbstractText>
+     <AbstractText Label="RESULTS">Complement inhibition reduces pain.</AbstractText>
+    </Abstract>
+    <AuthorList>
+     <Author><LastName>Fritzinger</LastName><ForeName>David C.</ForeName></Author>
+     <Author><LastName>Benjamin</LastName><ForeName>Daniel E.</ForeName></Author>
+     <Author><CollectiveName>Some Consortium</CollectiveName></Author>
+    </AuthorList>
+   </Article>
+  </MedlineCitation>
+  <PubmedData>
+   <ArticleIdList>
+    <ArticleId IdType="pubmed">28154610</ArticleId>
+    <ArticleId IdType="doi">10.2174/1876386301609010026</ArticleId>
+   </ArticleIdList>
+  </PubmedData>
+ </PubmedArticle>
+</PubmedArticleSet>
+"""
+
+PMC_XML = """<?xml version="1.0"?>
+<pmc-articleset>
+ <article>
+  <front>
+   <journal-meta><journal-title-group><journal-title>Cell Signals</journal-title></journal-title-group></journal-meta>
+   <article-meta>
+    <article-id pub-id-type="pmid">12345678</article-id>
+    <article-id pub-id-type="doi">10.1000/xyz123</article-id>
+    <title-group><article-title>A JATS-dialect title</article-title></title-group>
+    <contrib-group>
+     <contrib contrib-type="author"><name><surname>Chen</surname><given-names>Li</given-names></name></contrib>
+     <contrib contrib-type="editor"><name><surname>NotAnAuthor</surname><given-names>X</given-names></name></contrib>
+    </contrib-group>
+    <abstract><p>First abstract paragraph.</p><p>Second one.</p></abstract>
+   </article-meta>
+  </front>
+ </article>
+</pmc-articleset>
+"""
+
+
+def test_parse_pubmed_dialect():
+    from kgray.sources.metadata import parse_eutils_metadata
+
+    md = parse_eutils_metadata("28154610", PUBMED_XML)
+    assert md["pmid"] == "pmid28154610"
+    assert md["title"] == "The Complement System in Neuropathic Pain"
+    assert md["authors"] == ["David C. Fritzinger", "Daniel E. Benjamin"]
+    assert md["abstract"] == (
+        "Certain types of pain are unmet needs. "
+        "Complement inhibition reduces pain."
+    )
+    assert md["doi"] == "10.2174/1876386301609010026"
+    assert md["journal"] == "The Open Pain Journal"
+
+
+def test_parse_pmc_dialect():
+    from kgray.sources.metadata import parse_eutils_metadata
+
+    md = parse_eutils_metadata("PMC999", PMC_XML)
+    assert md["pmid"] == "pmid12345678"
+    assert md["doi"] == "10.1000/xyz123"
+    assert md["title"] == "A JATS-dialect title"
+    assert md["authors"] == ["Li Chen"]  # editors excluded, pub.py:189
+    assert md["abstract"] == "First abstract paragraph. Second one."
+    assert md["journal"] == "Cell Signals"
+
+
+def test_parse_metadata_missing_fields_and_stage():
+    from kgray.sources.metadata import (
+        EutilsMetadataParser,
+        parse_eutils_metadata,
+    )
+
+    md = parse_eutils_metadata("PMC1", "<pmc-articleset/>")
+    assert md == {"pmid": None, "title": None, "authors": [],
+                  "abstract": None, "doi": None, "journal": None}
+    out = EutilsMetadataParser()(
+        pa.table({"doc_id": ["28154610", "PMC999"],
+                  "xml": [PUBMED_XML, PMC_XML]})
+    )
+    assert out.column("journal").to_pylist() == [
+        "The Open Pain Journal", "Cell Signals"
+    ]
+    assert out.column("authors").to_pylist()[1] == ["Li Chen"]
