@@ -245,14 +245,20 @@ def run_scaling() -> dict:
         tput_lo = r_lo["n_docs"] / r_lo["value"]
         tput_hi = r_hi["n_docs"] / r_hi["value"]
         eff = (tput_hi / tput_lo) / (hi / lo)
+        ctl = raw_cpu_control(lo, hi)
         legs[f"{lo}v{hi}"] = {
             "cpus_lo": lo, "cpus_hi": hi,
             "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
             "docs_per_sec_lo": round(tput_lo, 2),
             "docs_per_sec_hi": round(tput_hi, 2),
             "efficiency": round(eff, 3),
+            # engine efficiency normalized to what the HARDWARE gives the
+            # same ratio of pure-CPU processes (SMT/turbo ceiling): ~1.0
+            # means the engine loses nothing beyond the box itself
+            "normalized_to_hw": round(eff / ctl["efficiency"], 3)
+            if ctl["efficiency"] else None,
         }
-        controls[f"{lo}v{hi}"] = raw_cpu_control(lo, hi)
+        controls[f"{lo}v{hi}"] = ctl
 
     primary = legs["8v32"]
     return {

@@ -95,7 +95,7 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
 
 
 def revenue_by_nation(
-    sf_dir: str, join_partitions: int = 16
+    sf_dir: str, join_partitions: int = 64
 ) -> "ray.data.Dataset":
     """lineitem ⋈ orders ⋈ customer ⋈ nation: the TRUE dimensions
     (customer, nation) are broadcast; the fact-fact hop

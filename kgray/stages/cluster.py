@@ -144,10 +144,8 @@ def cluster_surface_forms(
 
     # --- LSH candidate pairs over char shingles of the normalized form
     sigs = distinct.map_batches(
-        _CharMinHasher,
+        _CharMinHasher(num_hashes=num_hashes, shingle_k=3),
         batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"num_hashes": num_hashes, "shingle_k": 3},
     )
 
     def to_bands(batch: pa.Table) -> pa.Table:

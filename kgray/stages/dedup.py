@@ -237,7 +237,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_k: int = 3,
-    join_partitions: int = 16,
+    join_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (doc_a < doc_b) with exact word-``k``-gram
     Jaccard ≥ ``threshold``, found via MinHash-LSH banding.
@@ -261,14 +261,12 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     doc_txt = docs.select_columns(["doc_id", "text"])
+    # Task pool, not actor pool: MinHasher's state is a tiny coefficient
+    # matrix (μs to rebuild, bytes to ship), and an actor pool's spin-up
+    # costs ~2s of wall time at small scale for zero steady-state benefit.
     sigs = docs.map_batches(
-        MinHasher,
+        MinHasher(num_hashes=num_hashes, shingle_k=shingle_k),
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        fn_constructor_kwargs={
-            "num_hashes": num_hashes,
-            "shingle_k": shingle_k,
-        },
     )
     band_tbl = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows), batch_format="pyarrow"
@@ -475,6 +473,74 @@ class SimHasher:
 
 
 def simhash_signatures(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    return docs.map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=(1, 8)
+    # Task pool: SimHasher holds no meaningful per-actor state.
+    return docs.map_batches(SimHasher(), batch_format="pyarrow")
+
+
+def near_dup_groups(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    join_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Connected components over the verified near-duplicate pair graph:
+    one row per document, (doc_id, rep_id) where rep_id is the smallest
+    doc_id in the document's near-dup component (itself when it has no
+    near-duplicates).  ``rep_id == doc_id`` selects the canonical survivor
+    — the keep-one-per-cluster dedup a training-data pipeline applies.
+
+    Scale shape: the pair graph comes out of ``minhash_lsh_pairs``
+    (LSH-bounded, orders of magnitude smaller than the corpus); components
+    run union-find on the driver over PAIR EDGES ONLY (the same bounded
+    collection ``cluster_surface_forms`` uses) and the doc_id→rep mapping
+    is broadcast back over the corpus with one map_batches.
+    """
+    pairs = minhash_lsh_pairs(
+        docs,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        join_partitions=join_partitions,
+    )
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        if "doc_a" not in batch.schema.names:
+            continue
+        for a, b in zip(
+            batch.column("doc_a").to_pylist(),
+            batch.column("doc_b").to_pylist(),
+        ):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    rep = {n: find(n) for n in list(parent)}
+    rep_ref = ray.put(rep)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "rep_id": pa.array(
+                    [m.get(i, i) for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
     )
