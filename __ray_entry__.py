@@ -552,6 +552,18 @@ def _q_supplier_balance(sf_dir: str):
     return supplier_balance_stats(sf_dir)
 
 
+def _q_events_asof(sf_dir: str):
+    from kgray.pipelines.relational import events_asof_join
+
+    return events_asof_join(sf_dir)
+
+
+def _q_events_range_join(sf_dir: str):
+    from kgray.pipelines.relational import events_range_join
+
+    return events_range_join(sf_dir, window_minutes=60)
+
+
 def _q_orders_high_value(sf_dir: str):
     from kgray.pipelines.relational import filter_orders_high_value
 
@@ -683,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": _q_top_parts,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_asof": _q_events_asof,
+        "events_range": _q_events_range_join,
         "supplier_balance": _q_supplier_balance,
         "orders_high_value": _q_orders_high_value,
         # XML sources (BioC ingestion + E-utilities metadata kernels)
@@ -862,6 +876,24 @@ FROM supplier GROUP BY s_nationkey
         "orders_high_value": """
 SELECT o_orderkey, o_totalprice, o_orderstatus
 FROM orders WHERE o_totalprice > 100000.0
+""",
+        "events_asof": """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "events_range": """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts > p.ts - INTERVAL 60 MINUTE
 """,
         "bioc_ingest": """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -306,3 +306,102 @@ def filter_orders_high_value(sf_dir: str, cutoff: float = 100000.0):
         lambda t: t.filter(pc.greater(t["o_totalprice"], cutoff)),
         batch_format="pyarrow",
     )
+
+
+def events_asof_join(
+    sf_dir: str, num_partitions: int = 32
+) -> "ray.data.Dataset":
+    """As-of join: each purchase event matched to the latest click by the
+    same user at-or-before its timestamp (inner: unmatched purchases drop).
+
+    Ray Data has no asof-join primitive; the scale-correct composition is
+    hash-partition BOTH sides by user (one all-to-all), then inside each
+    partition run one vectorized ``pandas.merge_asof(by=user_id)`` over the
+    partition's time-sorted rows — a coarse partition holds thousands of
+    users, so the merge is one C-speed pass, not per-user tiny groups.
+    Partitioning assumption: a single user's events fit in one partition
+    (true by construction of the hash partitioning)."""
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    P = num_partitions
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        pk = (hash_array(uid) % np.uint64(P)).astype(np.int32)
+        return batch.append_column("_pkey", pa.array(pk, pa.int32()))
+
+    def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g.event_type == "purchase"].sort_values("ts")
+        right = g[g.event_type == "click"].sort_values("ts")
+        if left.empty or right.empty:
+            return pd.DataFrame()
+        m = pd.merge_asof(
+            left[["event_id", "ts", "user_id", "value"]],
+            right[["event_id", "ts", "user_id", "value"]].rename(
+                columns={"event_id": "click_event_id", "ts": "click_ts",
+                         "value": "click_value"}
+            ),
+            left_on="ts",
+            right_on="click_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m.click_event_id.notna()].copy()
+        m["click_event_id"] = m.click_event_id.astype("int64")
+        return m[["event_id", "user_id", "ts", "value",
+                  "click_event_id", "click_ts", "click_value"]]
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(asof_partition, batch_format="pandas")
+    )
+
+
+def events_range_join(
+    sf_dir: str, window_minutes: int = 60, num_partitions: int = 32
+) -> "ray.data.Dataset":
+    """Range join: every (purchase, click) pair for the same user with the
+    click inside (purchase_ts - window, purchase_ts].  Same partitioning
+    composition as the as-of join (hash both sides by user, one all-to-all),
+    with an in-partition merge + interval filter; the window bound keeps
+    the per-partition pair fan-out linear in practice (each purchase meets
+    only its own user's clicks inside one window)."""
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+    P = num_partitions
+    win = pd.Timedelta(minutes=window_minutes)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        pk = (hash_array(uid) % np.uint64(P)).astype(np.int32)
+        return batch.append_column("_pkey", pa.array(pk, pa.int32()))
+
+    def range_partition(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g.event_type == "purchase"]
+        right = g[g.event_type == "click"]
+        if left.empty or right.empty:
+            return pd.DataFrame()
+        m = left[["event_id", "ts", "user_id", "value"]].merge(
+            right[["event_id", "ts", "user_id", "value"]].rename(
+                columns={"event_id": "click_event_id", "ts": "click_ts",
+                         "value": "click_value"}
+            ),
+            on="user_id",
+        )
+        m = m[(m.click_ts <= m.ts) & (m.click_ts > m.ts - win)]
+        return m[["event_id", "user_id", "ts", "value",
+                  "click_event_id", "click_ts", "click_value"]]
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(range_partition, batch_format="pandas")
+    )

@@ -309,3 +309,26 @@ def test_cluster_surface_forms_scale():
     assert by_name.loc["GENE0", "cluster_id"] == by_name.loc["gene0", "cluster_id"]
     assert by_name.loc["GENE123", "cluster_id"] == by_name.loc["gene123", "cluster_id"]
     assert by_name.loc["GENE0", "cluster_id"] != by_name.loc["GENE123", "cluster_id"]
+
+
+def test_asof_and_range_join_semantics():
+    """As-of: latest click at-or-before; range: all clicks in the window."""
+    import pandas as pd
+    from kgray.pipelines.relational import events_asof_join, events_range_join
+
+    sf = "/root/testdata/sf0.001"
+    asof = events_asof_join(sf).to_pandas()
+    assert len(asof) > 0
+    # the matched click is never after the purchase
+    assert (asof.click_ts <= asof.ts).all()
+    # one row per matched purchase
+    assert asof.event_id.is_unique
+    rng = events_range_join(sf, window_minutes=60).to_pandas()
+    if len(rng):
+        assert ((rng.click_ts <= rng.ts)
+                & (rng.click_ts > rng.ts - pd.Timedelta(minutes=60))).all()
+    # every range match at-or-before within window implies the asof match
+    # for that purchase is also within the window or later than it
+    merged = rng.merge(asof, on="event_id", suffixes=("_r", "_a"))
+    if len(merged):
+        assert (merged.click_ts_a >= merged.click_ts_r).all()
