@@ -552,6 +552,22 @@ def _q_supplier_balance(sf_dir: str):
     return supplier_balance_stats(sf_dir)
 
 
+def _q_media_frames(sf_dir: str):
+    """Video frame sampling over the synthetic interleaved corpus' media
+    spans (rows-only: modality/duration are probe-derived, non-SQL)."""
+    import ray.data
+
+    from kgray.corpus import generate_documents
+    from kgray.stages.chunk import explode_spans
+    from kgray.stages.multimodal import sample_video_frames
+
+    docs, _, _ = generate_documents(60, seed=13)
+    chunks = ray.data.from_arrow(docs).map_batches(
+        explode_spans, batch_format="pyarrow"
+    )
+    return sample_video_frames(chunks, interval_ms=1000, max_frames=8)
+
+
 def _q_events_asof(sf_dir: str):
     from kgray.pipelines.relational import events_asof_join
 
@@ -670,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eval_matcher": _q_kg_eval_matcher,
         "entity_faithfulness": _q_entity_faithfulness,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         "graph_summaries": _q_graph_summaries,
         "checkpoint_lineage": _q_checkpoint_lineage,
         "doc_quarantine": _q_doc_quarantine,

@@ -127,3 +127,183 @@ def decode_media(chunks, concurrency=(1, 4), batch_size: int = 64):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def _fake_probe(ref: str) -> dict:
+    """Deterministic container probe: modality + duration keyed on the ref
+    (images: duration 0; video/audio: seconds-scale)."""
+    seed = zlib.crc32(("probe:" + (ref or "")).encode())
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    modality = ["image", "video", "audio"][seed % 3]
+    duration_ms = 0 if modality == "image" else int(rng.randint(1000, 30000))
+    return {"modality": modality, "duration_ms": duration_ms}
+
+
+class MediaProber:
+    """Actor stage: media rows → + (modality, duration_ms).  The real
+    kernel is an ffprobe/PIL header sniff — once-per-actor init seam kept;
+    the fake derives both deterministically from the ref."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "container probing requires ffprobe/PIL, absent here"
+            )
+        probes = [
+            _fake_probe(r) for r in batch.column("media_ref").to_pylist()
+        ]
+        t = batch.append_column(
+            "modality",
+            pa.array([p["modality"] for p in probes], pa.string()),
+        )
+        return t.append_column(
+            "duration_ms",
+            pa.array([p["duration_ms"] for p in probes], pa.int32()),
+        )
+
+
+class FrameSampler:
+    """Actor stage: video rows → sampled frame rows.
+
+    One input row (doc_id, span_seq, media_ref, modality, duration_ms)
+    fans out to ``ceil(duration/interval_ms)`` frame rows, capped at
+    ``max_frames`` (uniform re-spacing when capped — the standard
+    training-data sampling policy).  Output: (doc_id, span_seq, media_ref,
+    frame_idx, ts_ms, feature list<float32>).  The per-frame decode is the
+    stubbed kernel; the fan-out, capping, timestamps and batch layout are
+    the real Ray-side work.  batch_size stays small upstream: with real
+    codecs each input row is a multi-MB container."""
+
+    def __init__(self, interval_ms: int = 1000, max_frames: int = 16,
+                 strict: bool = False):
+        self.interval_ms = interval_ms
+        self.max_frames = max_frames
+        self.strict = strict
+
+    def _frame_feature(self, ref: str, ts_ms: int) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "frame decoding requires video codecs, absent here"
+            )
+        seed = zlib.crc32(f"{ref}@{ts_ms}".encode())
+        rng = np.random.RandomState(seed & 0x7FFFFFFF)
+        return rng.standard_normal(MEDIA_FEATURE_DIM).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc, seq, ref, fidx, ts, feat = [], [], [], [], [], []
+        modality = batch.column("modality").to_pylist()
+        dur = batch.column("duration_ms").to_pylist()
+        docs = batch.column("doc_id").to_pylist()
+        seqs = batch.column("span_seq").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        for d, s, r, m, ms in zip(docs, seqs, refs, modality, dur):
+            if m != "video" or not ms:
+                continue
+            n = max(1, int(np.ceil(ms / self.interval_ms)))
+            if n > self.max_frames:
+                stamps = np.linspace(0, ms - 1, self.max_frames)
+            else:
+                stamps = np.arange(n) * self.interval_ms
+            for i, t_ms in enumerate(stamps.astype(np.int64)):
+                doc.append(d)
+                seq.append(s)
+                ref.append(r)
+                fidx.append(i)
+                ts.append(int(t_ms))
+                feat.append(self._frame_feature(r, int(t_ms)).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.string()),
+                "span_seq": pa.array(seq, pa.int32()),
+                "media_ref": pa.array(ref, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "ts_ms": pa.array(ts, pa.int64()),
+                "feature": pa.array(feat, pa.list_(pa.float32())),
+            }
+        )
+
+
+AUDIO_FEATURE_DIM = 13
+
+
+class AudioWindowFeatures:
+    """Actor stage: audio rows → windowed feature frames (MFCC-shaped).
+
+    (win_ms, hop_ms) sliding windows over the clip duration; output one
+    row per window: (doc_id, span_seq, media_ref, win_idx, start_ms,
+    feature list<float32>[13]).  Kernel stubbed; windowing math real."""
+
+    def __init__(self, win_ms: int = 400, hop_ms: int = 200,
+                 strict: bool = False):
+        self.win_ms = win_ms
+        self.hop_ms = hop_ms
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc, seq, ref, widx, start, feat = [], [], [], [], [], []
+        for d, s, r, m, ms in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("span_seq").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("modality").to_pylist(),
+            batch.column("duration_ms").to_pylist(),
+        ):
+            if m != "audio" or not ms:
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "audio decoding requires an audio library, absent here"
+                )
+            n_win = max(1, 1 + (ms - self.win_ms) // self.hop_ms)
+            for i in range(int(n_win)):
+                st = i * self.hop_ms
+                seed = zlib.crc32(f"{r}#aud{st}".encode())
+                rng = np.random.RandomState(seed & 0x7FFFFFFF)
+                doc.append(d)
+                seq.append(s)
+                ref.append(r)
+                widx.append(i)
+                start.append(st)
+                feat.append(
+                    rng.standard_normal(AUDIO_FEATURE_DIM)
+                    .astype(np.float32).tolist()
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.string()),
+                "span_seq": pa.array(seq, pa.int32()),
+                "media_ref": pa.array(ref, pa.string()),
+                "win_idx": pa.array(widx, pa.int32()),
+                "start_ms": pa.array(start, pa.int64()),
+                "feature": pa.array(feat, pa.list_(pa.float32())),
+            }
+        )
+
+
+def sample_video_frames(chunks, interval_ms: int = 1000,
+                        max_frames: int = 16,
+                        concurrency=(1, 4), batch_size: int = 16):
+    """media spans → probed → sampled video frame features (actor pools).
+
+    batch_size small on BOTH stages: with real codecs the prober reads
+    container headers and the sampler holds decoded frames in memory."""
+    probed = media_chunks(chunks).map_batches(
+        MediaProber,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return probed.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={
+            "interval_ms": interval_ms, "max_frames": max_frames,
+        },
+    )

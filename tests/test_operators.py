@@ -332,3 +332,51 @@ def test_asof_and_range_join_semantics():
     merged = rng.merge(asof, on="event_id", suffixes=("_r", "_a"))
     if len(merged):
         assert (merged.click_ts_a >= merged.click_ts_r).all()
+
+
+def test_frame_sampling_and_audio_windows():
+    from kgray.corpus import generate_documents
+    from kgray.stages.chunk import explode_spans
+    from kgray.stages.multimodal import (
+        AudioWindowFeatures,
+        FrameSampler,
+        MediaProber,
+        media_chunks,
+        sample_video_frames,
+    )
+
+    docs, _, _ = generate_documents(40, seed=21)
+    chunks = ray.data.from_arrow(docs).map_batches(
+        explode_spans, batch_format="pyarrow"
+    )
+    frames = sample_video_frames(chunks, interval_ms=1000, max_frames=4)
+    fdf = frames.to_pandas()
+    assert len(fdf) > 0
+    # caps respected, timestamps within duration, features fixed-dim
+    assert fdf.groupby(["doc_id", "span_seq"]).frame_idx.count().max() <= 4
+    assert (fdf.frame_idx >= 0).all() and (fdf.ts_ms >= 0).all()
+    assert fdf.feature.map(len).eq(16).all()
+    # determinism
+    fdf2 = sample_video_frames(chunks, interval_ms=1000, max_frames=4).to_pandas()
+    a = fdf.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
+    b = fdf2.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
+    assert a.ts_ms.tolist() == b.ts_ms.tolist()
+    # audio windows
+    probed = media_chunks(chunks).map_batches(
+        MediaProber(), batch_format="pyarrow"
+    )
+    wins = probed.map_batches(
+        AudioWindowFeatures(win_ms=400, hop_ms=200), batch_format="pyarrow"
+    ).to_pandas()
+    if len(wins):
+        assert wins.feature.map(len).eq(13).all()
+        per = wins.groupby(["media_ref"]).start_ms.agg(["min", "max", "count"])
+        assert (per["min"] == 0).all()
+    # strict mode raises at the kernel
+    import pyarrow as pa_
+    probe_batch = pa_.table(
+        {"doc_id": ["d"], "span_seq": pa_.array([0], pa_.int32()),
+         "media_ref": ["synthetic://media/x/1"]}
+    )
+    with pytest.raises(NotImplementedError):
+        MediaProber(strict=True)(probe_batch)
