@@ -118,6 +118,14 @@ def run_bench() -> dict:
     ext_max = max(2, ncpu // 2)
     cfg.annotate_concurrency = (max(1, ann_max // 2), ann_max)
     cfg.extract_concurrency = (max(1, ext_max // 2), ext_max)
+    if replicate <= 1:
+        # unamplified corpus: per-batch compute is sub-second in total, so
+        # actor-pool SPIN-UP dominates wall time; one fused annotate+extract
+        # pool a quarter the size is strictly faster (measured 5.8s vs 7.0s
+        # at 32 cpus).  Scaling legs (replicate>1) keep the proportional
+        # two-pool layout above — there per-doc work dominates.
+        cfg.fuse_annotate_extract = True
+        cfg.extract_concurrency = (max(2, ncpu // 8), max(4, ncpu // 4))
     res = run_kg_pipeline(docs, cfg)
     res.edges.write_parquet(os.path.join(out_dir, "edges"))
     res.nodes.write_parquet(os.path.join(out_dir, "nodes"))

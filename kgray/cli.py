@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "into every generated network.")
     p.add_argument("--custom_name", type=str, default=None,
                    help="Network name override for file inputs.")
+    p.add_argument("--pmid_for_file", type=str, default=None,
+                   help="PMID used to name networks built from file inputs "
+                        "(reference main.py:374-385 naming hook).")
     p.add_argument("--backend", type=str, default="stub",
                    choices=["stub", "openai", "vllm"],
                    help="Extraction backend (stub = deterministic, "
@@ -192,7 +195,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     for row in graphs.iter_rows():
         doc_dir = os.path.join(args.output_dir, str(row["doc_id"]))
         os.makedirs(doc_dir, exist_ok=True)
-        name = args.custom_name or str(row["doc_id"])
+        if args.custom_name:
+            name = args.custom_name
+        elif args.pmid_for_file:
+            name = f"pmid{args.pmid_for_file}"
+        else:
+            name = str(row["doc_id"])
         with open(os.path.join(doc_dir, "cx2_network.cx"), "w") as f:
             f.write(row["cx2"])
         with open(os.path.join(doc_dir, "network.json"), "w") as f:

@@ -101,5 +101,5 @@ def test_parser_flags_match_reference_surface():
     for ref_flag in ["--api_key", "--pmc_ids", "--pdf_paths", "--txt_paths",
                      "--ndex_email", "--ndex_password", "--upload_to_ndex",
                      "--prompt_file", "--prompt_identifier", "--style_path",
-                     "--custom_name"]:
+                     "--custom_name", "--pmid_for_file"]:
         assert ref_flag in flags, ref_flag
