@@ -255,6 +255,23 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(emb, qm, qids, k=5)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF approximate kNN (rows-only: recall < 1 by construction; the
+    pytest asserts recall >= 0.9 vs exact on the same table)."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.similarity import knn_ivf
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    qm, qids = _load_queries(sf_dir)
+    return knn_ivf(emb, qm, qids, k=5, n_centroids=32, n_probe=8)
+
+
 def _q_embedding_near_dup(sf_dir: str):
     import os
 
@@ -705,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         # relational / events
         "pricing_summary": _q_pricing_summary,

@@ -23,8 +23,15 @@ import ray.data
 
 
 def _to_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column — zero-copy
+    flatten + reshape for the fixed-dim case (every embedding column),
+    falling back to the python path only for ragged lists."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    return np.asarray(arr.to_pylist(), dtype=np.float64)
+    try:
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1).astype(np.float64)
+    except ValueError:  # ragged lists
+        return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -270,3 +277,127 @@ def embedding_near_dup_pairs(
     )
     # union with a typed empty block: a no-pairs result keeps its schema
     return typed_empty.union(out)
+
+
+def train_ivf_centroids(
+    embeddings: "ray.data.Dataset",
+    n_centroids: int = 32,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 5,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd's k-means on a BOUNDED sample.
+
+    The sample (``limit(sample_size)``) is the only driver-side data — a
+    fixed-size training set, not corpus-sized; production IVF trains the
+    same way (faiss trains on a sample).  Returns (n_centroids, dim)
+    L2-normalized centroids for cosine/IP search."""
+    sample = _to_matrix(
+        pa.concat_tables(
+            [
+                pa.table({"embedding": b.column("embedding")})
+                for b in embeddings.limit(sample_size).iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        ).column("embedding")
+    )
+    sample = _normalize(sample)
+    rng = np.random.RandomState(seed)
+    n_c = min(n_centroids, len(sample))
+    cent = sample[rng.choice(len(sample), n_c, replace=False)]
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_c):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 5,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k: coarse k-means lists + multi-probe search.
+
+    The scale path beside ``knn_lsh``: centroids are trained once on a
+    bounded sample and broadcast; every vector is assigned to its nearest
+    list in one batched matmul (map_batches — the corpus never moves);
+    each query probes its ``n_probe`` nearest lists, so the scored
+    candidate set is ~``n_probe/n_centroids`` of the corpus; batch-local
+    top-k then a tiny keyed reduce, exactly like ``knn_cosine``.  Recall
+    < 1 by construction (list boundaries); raise ``n_probe`` to trade
+    compute for recall."""
+    cent = train_ivf_centroids(
+        embeddings, n_centroids, sample_size, seed=seed
+    )
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_probe = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]  # (Q, P)
+    # probe_map: centroid id -> query row indices probing it
+    probe_map = {}
+    for qi, lists in enumerate(q_probe):
+        for c in lists:
+            probe_map.setdefault(int(c), []).append(qi)
+    state_ref = ray.put((cent, qm, np.asarray(query_ids), probe_map))
+
+    class IVFScorer:
+        """Assign batch vectors to lists and score them against exactly
+        the queries probing those lists."""
+
+        def __init__(self):
+            self.cent, self.qm, self.qids, self.pmap = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_to_matrix(batch.column("embedding")))
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            assign = (vm @ self.cent.T).argmax(axis=1)
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(assign):
+                q_idx = self.pmap.get(int(c))
+                if not q_idx:
+                    continue
+                rows = assign == c
+                sub = vm[rows]
+                sub_ids = vids[rows]
+                sims = self.qm[q_idx] @ sub.T  # (q, m)
+                kk = min(k + 1, sims.shape[1])
+                for r, qi in enumerate(q_idx):
+                    top = np.argpartition(-sims[r], kk - 1)[:kk]
+                    for j in top:
+                        if sub_ids[j] == self.qids[qi]:
+                            continue
+                        out_q.append(self.qids[qi])
+                        out_n.append(sub_ids[j])
+                        out_s.append(sims[r, j])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return (
+        embeddings.map_batches(
+            IVFScorer, batch_format="pyarrow", concurrency=(1, 8)
+        )
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pandas")
+    )

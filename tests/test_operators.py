@@ -380,3 +380,36 @@ def test_frame_sampling_and_audio_windows():
     )
     with pytest.raises(NotImplementedError):
         MediaProber(strict=True)(probe_batch)
+
+
+def test_knn_ivf_recall():
+    """IVF with generous n_probe recovers >=90% of exact top-k."""
+    from kgray.stages.similarity import knn_cosine, knn_ivf
+
+    rng = np.random.RandomState(4)
+    emb = rng.standard_normal((400, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array(
+                    [e.tolist() for e in emb], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    q = emb[:5]
+    qids = np.arange(5)
+    exact = knn_cosine(ds, q, qids, k=5).to_pandas()
+    approx = knn_ivf(ds, q, qids, k=5, n_centroids=16, n_probe=8).to_pandas()
+    hits = tot = 0
+    for qid in qids:
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.9
+    # determinism
+    approx2 = knn_ivf(ds, q, qids, k=5, n_centroids=16, n_probe=8).to_pandas()
+    assert approx.sort_values(["query_id", "rank"]).neighbor_id.tolist() == \
+        approx2.sort_values(["query_id", "rank"]).neighbor_id.tolist()
