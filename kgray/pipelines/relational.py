@@ -128,20 +128,17 @@ def revenue_by_nation(
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    class AttachNation:
-        def __init__(self):
-            self.lookup = ray.get(cn_ref)  # customer-dimension-sized
+    # Task pool: the broadcast lookup is a zero-copy ray.get from the
+    # local object store per batch; an actor pool would only add spin-up.
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cn_ref)  # customer-dimension-sized
+        df = batch.to_pandas()
+        df["n_name"] = df.o_custkey.map(lookup)
+        return pa.Table.from_pandas(
+            df[["o_orderkey", "n_name"]], preserve_index=False
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df["n_name"] = df.o_custkey.map(self.lookup)
-            return pa.Table.from_pandas(
-                df[["o_orderkey", "n_name"]], preserve_index=False
-            )
-
-    o_n = orders.map_batches(
-        AttachNation, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    o_n = orders.map_batches(attach_nation, batch_format="pyarrow")
 
     li = _read(
         sf_dir,
@@ -187,42 +184,59 @@ def revenue_by_nation(
 
 
 def top_parts_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
-    """Top-k parts by lineitem revenue: broadcast part names, partial agg,
-    groupby, global sort, limit."""
-    import pyarrow.parquet as pq
-
-    p_df = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
-    ).to_pandas()
-    name_ref = ray.put(dict(zip(p_df.p_partkey.to_numpy(), p_df.p_name)))
+    """Top-k parts by lineitem revenue: partial agg → coarse-partition
+    keyed reduce (utils.coarse_grouped_map — a plain 20k-group
+    ``aggregate`` pays ~0.5 ms/group of Python in the reducer) → per-block
+    top-k → driver-side final top-k over the ≤ blocks×k survivors.  The
+    part-name dimension is attached to the FINAL k rows only — no
+    broadcast of the dimension at all."""
+    from ..utils import coarse_grouped_map
 
     li = _read(
         sf_dir, "lineitem",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
 
-    class Partial:
-        def __init__(self):
-            self.names = ray.get(name_ref)
+    def part_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby("l_partkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
-            g = df.groupby("l_partkey", as_index=False).agg(
-                revenue=("revenue", "sum")
-            )
-            g["p_name"] = g.l_partkey.map(self.names)
-            return pa.Table.from_pandas(g, preserve_index=False)
+    def final_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
 
-    agg = (
-        li.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
-        .repartition(8)
-        .groupby(["l_partkey", "p_name"])
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    agg = coarse_grouped_map(
+        li.map_batches(part_partial, batch_format="pyarrow"),
+        "l_partkey",
+        final_reduce,
     )
-    top = agg.sort(["revenue", "l_partkey"], descending=[True, False]).limit(k)
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue", "l_partkey"], ascending=[False, True]
+        ).head(k)
+
+    # blocks×k candidate rows (bounded by the top-k contract, not by data
+    # size) are the only driver-side collection
+    cand = agg.map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    t = cand.sort_values(
+        ["revenue", "l_partkey"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+
+    import pyarrow.parquet as pq
+
+    p_df = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    t = t.merge(p_df, left_on="l_partkey", right_on="p_partkey")
     # rank column makes the result order-insensitive for comparison
-    t = top.to_pandas()
     t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
     t["revenue"] = np.floor(t["revenue"] * 100.0 + 0.5) / 100.0
     return ray.data.from_pandas(t[["rnk", "l_partkey", "p_name", "revenue"]])
@@ -240,14 +254,19 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .repartition(8)
-        .groupby(["event_type", "hour"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
+    def final_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
         )
+
+    from ..utils import coarse_grouped_map
+
+    # coarse keyed reduce, not .aggregate(): thousands of (type, hour)
+    # groups would pay per-group Python in Ray's reducer (see utils)
+    out = coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        final_reduce,
     )
     return _round_half_up(out, {"sum_value": 4})
 
@@ -262,10 +281,14 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_sess = (g.ts.diff() > gap).cumsum()
-        out = g.groupby(new_sess).agg(
+    def sessionize_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over a partition holding THOUSANDS of whole
+        # users: session breaks at user boundaries or ≥gap silences —
+        # per-user map_groups would pay a Python call per user instead
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g.user_id.ne(g.user_id.shift())
+        sess = (new_user | (g.ts.diff() > gap)).cumsum()
+        out = g.groupby(sess).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
@@ -274,8 +297,10 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         )
         return out.reset_index(drop=True)
 
+    from ..utils import coarse_grouped_map
+
     return _round_half_up(
-        ev.groupby("user_id").map_groups(sessionize, batch_format="pandas"),
+        coarse_grouped_map(ev, "user_id", sessionize_partition),
         {"sum_value": 4},
     )
 

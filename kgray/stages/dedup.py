@@ -202,12 +202,18 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             ["text", "doc_id"]
         )
 
-    return (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .repartition(16)
-        .groupby("text")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id", "text"])
+    def final_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+        # coarse keyed reduce (see utils.coarse_grouped_map): one distinct
+        # text per group, so a plain .aggregate() would pay per-TEXT Python
+        out = df.groupby("text", as_index=False).agg(doc_id=("doc_id", "min"))
+        return out[["doc_id", "text"]]
+
+    from ..utils import coarse_grouped_map
+
+    return coarse_grouped_map(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "text",
+        final_reduce,
     )
 
 
@@ -231,6 +237,25 @@ def jaccard_verify_frame(
     return df.loc[keep, ["doc_a", "doc_b"]].reset_index(drop=True)
 
 
+def _bounded_shuffle_width(shuffle_blocks) -> int:
+    """Default sort-shuffle fan-in: one partition per cluster core.
+
+    Ray's sort-based shuffle inherits its partition count from the input
+    block count, and every partition pays a fixed per-task cost — a small
+    corpus read into 64 micro-blocks makes each of this op's three sorts
+    ~4× slower than the same data in 32 blocks (measured).  One partition
+    per core is right as long as a partition's share of the corpus fits in
+    a worker's heap; at 100 TB pass ``shuffle_blocks ≈ total_bytes /
+    256 MB`` explicitly instead (more, smaller partitions trade task
+    overhead for bounded memory)."""
+    if shuffle_blocks is not None:
+        return shuffle_blocks
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 32
+
+
 def minhash_lsh_pairs(
     docs: "ray.data.Dataset",
     threshold: float = 0.5,
@@ -238,6 +263,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     join_partitions: int = 64,
+    shuffle_blocks: int = None,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (doc_a < doc_b) with exact word-``k``-gram
     Jaccard ≥ ``threshold``, found via MinHash-LSH banding.
@@ -260,6 +286,9 @@ def minhash_lsh_pairs(
     op survives corpora whose candidate sets are themselves huge.
     """
     rows = num_hashes // bands
+    # Coalesce micro-blocks ONCE at the top: every downstream stage (and
+    # all three sort shuffles) inherits this block count.
+    docs = docs.repartition(_bounded_shuffle_width(shuffle_blocks))
     doc_txt = docs.select_columns(["doc_id", "text"])
     # Task pool, not actor pool: MinHasher's state is a tiny coefficient
     # matrix (μs to rebuild, bytes to ship), and an actor pool's spin-up
@@ -484,6 +513,7 @@ def near_dup_groups(
     bands: int = 32,
     shingle_k: int = 3,
     join_partitions: int = 64,
+    shuffle_blocks: int = None,
 ) -> "ray.data.Dataset":
     """Connected components over the verified near-duplicate pair graph:
     one row per document, (doc_id, rep_id) where rep_id is the smallest
@@ -504,6 +534,7 @@ def near_dup_groups(
         bands=bands,
         shingle_k=shingle_k,
         join_partitions=join_partitions,
+        shuffle_blocks=shuffle_blocks,
     )
     parent: dict = {}
 

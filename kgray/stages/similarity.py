@@ -55,32 +55,32 @@ def knn_cosine(
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put((qm, np.asarray(query_ids)))
 
-    class BatchTopK:
-        def __init__(self):
-            self.qm, self.qids = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vm = _normalize(_to_matrix(batch.column("embedding")))
-            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            sims = self.qm @ vm.T  # (Q, B)
-            out_q, out_n, out_s = [], [], []
-            kk = min(k + (1 if exclude_self else 0), sims.shape[1])
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                idx = np.argpartition(-row, kk - 1)[:kk]
-                for j in idx:
-                    if exclude_self and vids[j] == self.qids[qi]:
-                        continue
-                    out_q.append(self.qids[qi])
-                    out_n.append(vids[j])
-                    out_s.append(row[j])
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
+    # Task pool, not actor pool: the only state is the broadcast query
+    # matrix, and ray.get on a local ObjectRef is a zero-copy shared-memory
+    # read per batch — an actor pool would add ~2s spin-up for no benefit.
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm_, qids_ = ray.get(q_ref)
+        vm = _normalize(_to_matrix(batch.column("embedding")))
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = qm_ @ vm.T  # (Q, B)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            for j in idx:
+                if exclude_self and vids[j] == qids_[qi]:
+                    continue
+                out_q.append(qids_[qi])
+                out_n.append(vids[j])
+                out_s.append(row[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
 
     def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -91,9 +91,7 @@ def knn_cosine(
         return g[["query_id", "neighbor_id", "rank"]]
 
     return (
-        embeddings.map_batches(
-            BatchTopK, batch_format="pyarrow", concurrency=(1, 8)
-        )
+        embeddings.map_batches(batch_topk, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(reduce_topk, batch_format="pandas")
     )
@@ -142,11 +140,10 @@ def knn_lsh(
         by_bucket.setdefault(int(b), []).append(i)
     q_ref = ray.put((qm, np.asarray(query_ids), by_bucket))
 
+    # Task pool: the bucketer's state is one small hyperplane matrix
+    # (rebuilt in μs when the instance ships with the task).
     bucketed = embeddings.map_batches(
-        HyperplaneBucketer,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_args=(dim, n_planes, seed),
+        HyperplaneBucketer(dim, n_planes, seed), batch_format="pyarrow"
     )
 
     def only_query_buckets(batch: pa.Table) -> pa.Table:
@@ -237,10 +234,8 @@ def embedding_near_dup_pairs(
         dim = len(first["embedding"])
 
     bucketed = embeddings.map_batches(
-        MultiTableBucketer,
+        MultiTableBucketer(dim, n_planes, n_tables, seed),
         batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_args=(dim, n_planes, n_tables, seed),
     )
 
     thr = threshold
@@ -349,42 +344,40 @@ def knn_ivf(
             probe_map.setdefault(int(c), []).append(qi)
     state_ref = ray.put((cent, qm, np.asarray(query_ids), probe_map))
 
-    class IVFScorer:
+    # Task pool (see ``batch_topk``): state is one broadcast tuple read
+    # zero-copy from the local object store per batch.
+    def ivf_score(batch: pa.Table) -> pa.Table:
         """Assign batch vectors to lists and score them against exactly
         the queries probing those lists."""
-
-        def __init__(self):
-            self.cent, self.qm, self.qids, self.pmap = ray.get(state_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vm = _normalize(_to_matrix(batch.column("embedding")))
-            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            assign = (vm @ self.cent.T).argmax(axis=1)
-            out_q, out_n, out_s = [], [], []
-            for c in np.unique(assign):
-                q_idx = self.pmap.get(int(c))
-                if not q_idx:
-                    continue
-                rows = assign == c
-                sub = vm[rows]
-                sub_ids = vids[rows]
-                sims = self.qm[q_idx] @ sub.T  # (q, m)
-                kk = min(k + 1, sims.shape[1])
-                for r, qi in enumerate(q_idx):
-                    top = np.argpartition(-sims[r], kk - 1)[:kk]
-                    for j in top:
-                        if sub_ids[j] == self.qids[qi]:
-                            continue
-                        out_q.append(self.qids[qi])
-                        out_n.append(sub_ids[j])
-                        out_s.append(sims[r, j])
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
+        cent_, qm_, qids_, pmap_ = ray.get(state_ref)
+        vm = _normalize(_to_matrix(batch.column("embedding")))
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        assign = (vm @ cent_.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(assign):
+            q_idx = pmap_.get(int(c))
+            if not q_idx:
+                continue
+            rows = assign == c
+            sub = vm[rows]
+            sub_ids = vids[rows]
+            sims = qm_[q_idx] @ sub.T  # (q, m)
+            kk = min(k + 1, sims.shape[1])
+            for r, qi in enumerate(q_idx):
+                top = np.argpartition(-sims[r], kk - 1)[:kk]
+                for j in top:
+                    if sub_ids[j] == qids_[qi]:
+                        continue
+                    out_q.append(qids_[qi])
+                    out_n.append(sub_ids[j])
+                    out_s.append(sims[r, j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
 
     def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -395,9 +388,7 @@ def knn_ivf(
         return g[["query_id", "neighbor_id", "rank"]]
 
     return (
-        embeddings.map_batches(
-            IVFScorer, batch_format="pyarrow", concurrency=(1, 8)
-        )
+        embeddings.map_batches(ivf_score, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(reduce_topk, batch_format="pandas")
     )
