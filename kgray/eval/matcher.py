@@ -303,26 +303,33 @@ def match_edge_datasets(edges_left, edges_right, threshold: float = 0.5):
         edges_right.map_batches(tag("R"), batch_format="pyarrow")
     )
 
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g.side == "L"].stmt.tolist()
-        right = g[g.side == "R"].stmt.tolist()
-        rows = match_statement_sets(left, right, threshold)
-        exact = sum(1 for r in rows if r["match_type"] == "exact_match")
-        core = sum(1 for r in rows if r["match_type"] == "core_match")
-        lo = sum(1 for r in rows if r["match_type"] == "left_only")
-        ro = sum(1 for r in rows if r["match_type"] == "right_only")
-        n_l = len(left)
-        return pd.DataFrame(
-            {
-                "doc_id": [g.doc_id.iloc[0]],
-                "n_left": [n_l],
-                "n_right": [len(right)],
-                "exact": [exact],
-                "core": [core],
-                "left_only": [lo],
-                "right_only": [ro],
-                "precision": [(exact + core) / n_l if n_l else 1.0],
-            }
-        )
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse partition holds many whole documents; the per-doc matcher
+        # runs in a plain loop inside ONE Ray task (per-doc map_groups
+        # would pay Ray's per-group reduce machinery per document)
+        out = {k: [] for k in (
+            "doc_id", "n_left", "n_right", "exact", "core",
+            "left_only", "right_only", "precision",
+        )}
+        for doc, gd in g.groupby("doc_id", sort=False):
+            left = gd[gd.side == "L"].stmt.tolist()
+            right = gd[gd.side == "R"].stmt.tolist()
+            rows = match_statement_sets(left, right, threshold)
+            exact = sum(1 for r in rows if r["match_type"] == "exact_match")
+            core = sum(1 for r in rows if r["match_type"] == "core_match")
+            lo = sum(1 for r in rows if r["match_type"] == "left_only")
+            ro = sum(1 for r in rows if r["match_type"] == "right_only")
+            n_l = len(left)
+            out["doc_id"].append(doc)
+            out["n_left"].append(n_l)
+            out["n_right"].append(len(right))
+            out["exact"].append(exact)
+            out["core"].append(core)
+            out["left_only"].append(lo)
+            out["right_only"].append(ro)
+            out["precision"].append((exact + core) / n_l if n_l else 1.0)
+        return pd.DataFrame(out)
 
-    return both.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    from ..utils import coarse_grouped_map
+
+    return coarse_grouped_map(both, "doc_id", per_partition)

@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count
+
 
 from .dedup import MinHasher, _band_rows, _hash_token_array
 
@@ -111,10 +111,15 @@ def cluster_surface_forms(
 ) -> "ray.data.Dataset":
     """names dataset with column ``name`` → Dataset (name, cluster_id,
     canonical)."""
+    from ..utils import coarse_grouped_map
+
     rows = num_hashes // bands
-    distinct = (
-        names.groupby("name").aggregate(Count(alias_name="_n"))
-        .select_columns(["name"])
+    # distinct via coarse keyed reduce: name cardinality is the surface
+    # vocabulary — Ray's .aggregate() pays per-group Python at the reducer
+    distinct = coarse_grouped_map(
+        names.select_columns(["name"]),
+        "name",
+        lambda df: df.drop_duplicates("name"),
     )
 
     # --- exact-normalization edges: groupby(norm) emits (min, other) pairs
@@ -128,18 +133,23 @@ def cluster_surface_forms(
             ),
         )
 
-    def norm_edges(g: pd.DataFrame) -> pd.DataFrame:
-        ns = sorted(g["name"])
-        if len(ns) < 2:
-            return pd.DataFrame({"name_a": [], "name_b": []}, dtype=object)
-        return pd.DataFrame(
-            {"name_a": [ns[0]] * (len(ns) - 1), "name_b": ns[1:]}
+    def norm_edges_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized star edges (min-name → every other name sharing the
+        # normalized form) across ALL norm groups of the partition at once
+        g = g.sort_values(["norm", "name"])
+        first = g.groupby("norm", sort=False)["name"].transform("first")
+        m = g[g["name"] != first]
+        out = pd.DataFrame(
+            {"name_a": first[m.index].to_numpy(), "name_b": m["name"].to_numpy()}
+        )
+        return out if len(out) else pd.DataFrame(
+            {"name_a": [], "name_b": []}, dtype=object
         )
 
-    exact_edges = (
-        distinct.map_batches(add_norm, batch_format="pyarrow")
-        .groupby("norm")
-        .map_groups(norm_edges, batch_format="pandas")
+    exact_edges = coarse_grouped_map(
+        distinct.map_batches(add_norm, batch_format="pyarrow"),
+        "norm",
+        norm_edges_partition,
     )
 
     # --- LSH candidate pairs over char shingles of the normalized form

@@ -142,30 +142,37 @@ def build_document_graphs(
         )
     )
 
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        ge = g[g.kind == 0]
-        if ge.empty:
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one Ray task per coarse partition; the per-document loop is a
+        # C-indexed pandas groupby INSIDE the task (one Ray reduce call per
+        # DOC would pay ~0.5 ms of per-group machinery each — see
+        # utils.coarse_grouped_map)
+        urls = ray.get(url_ref)
+        style_ = ray.get(style_ref)
+        out = {"doc_id": [], "cx2": [], "n_nodes": [], "n_edges": []}
+        for doc, gd in g.groupby("doc_id", sort=False):
+            ge = gd[gd.kind == 0]
+            if ge.empty:
+                continue
+            cx = apply_style(
+                _document_cx2(ge, gd[gd.kind == 1], urls), style_
+            )
+            out["doc_id"].append(doc)
+            out["cx2"].append(json.dumps(cx))
+            out["n_nodes"].append(len(cx[2]["nodes"]))
+            out["n_edges"].append(len(cx[3]["edges"]))
+        if not out["doc_id"]:
             return pd.DataFrame(
                 {"doc_id": pd.Series([], dtype=object),
                  "cx2": pd.Series([], dtype=object),
                  "n_nodes": pd.Series([], dtype="int64"),
                  "n_edges": pd.Series([], dtype="int64")}
             )
-        urls = ray.get(url_ref)
-        doc = g["doc_id"].iloc[0]
-        cx = apply_style(
-            _document_cx2(ge, g[g.kind == 1], urls), ray.get(style_ref)
-        )
-        return pd.DataFrame(
-            {
-                "doc_id": [doc],
-                "cx2": [json.dumps(cx)],
-                "n_nodes": [len(cx[2]["nodes"])],
-                "n_edges": [len(cx[3]["edges"])],
-            }
-        )
+        return pd.DataFrame(out)
 
-    return tagged.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    from ..utils import coarse_grouped_map
+
+    return coarse_grouped_map(tagged, "doc_id", per_partition)
 
 
 def load_visual_style(style_path: str) -> Dict[str, list]:

@@ -111,11 +111,17 @@ def build_url_map(annotation_urls: "ray.data.Dataset") -> Dict[str, str]:
         t = pa.table({"entry_name": batch.column("entry_name"), "ku": keyed})
         return _partial_first_seen(t, "entry_name", "ku")
 
-    agg = (
-        annotation_urls.map_batches(partial, batch_format="pyarrow")
-        .repartition(8)
-        .groupby("entry_name")
-        .aggregate(Min("ku", alias_name="ku"))
+    from ..utils import coarse_grouped_map
+
+    # coarse keyed reduce, not .aggregate(): entry_name cardinality is the
+    # corpus vocabulary — per-group Python in Ray's reducer grows with it
+    agg = coarse_grouped_map(
+        annotation_urls.map_batches(partial, batch_format="pyarrow"),
+        "entry_name",
+        lambda df: df.groupby("entry_name", as_index=False).agg(
+            ku=("ku", "min")
+        ),
+        num_partitions=8,
     )
     out: Dict[str, str] = {}
     for row in agg.take_all():  # vocabulary-sized by construction
@@ -162,40 +168,41 @@ def canonicalize_nodes(
             .drop_columns(["salt"])
             .repartition(8)
         )
-    canonical = (
-        mentions.groupby("name")
-        .aggregate(Min("first_key", alias_name="first_key"))
-        .repartition(4)
-        .sort("first_key")
-    )
+    from ..utils import coarse_grouped_map
 
-    class Finalize:
-        def __init__(self, ref):
-            self._urls = ray.get(ref)
+    canonical = coarse_grouped_map(
+        mentions,
+        "name",
+        lambda df: df.groupby("name", as_index=False).agg(
+            first_key=("first_key", "min")
+        ),
+        num_partitions=8,
+        coalesce_blocks=None,  # mentions was just repartitioned above
+    ).repartition(4).sort("first_key")
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            names = batch.column("name").to_pylist()
-            labels = [term_label(n) for n in names]
-            types = [term_type(n) for n in names]
-            urls = [
-                self._urls.get(n, self._urls.get(l)) for n, l in zip(names, labels)
-            ]
-            return pa.table(
-                {
-                    "name": pa.array(names, pa.string()),
-                    "label": pa.array(labels, pa.string()),
-                    "type": pa.array(types, pa.string()),
-                    "url": pa.array(urls, pa.string()),
-                    "node_id": batch.column("node_id"),
-                }
-            )
+    # Task pool: state is the broadcast URL map, a zero-copy local
+    # object-store read per batch (the nodes table is small — an actor
+    # pool's spin-up would dominate its whole runtime).
+    def finalize(batch: pa.Table) -> pa.Table:
+        urls_map = ray.get(url_map_ref)
+        names = batch.column("name").to_pylist()
+        labels = [term_label(n) for n in names]
+        types = [term_type(n) for n in names]
+        urls = [
+            urls_map.get(n, urls_map.get(l)) for n, l in zip(names, labels)
+        ]
+        return pa.table(
+            {
+                "name": pa.array(names, pa.string()),
+                "label": pa.array(labels, pa.string()),
+                "type": pa.array(types, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "node_id": batch.column("node_id"),
+            }
+        )
 
     with_ids = zip_with_index(canonical, "node_id")
-    out = with_ids.map_batches(
-        Finalize, batch_format="pyarrow", concurrency=2,
-        fn_constructor_args=(url_map_ref,),
-    )
-    return out
+    return with_ids.map_batches(finalize, batch_format="pyarrow")
 
 
 def node_tables(
