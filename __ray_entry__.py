@@ -197,6 +197,15 @@ def _q_near_dup_dedup(sf_dir: str):
     return near_dup_groups(docs, threshold=0.5)
 
 
+def _q_curate_corpus(sf_dir: str):
+    """Composite curation pipeline: language+token admission filter →
+    exact dedup → near-dup keep-one; returns (doc_id, n_tokens) of the
+    surviving documents."""
+    from kgray.pipelines.curate import curate_corpus
+
+    return curate_corpus(sf_dir)
+
+
 def _q_simhash(sf_dir: str):
     import os
 
@@ -718,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dup": _q_minhash_near_dup,
         "near_dup_dedup": _q_near_dup_dedup,
+        "curate_corpus": _q_curate_corpus,
         "simhash": _q_simhash,
         # similarity search
         "knn_cosine": _q_knn_cosine,
@@ -832,6 +842,44 @@ rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep_id
         FROM reach GROUP BY src)
 SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id
 FROM documents d LEFT JOIN rep r USING (doc_id)
+""",
+        "curate_corpus": """
+WITH RECURSIVE adm AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE lang = 'en'
+    AND length(regexp_extract_all(text, '\\S+')) BETWEEN 25 AND 95
+),
+ded AS (SELECT min(doc_id) AS doc_id, text FROM adm GROUP BY text),
+t AS (SELECT doc_id, string_split(text, ' ') w FROM ded),
+u AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
+sh AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+s AS (SELECT doc_id, count(*) n FROM ds GROUP BY doc_id),
+inter AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+          FROM ds x JOIN ds y USING (shingle)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT a AS doc_a, b AS doc_b
+  FROM inter JOIN s sa ON sa.doc_id = inter.a JOIN s sb ON sb.doc_id = inter.b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+),
+e AS (SELECT doc_a a, doc_b b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a WHERE e.b <> r.src
+),
+rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+        FROM reach GROUP BY src)
+SELECT d.doc_id, a.n_tokens
+FROM ded d JOIN adm a USING (doc_id)
+LEFT JOIN rep r ON r.doc_id = d.doc_id
+WHERE coalesce(r.rep_id, d.doc_id) = d.doc_id
 """,
         "knn_cosine": """
 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -178,6 +178,7 @@ def run_bench() -> dict:
     for name in [
         "dedup_exact",
         "minhash_near_dup",
+        "curate_corpus",
         "simhash",
         "knn_cosine",
         "pricing_summary",

@@ -22,6 +22,7 @@ from .functions.bel import (  # noqa: F401
 )
 from .functions.prompts import load_prompt  # noqa: F401
 from .corpus import generate_documents, write_corpus  # noqa: F401
+from .pipelines.curate import curate_corpus  # noqa: F401
 
 __all__ = [
     "KGConfig",
@@ -38,4 +39,5 @@ __all__ = [
     "load_prompt",
     "generate_documents",
     "write_corpus",
+    "curate_corpus",
 ]

@@ -1,0 +1,96 @@
+"""End-to-end corpus curation: the composite a training-data pipeline
+actually runs over raw documents before anything touches a model.
+
+    documents (doc_id, text, lang)
+      → admission filter     (declared language + token-count band,
+                              vectorized Arrow kernels — map-side prune)
+      → exact dedup          (keep min doc_id per identical text,
+                              combiner + coarse keyed reduce)
+      → near-dup keep-one    (MinHash-LSH pairs over the survivors,
+                              connected components, keep component reps)
+      → (doc_id, n_tokens)   per surviving document
+
+Each constituent is its own first-class operator elsewhere
+(stages/text_analysis, stages/dedup); this module is the composition, with
+one extra property the pieces alone don't test: every stage consumes the
+previous stage's SURVIVORS, so the near-dup graph is built over the
+deduplicated, admitted corpus only — at 100 TB that ordering is the
+difference between shingling the whole crawl and shingling the fraction
+that passed admission.
+
+Scale notes: admission is a pure map (prunes before any shuffle); exact
+dedup and the LSH stages shuffle only survivor rows; the component map is
+pair-bounded (stages/dedup.pair_components).  Filter thresholds mirror the
+DuckDB oracle in __ray_entry__ expression-for-expression.
+"""
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..stages.dedup import exact_dedup, minhash_lsh_pairs, pair_components
+from ..stages.text_analysis import _TOKEN_RE
+
+
+def curate_corpus(
+    sf_dir: str,
+    lang: str = "en",
+    min_tokens: int = 25,
+    max_tokens: int = 95,
+    near_dup_threshold: float = 0.5,
+) -> "ray.data.Dataset":
+    """documents.parquet → (doc_id, n_tokens) of curated survivors."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def admit(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(batch.column("text"), _TOKEN_RE),
+            pa.int64(),
+        )
+        keep = pc.and_(
+            pc.equal(batch.column("lang"), lang),
+            pc.and_(
+                pc.greater_equal(n_tok, min_tokens),
+                pc.less_equal(n_tok, max_tokens),
+            ),
+        )
+        return batch.append_column("n_tokens", n_tok).filter(keep)
+
+    admitted = docs.map_batches(admit, batch_format="pyarrow")
+
+    # exact dedup keeps (doc_id, text); survivors re-enter the LSH stage.
+    # Pin the survivors ONCE: they feed three consumers (the signature
+    # branch and the text branch inside minhash_lsh_pairs, plus the final
+    # rep filter), and Ray re-executes a lazy lineage per consumer — that
+    # re-runs the dedup shuffle 3× (measured 9× end-to-end slowdown).
+    # The pinned set lives in the object store (spills to disk); the
+    # checkpointed production path (pipelines/checkpoint.py) would make
+    # this a parquet round-trip instead.
+    deduped = exact_dedup(
+        admitted.select_columns(["doc_id", "text"])
+    ).materialize()
+    pairs = minhash_lsh_pairs(deduped, threshold=near_dup_threshold)
+    rep = pair_components(pairs)
+    rep_ref = ray.put(rep)
+
+    def keep_reps(batch: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        ids = batch.column("doc_id").to_pylist()
+        keep = pa.array([m.get(i, i) == i for i in ids], pa.bool_())
+        out = batch.filter(keep)
+        n_tok = pc.cast(
+            pc.count_substring_regex(out.column("text"), _TOKEN_RE),
+            pa.int64(),
+        )
+        return pa.table(
+            {"doc_id": out.column("doc_id"), "n_tokens": n_tok}
+        )
+
+    return deduped.map_batches(keep_reps, batch_format="pyarrow")

@@ -506,6 +506,38 @@ def simhash_signatures(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(SimHasher(), batch_format="pyarrow")
 
 
+def pair_components(pairs: "ray.data.Dataset") -> dict:
+    """Union-find over a (doc_a, doc_b) pair-edge dataset → {doc: min doc
+    of its connected component} (docs with no pairs are absent — they are
+    their own rep).
+
+    The edge list is streamed batch-by-batch to the driver; only the
+    PARENT map (one entry per doc that appears in some pair — LSH-bounded,
+    orders of magnitude smaller than the corpus) is driver-resident."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        if "doc_a" not in batch.schema.names:
+            continue
+        for a, b in zip(
+            batch.column("doc_a").to_pylist(),
+            batch.column("doc_b").to_pylist(),
+        ):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    return {n: find(n) for n in list(parent)}
+
+
 def near_dup_groups(
     docs: "ray.data.Dataset",
     threshold: float = 0.5,
@@ -536,29 +568,7 @@ def near_dup_groups(
         join_partitions=join_partitions,
         shuffle_blocks=shuffle_blocks,
     )
-    parent: dict = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for batch in pairs.iter_batches(batch_format="pyarrow"):
-        if "doc_a" not in batch.schema.names:
-            continue
-        for a, b in zip(
-            batch.column("doc_a").to_pylist(),
-            batch.column("doc_b").to_pylist(),
-        ):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-
-    rep = {n: find(n) for n in list(parent)}
-    rep_ref = ray.put(rep)
+    rep_ref = ray.put(pair_components(pairs))
 
     def assign(batch: pa.Table) -> pa.Table:
         m = ray.get(rep_ref)
