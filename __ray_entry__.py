@@ -594,6 +594,24 @@ def _q_media_frames(sf_dir: str):
     return sample_video_frames(chunks, interval_ms=1000, max_frames=8)
 
 
+def _q_events_rolling(sf_dir: str):
+    from kgray.pipelines.relational import events_rolling
+
+    return events_rolling(sf_dir)
+
+
+def _q_events_distinct_users(sf_dir: str):
+    from kgray.pipelines.relational import events_distinct_users
+
+    return events_distinct_users(sf_dir)
+
+
+def _q_top_customers_per_nation(sf_dir: str):
+    from kgray.pipelines.relational import top_customers_per_nation
+
+    return top_customers_per_nation(sf_dir)
+
+
 def _q_events_asof(sf_dir: str):
     from kgray.pipelines.relational import events_asof_join
 
@@ -742,6 +760,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
         "events_range": _q_events_range_join,
+        "events_rolling": _q_events_rolling,
+        "events_distinct_users": _q_events_distinct_users,
+        "top_customers_per_nation": _q_top_customers_per_nation,
         "supplier_balance": _q_supplier_balance,
         "orders_high_value": _q_orders_high_value,
         # XML sources (BioC ingestion + E-utilities metadata kernels)
@@ -967,6 +988,34 @@ SELECT p.event_id, p.user_id, p.ts, p.value,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "events_rolling": """
+SELECT event_id, user_id, ts,
+       floor(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000
+         AS avg_value
+FROM events
+""",
+        "events_distinct_users": """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+        "top_customers_per_nation": """
+WITH pc AS (SELECT o_custkey, sum(o_totalprice) AS total
+            FROM orders GROUP BY o_custkey),
+j AS (SELECT n_name, o_custkey, total
+      FROM pc JOIN customer ON c_custkey = o_custkey
+              JOIN nation ON n_nationkey = c_nationkey),
+r AS (SELECT n_name, o_custkey, total,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY total DESC, o_custkey) AS rnk
+      FROM j)
+SELECT n_name, CAST(rnk AS BIGINT) AS rnk, o_custkey,
+       floor(total * 100 + 0.5) / 100 AS total_spent
+FROM r WHERE rnk <= 3
 """,
         "events_range": """
 SELECT p.event_id, p.user_id, p.ts, p.value,

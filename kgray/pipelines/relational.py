@@ -333,6 +333,167 @@ def filter_orders_high_value(sf_dir: str, cutoff: float = 100000.0):
     )
 
 
+def events_rolling(
+    sf_dir: str, window: int = 3
+) -> "ray.data.Dataset":
+    """Per-user rolling mean over the last ``window`` events (inclusive),
+    ordered by (ts, event_id) — the keyed sliding-window aggregate.
+
+    Composition: coarse-partition by user (one all-to-all — every event
+    of a user lands in one partition), then ONE vectorized
+    ``groupby(user).rolling`` pass per partition.  A per-user map_groups
+    would pay Ray's per-group reduce machinery per user instead."""
+    from ..utils import coarse_grouped_map
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def roll_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g = g.copy()
+        g["avg_value"] = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(window, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        return g[["event_id", "user_id", "ts", "avg_value"]]
+
+    return _round_half_up(
+        coarse_grouped_map(ev, "user_id", roll_partition),
+        {"avg_value": 4},
+    )
+
+
+def events_distinct_users(sf_dir: str) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT user_id) + COUNT(*) per event_type.
+
+    Two-level distinct: each batch first collapses to its own distinct
+    (type, user) pairs (map-side combiner — the shuffle moves at most one
+    row per pair per block), a coarse keyed reduce makes them globally
+    distinct, and the per-type counts that remain are type-cardinality
+    sized.  Total event counts ride the same partial-aggregate shape.
+    The driver only ever holds the type-cardinality result rows."""
+    from ..utils import coarse_grouped_map
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id"),
+            }
+        )
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    distinct_pairs = coarse_grouped_map(
+        ev.map_batches(partial_pairs, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        lambda df: df.drop_duplicates(["event_type", "user_id"]),
+    )
+
+    def count_users(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+
+    users = coarse_grouped_map(
+        distinct_pairs, "event_type", count_users, num_partitions=8,
+    ).to_pandas()
+    users = users.groupby("event_type", as_index=False).agg(
+        n_users=("n_users", "sum")
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({"event_type": batch.column("event_type")})
+            .group_by("event_type")
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "n_events"])
+        )
+
+    counts = coarse_grouped_map(
+        ev.map_batches(partial_counts, batch_format="pyarrow"),
+        "event_type",
+        lambda df: df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum")
+        ),
+        num_partitions=8,
+    ).to_pandas()
+
+    out = users.merge(counts, on="event_type")
+    out["n_users"] = out.n_users.astype("int64")
+    out["n_events"] = out.n_events.astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def top_customers_per_nation(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-group top-k: the ``k`` highest-spending customers of each
+    nation by total order value, rank within nation.
+
+    orders are pre-aggregated per customer inside map_batches (combiner),
+    reduced with a coarse keyed reduce (customer-cardinality groups), the
+    customer→nation dimension attached from a broadcast, and the final
+    per-nation top-k is ONE more coarse pass keyed by nation — each
+    partition ranks all its nations with a vectorized groupby-head."""
+    import pyarrow.parquet as pq
+
+    from ..utils import coarse_grouped_map
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    cn = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    cn_ref = ray.put(cn.set_index("c_custkey")["n_name"])
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            total_spent=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = coarse_grouped_map(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        "o_custkey",
+        lambda df: df.groupby("o_custkey", as_index=False).agg(
+            total_spent=("total_spent", "sum")
+        ),
+    )
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cn_ref)
+        df = batch.to_pandas()
+        df["n_name"] = df.o_custkey.map(lookup)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def topk_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_name", "total_spent", "o_custkey"],
+            ascending=[True, False, True],
+        )
+        g = g.groupby("n_name", sort=False).head(k).copy()
+        g["rnk"] = g.groupby("n_name", sort=False).cumcount() + 1
+        return g[["n_name", "rnk", "o_custkey", "total_spent"]]
+
+    out = coarse_grouped_map(
+        per_cust.map_batches(attach_nation, batch_format="pyarrow"),
+        "n_name",
+        topk_partition,
+        num_partitions=8,
+        coalesce_blocks=None,  # per_cust is already coarse-partitioned
+    )
+    return _round_half_up(out, {"total_spent": 2})
+
+
 def events_asof_join(
     sf_dir: str, num_partitions: int = 32
 ) -> "ray.data.Dataset":

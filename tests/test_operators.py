@@ -413,3 +413,58 @@ def test_knn_ivf_recall():
     approx2 = knn_ivf(ds, q, qids, k=5, n_centroids=16, n_probe=8).to_pandas()
     assert approx.sort_values(["query_id", "rank"]).neighbor_id.tolist() == \
         approx2.sort_values(["query_id", "rank"]).neighbor_id.tolist()
+
+
+def test_events_rolling_window_semantics():
+    """Per-user rolling mean: first event equals its own value; every row
+    averages at most `window` of ITS OWN user's time-ordered events."""
+    import pandas as pd
+    from kgray.pipelines.relational import events_rolling
+
+    sf = "/root/testdata/sf0.001"
+    got = events_rolling(sf, window=3).to_pandas()
+    raw = pd.read_parquet(
+        sf + "/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    assert len(got) == len(raw)
+    # recompute serially for a handful of users and compare
+    import numpy as np
+
+    for uid in raw.user_id.drop_duplicates().head(5):
+        mine = raw[raw.user_id == uid].sort_values(["ts", "event_id"])
+        exp = mine.value.rolling(3, min_periods=1).mean()
+        exp = np.floor(exp * 10000 + 0.5) / 10000
+        theirs = got[got.user_id == uid].set_index("event_id").loc[
+            mine.event_id
+        ]["avg_value"].to_numpy()
+        assert np.allclose(theirs, exp.to_numpy())
+
+
+def test_events_distinct_users_exact():
+    import pandas as pd
+    from kgray.pipelines.relational import events_distinct_users
+
+    sf = "/root/testdata/sf0.001"
+    got = events_distinct_users(sf).to_pandas().set_index("event_type")
+    raw = pd.read_parquet(sf + "/events.parquet",
+                          columns=["event_type", "user_id"])
+    exp = raw.groupby("event_type").agg(
+        n_users=("user_id", "nunique"), n_events=("user_id", "size")
+    )
+    for t, row in exp.iterrows():
+        assert got.loc[t, "n_users"] == row.n_users
+        assert got.loc[t, "n_events"] == row.n_events
+
+
+def test_top_customers_per_nation_ranks():
+    from kgray.pipelines.relational import top_customers_per_nation
+
+    sf = "/root/testdata/sf0.001"
+    got = top_customers_per_nation(sf, k=3).to_pandas()
+    # at most k rows per nation, ranks dense from 1, spend non-increasing
+    for _, g in got.groupby("n_name"):
+        g = g.sort_values("rnk")
+        assert len(g) <= 3
+        assert list(g.rnk) == list(range(1, len(g) + 1))
+        assert (g.total_spent.diff().dropna() <= 1e-9).all()
