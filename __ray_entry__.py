@@ -594,6 +594,26 @@ def _q_media_frames(sf_dir: str):
     return sample_video_frames(chunks, interval_ms=1000, max_frames=8)
 
 
+def _q_customers_semi(sf_dir: str):
+    from kgray.pipelines.relational import customers_with_high_value_orders
+
+    return customers_with_high_value_orders(sf_dir)
+
+
+def _q_customers_anti(sf_dir: str):
+    from kgray.pipelines.relational import (
+        customers_without_high_value_orders,
+    )
+
+    return customers_without_high_value_orders(sf_dir)
+
+
+def _q_customer_left_counts(sf_dir: str):
+    from kgray.pipelines.relational import customer_high_value_counts
+
+    return customer_high_value_counts(sf_dir)
+
+
 def _q_events_rolling(sf_dir: str):
     from kgray.pipelines.relational import events_rolling
 
@@ -763,6 +783,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "events_distinct_users": _q_events_distinct_users,
         "top_customers_per_nation": _q_top_customers_per_nation,
+        "customers_semi_join": _q_customers_semi,
+        "customers_anti_join": _q_customers_anti,
+        "customer_left_join_counts": _q_customer_left_counts,
         "supplier_balance": _q_supplier_balance,
         "orders_high_value": _q_orders_high_value,
         # XML sources (BioC ingestion + E-utilities metadata kernels)
@@ -988,6 +1011,26 @@ SELECT p.event_id, p.user_id, p.ts, p.value,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "customers_semi_join": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 350000)
+""",
+        "customers_anti_join": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 350000)
+""",
+        "customer_left_join_counts": """
+SELECT c.c_custkey, c.c_name,
+       CAST(count(o.o_custkey) AS BIGINT) AS n_hv
+FROM customer c
+LEFT JOIN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000) o
+  ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
 """,
         "events_rolling": """
 SELECT event_id, user_id, ts,

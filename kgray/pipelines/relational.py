@@ -333,6 +333,97 @@ def filter_orders_high_value(sf_dir: str, cutoff: float = 100000.0):
     )
 
 
+def _customer_vs_high_value_orders(
+    sf_dir: str, cutoff: float, how: str
+) -> "ray.data.Dataset":
+    """customer ⋉/▷ orders-with-totalprice-over-cutoff via the distributed
+    repartition join (semi keeps customers WITH such an order, anti those
+    WITHOUT).  The right side is pre-collapsed to distinct custkeys per
+    batch (combiner), so the shuffle carries at most one right row per
+    (custkey × block) — existence needs no payload."""
+    from ..utils import repartition_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def high_value_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("o_totalprice"), cutoff))
+        return pa.table({"o_custkey": t.column("o_custkey")}).group_by(
+            "o_custkey"
+        ).aggregate([])
+
+    return repartition_join(
+        cust,
+        orders.map_batches(high_value_keys, batch_format="pyarrow"),
+        "c_custkey",
+        "o_custkey",
+        {"c_custkey": pa.int64(), "c_name": pa.string()},
+        {"o_custkey": pa.int64()},
+        how=how,
+    )
+
+
+def customers_with_high_value_orders(
+    sf_dir: str, cutoff: float = 350000.0
+) -> "ray.data.Dataset":
+    """Semi join: customers having at least one order above ``cutoff``."""
+    return _customer_vs_high_value_orders(sf_dir, cutoff, "semi")
+
+
+def customers_without_high_value_orders(
+    sf_dir: str, cutoff: float = 350000.0
+) -> "ray.data.Dataset":
+    """Anti join: customers with NO order above ``cutoff``."""
+    return _customer_vs_high_value_orders(sf_dir, cutoff, "anti")
+
+
+def customer_high_value_counts(
+    sf_dir: str, cutoff: float = 350000.0
+) -> "ray.data.Dataset":
+    """Left join: every customer with their count of orders above
+    ``cutoff`` (0 for none).  The right side is pre-aggregated to one
+    (custkey, count) row before the join — the join attaches a number,
+    never order rows."""
+    from ..utils import coarse_grouped_map, repartition_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("o_totalprice"), cutoff))
+        return (
+            pa.table({"o_custkey": t.column("o_custkey")})
+            .group_by("o_custkey")
+            .aggregate([([], "count_all")])
+            .rename_columns(["o_custkey", "n_hv"])
+        )
+
+    counts = coarse_grouped_map(
+        orders.map_batches(partial_counts, batch_format="pyarrow"),
+        "o_custkey",
+        lambda df: df.groupby("o_custkey", as_index=False).agg(
+            n_hv=("n_hv", "sum")
+        ),
+    )
+
+    joined = repartition_join(
+        cust,
+        counts,
+        "c_custkey",
+        "o_custkey",
+        {"c_custkey": pa.int64(), "c_name": pa.string()},
+        {"o_custkey": pa.int64(), "n_hv": pa.int64()},
+        how="left",
+    )
+
+    def fill_zero(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_hv"] = df.n_hv.fillna(0).astype("int64")
+        return df
+
+    return joined.map_batches(fill_zero, batch_format="pandas")
+
+
 def events_rolling(
     sf_dir: str, window: int = 3
 ) -> "ray.data.Dataset":

@@ -142,9 +142,19 @@ def repartition_join(
     right_types: dict,
     num_partitions: int = 64,
     coalesce_blocks="auto",
+    how: str = "inner",
 ):
-    """Distributed inner hash-join via tag-union + coarse-partition groupby
+    """Distributed hash-join via tag-union + coarse-partition groupby
     + per-partition vectorized pandas merge.
+
+    ``how``: "inner" | "left" | "semi" | "anti".  Inner/left emit
+    [left_on] + left cols + right cols (left pads unmatched right cols
+    with nulls — numeric right columns therefore come back as float64,
+    cast downstream if needed); semi/anti emit [left_on] + left cols
+    only (the right side contributes existence, never columns), with
+    left multiplicity preserved.  All variants shuffle both sides
+    exactly once on hash(key) — the per-partition kernel is the only
+    difference, since every row of a key lands in one partition.
 
     Why not ``Dataset.join``: Ray 2.49's hash-join aggregators (a) reserve
     half the cluster's CPUs per join operator regardless of
@@ -229,21 +239,39 @@ def repartition_join(
     if width:
         tagged = tagged.repartition(width)
 
-    out_cols = [left_on] + lcols + rcols
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported join type: {how!r}")
+    out_cols = (
+        [left_on] + lcols if how in ("semi", "anti")
+        else [left_on] + lcols + rcols
+    )
 
     def merge_partition(g: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
         l = g[g._side == 0]
         r = g[g._side == 1]
-        if l.empty or r.empty:
+        if l.empty:
             # ZERO-column empty frame: map_batches passes empties through
             # untouched and pd.concat ignores column-less frames, so this
             # never pollutes the joined schema downstream.
             return pd.DataFrame()
-        m = l[["_jkey"] + lcols].merge(
-            r[["_jkey"] + rcols], on="_jkey", how="inner"
-        )
+        if how == "semi":
+            m = l[l._jkey.isin(r._jkey)][["_jkey"] + lcols]
+        elif how == "anti":
+            m = l[~l._jkey.isin(r._jkey)][["_jkey"] + lcols]
+        elif how == "left":
+            m = l[["_jkey"] + lcols].merge(
+                r[["_jkey"] + rcols], on="_jkey", how="left"
+            )
+        else:
+            if r.empty:
+                return pd.DataFrame()
+            m = l[["_jkey"] + lcols].merge(
+                r[["_jkey"] + rcols], on="_jkey", how="inner"
+            )
+        if m.empty:
+            return pd.DataFrame()
         m = m.rename(columns={"_jkey": left_on})
         return m[out_cols]
 

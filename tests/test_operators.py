@@ -468,3 +468,43 @@ def test_top_customers_per_nation_ranks():
         assert len(g) <= 3
         assert list(g.rnk) == list(range(1, len(g) + 1))
         assert (g.total_spent.diff().dropna() <= 1e-9).all()
+
+
+def test_repartition_join_types():
+    """inner/left/semi/anti semantics incl. duplicate keys and misses."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kgray.utils import repartition_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"], pa.string()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 4], pa.int64()),
+        "rv": pa.array([10, 20, 30], pa.int64()),
+    }))
+    lt = {"k": pa.int64(), "lv": pa.string()}
+    rt = {"rk": pa.int64(), "rv": pa.int64()}
+
+    def run(how):
+        df = repartition_join(
+            left, right, "k", "rk", lt, rt, num_partitions=4, how=how
+        ).to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    inner = run("inner")
+    assert len(inner) == 4  # two left k=2 rows x two right k=2 rows
+    assert set(inner.k) == {2}
+
+    semi = run("semi")
+    assert sorted(zip(semi.k, semi.lv)) == [(2, "b"), (2, "c")]
+
+    anti = run("anti")
+    assert sorted(zip(anti.k, anti.lv)) == [(1, "a"), (3, "d")]
+
+    lj = run("left")
+    assert len(lj) == 6  # 1->null, 2x2 matched, 3->null
+    assert lj.rv.isna().sum() == 2
+    assert int(lj.rv.fillna(0).sum()) == 60
