@@ -132,6 +132,18 @@ def _q_text_quality(sf_dir: str):
     ).map_batches(text_quality, batch_format="pyarrow")
 
 
+def _q_token_count_bpe(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.text_analysis import token_count_bpe
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(token_count_bpe, batch_format="pyarrow")
+
+
 def _q_lang_id(sf_dir: str):
     import os
 
@@ -195,6 +207,22 @@ def _q_near_dup_dedup(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return near_dup_groups(docs, threshold=0.5)
+
+
+def _q_jaccard_pairs(sf_dir: str):
+    """EXACT word-3-gram Jaccard similarity join (recall 1.0 — the
+    ground-truth path next to the LSH-bounded minhash_near_dup; both
+    share one oracle)."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.dedup import jaccard_pairs_exact
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return jaccard_pairs_exact(docs, threshold=0.5)
 
 
 def _q_curate_corpus(sf_dir: str):
@@ -758,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surface_clusters": _q_surface_clusters,
         # text analysis
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -765,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dup": _q_minhash_near_dup,
         "near_dup_dedup": _q_near_dup_dedup,
+        "jaccard_pairs": _q_jaccard_pairs,
         "curate_corpus": _q_curate_corpus,
         "simhash": _q_simhash,
         # similarity search
@@ -795,6 +825,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    # the exact similarity join shares the minhash oracle: minhash is the
+    # LSH approximation OF this ground truth (identical output contract)
+    d["jaccard_pairs"] = d["minhash_near_dup"]
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     return {
         "kg_edges": _KG_CTE + """
 SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
@@ -827,6 +865,13 @@ FROM spans
         "token_count": """
 SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
        AS n_tokens
+FROM documents
+""",
+        "token_count_bpe": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text,
+         '''[a-z]+| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+         AS BIGINT) AS n_tokens_bpe
 FROM documents
 """,
         "text_quality": """

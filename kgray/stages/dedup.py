@@ -448,6 +448,91 @@ def minhash_lsh_pairs(
     )
 
 
+def jaccard_pairs_exact(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    shuffle_blocks: int = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT word-k-gram Jaccard similarity join: every (doc_a < doc_b)
+    pair with Jaccard ≥ ``threshold`` — recall 1.0 by construction,
+    unlike the LSH-bounded ``minhash_lsh_pairs`` (same output contract,
+    same oracle).
+
+    Distributed shingle inverted index, the textbook exact similarity
+    join: (shingle_hash, doc_id, |shingles|) rows group by shingle so
+    each shingle emits its doc-pair co-occurrences (partially counted
+    before the pair shuffle); pair rows reduce to intersection counts,
+    and the set sizes needed for the union ride along with the rows —
+    two coarse shuffles total, no broadcast, no driver collection.
+
+    Skew caveat: a shingle shared by m documents emits m·(m-1)/2 pair
+    rows — EXACT joins cannot cap hot shingles without losing recall, so
+    a stop-shingle-heavy corpus should run LSH (or drop df-top shingles,
+    changing semantics) instead; this op is the ground-truth path.
+    """
+    from .. import utils as _u  # noqa: F401  (coarse pattern helpers)
+    from ..utils import coarse_grouped_map
+
+    docs = docs.repartition(_bounded_shuffle_width(shuffle_blocks))
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sets = shingle_hash_sets(texts, shingle_k)
+        lens = np.fromiter((len(s) for s in sets), np.int64, count=len(sets))
+        return pa.table(
+            {
+                "shingle": pa.array(
+                    np.concatenate(sets).view(np.int64)
+                    if len(sets) else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "n_sh": pa.array(
+                    np.repeat(lens, lens), pa.int64()
+                ),
+            }
+        )
+
+    sh = docs.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # per-shingle self-merge → (a, b) co-occurrence rows, partially
+        # counted within the partition before the pair shuffle
+        m = g.merge(g, on="shingle")
+        m = m[m.doc_id_x < m.doc_id_y]
+        out = m.groupby(
+            ["doc_id_x", "doc_id_y"], as_index=False
+        ).agg(c=("shingle", "size"), na=("n_sh_x", "first"),
+              nb=("n_sh_y", "first"))
+        out.columns = ["doc_a", "doc_b", "c", "na", "nb"]
+        return out
+
+    partial_pairs = coarse_grouped_map(
+        sh, "shingle", pairs_partition, num_partitions=num_partitions
+    )
+
+    thr = threshold
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            c=("c", "sum"), na=("na", "first"), nb=("nb", "first")
+        )
+        union = g.na + g.nb - g.c
+        keep = (union > 0) & (g.c / union >= thr)
+        return g.loc[keep, ["doc_a", "doc_b"]]
+
+    return coarse_grouped_map(
+        partial_pairs,
+        ["doc_a", "doc_b"],
+        reduce_pairs,
+        num_partitions=num_partitions,
+        coalesce_blocks=None,  # already coarse-partitioned
+    )
+
+
 class SimHasher:
     """64-bit SimHash over word unigram hashes (actor pool stage) —
     vectorized: one hash_array pass per batch, one bit-unpack matmul."""

@@ -34,6 +34,26 @@ def token_count(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-2-style pre-tokenizer pattern (contraction tails, letter runs,
+# digit runs, punctuation runs, whitespace runs — the BPE-ish word-level
+# segmentation a byte-pair tokenizer applies before merges), restricted
+# to RE2 syntax (no lookahead) so the SAME pattern runs in Arrow's
+# count_substring_regex AND the DuckDB oracle (both RE2) — bit-identical
+# counts by construction.
+_BPE_PAT = r"'[a-z]+| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens_bpe) — BPE-ish pre-token count (vectorized RE2)."""
+    n = pc.count_substring_regex(batch.column("text"), _BPE_PAT)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens_bpe": pc.cast(n, pa.int64()),
+        }
+    )
+
+
 def text_quality(batch: pa.Table) -> pa.Table:
     """(doc_id, n_chars_m, n_words, n_punct, punct_ratio, mean_word_len).
 

@@ -508,3 +508,47 @@ def test_repartition_join_types():
     assert len(lj) == 6  # 1->null, 2x2 matched, 3->null
     assert lj.rv.isna().sum() == 2
     assert int(lj.rv.fillna(0).sum()) == 60
+
+
+def test_token_count_bpe_segmentation():
+    """GPT-2-style pre-token counts on known strings (RE2 semantics)."""
+    import pyarrow as pa
+    from kgray.stages.text_analysis import token_count_bpe
+
+    texts = ["Hello, world!", "it's John's café 42x", "  spaced   out  ", ""]
+    out = token_count_bpe(
+        pa.table({"doc_id": list(range(4)), "text": texts})
+    )
+    assert out.column("n_tokens_bpe").to_pylist() == [4, 7, 5, 0]
+
+
+def test_jaccard_exact_supersets_minhash():
+    """The exact similarity join finds every pair minhash finds (recall
+    1.0 ground truth) and each reported pair truly meets the threshold."""
+    import ray.data
+    from kgray.stages.dedup import (
+        jaccard_pairs_exact,
+        minhash_lsh_pairs,
+        shingle_hash_sets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(
+        sf + "/documents.parquet", columns=["doc_id", "text"]
+    )
+    exact = jaccard_pairs_exact(docs, threshold=0.5).to_pandas()
+    lsh = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    e = set(zip(exact.doc_a, exact.doc_b))
+    l = set(zip(lsh.doc_a, lsh.doc_b))
+    assert l <= e  # LSH can only miss, never invent (both verify exactly)
+    # spot-verify a few reported pairs against the raw texts
+    import numpy as np
+    import pandas as pd
+
+    raw = pd.read_parquet(sf + "/documents.parquet",
+                          columns=["doc_id", "text"]).set_index("doc_id")
+    for a, b in list(e)[:5]:
+        sa, sb = shingle_hash_sets([raw.loc[a, "text"],
+                                    raw.loc[b, "text"]], 3)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        assert inter / (len(sa) + len(sb) - inter) >= 0.5
