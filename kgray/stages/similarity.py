@@ -147,9 +147,11 @@ def knn_lsh(
     )
 
     def only_query_buckets(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         _, _, qmap = ray.get(q_ref)
-        mask = [b in qmap for b in batch.column("bucket").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        wanted = pa.array(np.fromiter(qmap, np.int64), pa.int64())
+        return batch.filter(pc.is_in(batch.column("bucket"), value_set=wanted))
 
     pruned = bucketed.map_batches(only_query_buckets, batch_format="pyarrow")
 

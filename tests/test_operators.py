@@ -552,3 +552,41 @@ def test_jaccard_exact_supersets_minhash():
                                     raw.loc[b, "text"]], 3)
         inter = np.intersect1d(sa, sb, assume_unique=True).size
         assert inter / (len(sa) + len(sb) - inter) >= 0.5
+
+
+def test_coarse_grouped_map_edge_cases():
+    """Whole groups land in one partition; empties and hot keys are safe."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from kgray.utils import coarse_grouped_map
+
+    # hot key: one value dominating — every row must still reach one fn call
+    t = pa.table({
+        "k": pa.array([7] * 500 + list(range(20)), pa.int64()),
+        "v": pa.array(range(520), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum")
+        )
+
+    out = coarse_grouped_map(ds, "k", summarize, num_partitions=4).to_pandas()
+    assert len(out) == 20  # one row per distinct key: no group was split
+    assert out.set_index("k").loc[7, "n"] == 501  # 500 hot + 1 from range
+
+    # string + int composite key
+    t2 = pa.table({
+        "a": pa.array(["x", "x", "y"], pa.string()),
+        "b": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    out2 = coarse_grouped_map(
+        ray.data.from_arrow(t2), ["a", "b"],
+        lambda df: df.groupby(["a", "b"], as_index=False).agg(
+            s=("v", "sum")),
+        num_partitions=3,
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert list(out2.s) == [3.0, 3.0]
