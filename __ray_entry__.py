@@ -323,6 +323,21 @@ def _q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup_pairs(emb, threshold=0.45)
 
 
+def _q_embedding_near_dup_exact(sf_dir: str):
+    """Ground-truth cosine-threshold pairs (no LSH, no misses)."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.similarity import embedding_pairs_exact
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return embedding_pairs_exact(emb, threshold=0.45)
+
+
 def _q_kg_synthetic_parity(sf_dir: str):
     """Reference-semantics pipeline on the synthetic corpus; returns per-doc
     triple precision/recall vs the construction-time gold (self-checking;
@@ -802,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         # relational / events
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1056,6 +1072,12 @@ SELECT p.event_id, p.user_id, p.ts, p.value,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "embedding_near_dup_exact": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 """,
         "customers_semi_join": """
 SELECT c_custkey, c_name FROM customer c

@@ -276,6 +276,58 @@ def embedding_near_dup_pairs(
     return typed_empty.union(out)
 
 
+def embedding_pairs_exact(
+    embeddings: "ray.data.Dataset",
+    threshold: float = 0.45,
+) -> "ray.data.Dataset":
+    """EXACT cosine-threshold pairs (vec_a < vec_b) — the ground-truth
+    path beside the LSH-blocked ``embedding_near_dup_pairs`` (which may
+    miss; this may not).
+
+    Shape: the full normalized matrix is broadcast once (``ray.put``) and
+    every batch does one (B × N) matmul against it, emitting only the
+    pairs whose smaller id lives in the batch — each pair surfaces exactly
+    once with no shuffle at all.  The broadcast is corpus-sized, so this
+    is the verification/ground-truth baseline (valid while N×dim floats
+    fit in the object store — ~30 GB at 10M×768); the LSH variant is the
+    100-TB path."""
+    ref_tbl = pa.concat_tables(
+        b for b in embeddings.select_columns(
+            ["vec_id", "embedding"]
+        ).iter_batches(batch_format="pyarrow")
+    )
+    m = _normalize(_to_matrix(ref_tbl.column("embedding")))
+    ids = ref_tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    mat_ref = ray.put((m, ids))
+    thr = threshold
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        all_m, all_ids = ray.get(mat_ref)  # zero-copy numpy views
+        bm = _normalize(_to_matrix(batch.column("embedding")))
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = bm @ all_m.T  # (B, N)
+        bi, oj = np.where(sims >= thr)
+        keep = bids[bi] < all_ids[oj]  # emit once, from the smaller id
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[bi][keep], pa.int64()),
+                "vec_b": pa.array(all_ids[oj][keep], pa.int64()),
+            }
+        )
+
+    typed_empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return typed_empty.union(
+        embeddings.map_batches(batch_pairs, batch_format="pyarrow")
+    )
+
+
 def train_ivf_centroids(
     embeddings: "ray.data.Dataset",
     n_centroids: int = 32,

@@ -590,3 +590,23 @@ def test_coarse_grouped_map_edge_cases():
         num_partitions=3,
     ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     assert list(out2.s) == [3.0, 3.0]
+
+
+def test_embedding_exact_supersets_lsh():
+    """LSH-blocked near-dup pairs are a subset of the exact ground truth
+    at the same threshold."""
+    import ray.data
+    from kgray.stages.similarity import (
+        embedding_near_dup_pairs,
+        embedding_pairs_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(
+        sf + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = embedding_pairs_exact(emb, threshold=0.45).to_pandas()
+    lsh = embedding_near_dup_pairs(emb, threshold=0.45).to_pandas()
+    e = set(zip(exact.vec_a, exact.vec_b))
+    l = set(zip(lsh.vec_a.astype(int), lsh.vec_b.astype(int)))
+    assert l <= e
