@@ -225,6 +225,21 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs_exact(docs, threshold=0.5)
 
 
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (banded blocking, recall-guaranteed for
+    hamming <= bands-1; signatures not SQL-computable — rows-only)."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.dedup import simhash_near_dup_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
 def _q_curate_corpus(sf_dir: str):
     """Composite curation pipeline: language+token admission filter →
     exact dedup → near-dup keep-one; returns (doc_id, n_tokens) of the
@@ -812,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "curate_corpus": _q_curate_corpus,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,

@@ -610,3 +610,37 @@ def test_embedding_exact_supersets_lsh():
     e = set(zip(exact.vec_a, exact.vec_b))
     l = set(zip(lsh.vec_a.astype(int), lsh.vec_b.astype(int)))
     assert l <= e
+
+
+def test_simhash_near_dup_pairs():
+    """Planted near-identical doc pair is found with the right hamming;
+    the pigeonhole recall guarantee holds for every low-hamming pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kgray.stages.dedup import SimHasher, simhash_near_dup_pairs
+
+    rng = np.random.RandomState(5)
+    vocab = [f"tok{i}" for i in range(200)]
+    base = " ".join(rng.choice(vocab, 80))
+    # exact duplicate -> hamming 0 (a guaranteed in-threshold pair; a
+    # one-token edit can already flip 4+ bits of a 64-bit simhash)
+    texts = [base, base] + [
+        " ".join(rng.choice(vocab, 80)) for _ in range(30)
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    found = {(a, b): h for a, b, h in
+             zip(got.doc_a, got.doc_b, got.hamming)}
+    # ground truth: all-pairs hamming <= 3 must ALL be present (recall 1)
+    hashes = [SimHasher.simhash64(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            h = bin(hashes[i] ^ hashes[j]).count("1")
+            if h <= 3:
+                assert found.get((i, j)) == h, (i, j, h, found.get((i, j)))
+    # and nothing above the threshold sneaks in
+    assert all(v <= 3 for v in found.values())
