@@ -169,6 +169,7 @@ def run_bench() -> dict:
             "num_cpus": ncpu,
             "n_docs": n_docs,
             "docs_per_sec": round(n_docs / timings["kg_pipeline"], 2),
+            "hw_probe": _hw_probe(),
         }
 
     # ---- representative operators ---------------------------------------
@@ -209,7 +210,40 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / timings["kg_pipeline"], 2),
+        # hardware health probe taken by THIS run: on this shared
+        # hypervisor, minutes-long noisy-neighbor windows inflate all
+        # wall times 3-4x while in-guest idle probes read clean.  A
+        # healthy box measures ~0.25s / ~0.9s here; a run whose probe is
+        # far above that was taken inside a noisy window and understates
+        # the engine (see BASELINE.md for clean-window numbers).
+        "hw_probe": _hw_probe(),
     }
+
+
+def _hw_probe() -> dict:
+    import multiprocessing as mp
+
+    def burn(n):
+        s = 0
+        for i in range(n):
+            s += i
+        return s
+
+    t0 = time.time()
+    burn(5_000_000)
+    single = time.time() - t0
+    t0 = time.time()
+    with mp.get_context("spawn").Pool(32) as p:
+        p.map(_burn_units, [5_000_000] * 64)
+    par = time.time() - t0
+    return {"single_sec": round(single, 3), "par32_sec": round(par, 3)}
+
+
+def _burn_units(n):
+    s = 0
+    for i in range(n):
+        s += i
+    return s
 
 
 def _burn_worker(args):
