@@ -179,7 +179,9 @@ def run_bench() -> dict:
     for name in [
         "dedup_exact",
         "minhash_near_dup",
+        "jaccard_pairs",
         "curate_corpus",
+        "events_rolling",
         "simhash",
         "knn_cosine",
         "pricing_summary",

@@ -32,7 +32,12 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..stages.dedup import exact_dedup, minhash_lsh_pairs, pair_components
+from ..stages.dedup import (
+    exact_dedup,
+    jaccard_pairs_exact,
+    minhash_lsh_pairs,
+    pair_components,
+)
 from ..stages.text_analysis import _TOKEN_RE
 
 
@@ -42,8 +47,15 @@ def curate_corpus(
     min_tokens: int = 25,
     max_tokens: int = 95,
     near_dup_threshold: float = 0.5,
+    pair_method: str = "lsh",
 ) -> "ray.data.Dataset":
-    """documents.parquet → (doc_id, n_tokens) of curated survivors."""
+    """documents.parquet → (doc_id, n_tokens) of curated survivors.
+
+    ``pair_method``: "lsh" (MinHash-LSH, the 100-TB path) or "exact"
+    (inverted-index Jaccard join — recall 1.0, faster at small scale,
+    quadratic-prone on stop-shingle-heavy corpora).  Both verify pairs
+    with the same exact word-3-gram Jaccard, so on corpora where LSH
+    recall is ~1 (high thresholds) the outputs coincide."""
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang"],
@@ -76,7 +88,12 @@ def curate_corpus(
     deduped = exact_dedup(
         admitted.select_columns(["doc_id", "text"])
     ).materialize()
-    pairs = minhash_lsh_pairs(deduped, threshold=near_dup_threshold)
+    if pair_method == "exact":
+        pairs = jaccard_pairs_exact(deduped, threshold=near_dup_threshold)
+    elif pair_method == "lsh":
+        pairs = minhash_lsh_pairs(deduped, threshold=near_dup_threshold)
+    else:
+        raise ValueError(f"unknown pair_method: {pair_method!r}")
     rep = pair_components(pairs)
     rep_ref = ray.put(rep)
 

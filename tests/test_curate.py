@@ -60,3 +60,10 @@ def test_curate_near_dup_respects_admission(ray_session, tmp_path):
     pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
     out = curate_corpus(str(tmp_path)).to_pandas()
     assert list(out.doc_id) == [2]
+
+
+def test_curate_exact_matches_lsh(ray_session, corpus_dir):
+    """Both pair methods agree on this corpus (LSH recall ~1 here)."""
+    a = curate_corpus(corpus_dir, pair_method="lsh").to_pandas()
+    b = curate_corpus(corpus_dir, pair_method="exact").to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
