@@ -524,13 +524,23 @@ def jaccard_pairs_exact(
         keep = (union > 0) & (g.c / union >= thr)
         return g.loc[keep, ["doc_a", "doc_b"]]
 
-    return coarse_grouped_map(
+    out = coarse_grouped_map(
         partial_pairs,
         ["doc_a", "doc_b"],
         reduce_pairs,
         num_partitions=num_partitions,
         coalesce_blocks=None,  # already coarse-partitioned
     )
+    # union with a typed empty block so a no-pairs result keeps its schema
+    typed_empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return typed_empty.union(out)
 
 
 class SimHasher:

@@ -644,3 +644,116 @@ def test_simhash_near_dup_pairs():
                 assert found.get((i, j)) == h, (i, j, h, found.get((i, j)))
     # and nothing above the threshold sneaks in
     assert all(v <= 3 for v in found.values())
+
+
+def test_coarse_grouped_map_equals_pandas_groupby():
+    """Randomized equivalence: coarse keyed reduce == plain pandas."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from kgray.utils import coarse_grouped_map
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame({
+            "k": rng.randint(0, 50, 400),
+            "s": rng.choice(list("abc"), 400),
+            "v": rng.rand(400),
+        })
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+        got = coarse_grouped_map(
+            ds, ["k", "s"],
+            lambda g: g.groupby(["k", "s"], as_index=False).agg(
+                n=("v", "size"), lo=("v", "min")),
+            num_partitions=5,
+        ).to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+        want = df.groupby(["k", "s"], as_index=False).agg(
+            n=("v", "size"), lo=("v", "min")
+        ).sort_values(["k", "s"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n": "int64"}), want.astype({"n": "int64"})
+        )
+
+
+def test_repartition_join_equals_pandas_merge():
+    """Randomized equivalence for all four join types vs pandas."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from kgray.utils import repartition_join
+
+    for seed in (3, 4):
+        rng = np.random.RandomState(seed)
+        l = pd.DataFrame({
+            "k": rng.randint(0, 30, 120).astype("int64"),
+            "lv": rng.rand(120),
+        })
+        r = pd.DataFrame({
+            "rk": rng.randint(10, 40, 80).astype("int64"),
+            "rv": rng.rand(80),
+        })
+        lds = ray.data.from_arrow(pa.Table.from_pandas(l)).repartition(5)
+        rds = ray.data.from_arrow(pa.Table.from_pandas(r)).repartition(3)
+        lt = {"k": pa.int64(), "lv": pa.float64()}
+        rt = {"rk": pa.int64(), "rv": pa.float64()}
+
+        inner = repartition_join(lds, rds, "k", "rk", lt, rt,
+                                 num_partitions=6).to_pandas()
+        want_inner = l.merge(r, left_on="k", right_on="rk")
+        assert len(inner) == len(want_inner)
+        assert abs(inner.rv.sum() - want_inner.rv.sum()) < 1e-9
+
+        semi = repartition_join(lds, rds, "k", "rk", lt, rt,
+                                num_partitions=6, how="semi").to_pandas()
+        want_semi = l[l.k.isin(r.rk)]
+        assert len(semi) == len(want_semi)
+
+        anti = repartition_join(lds, rds, "k", "rk", lt, rt,
+                                num_partitions=6, how="anti").to_pandas()
+        assert len(anti) == len(l) - len(want_semi)
+
+        left = repartition_join(lds, rds, "k", "rk", lt, rt,
+                                num_partitions=6, how="left").to_pandas()
+        want_left = l.merge(r, left_on="k", right_on="rk", how="left")
+        assert len(left) == len(want_left)
+        assert left.rv.isna().sum() == want_left.rv.isna().sum()
+
+
+def test_jaccard_exact_equals_bruteforce():
+    """Randomized equivalence: inverted-index join == all-pairs python."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kgray.stages.dedup import jaccard_pairs_exact, shingle_hash_sets
+
+    rng = np.random.RandomState(11)
+    vocab = [f"v{i}" for i in range(12)]  # tiny vocab -> many collisions
+    texts = [" ".join(rng.choice(vocab, rng.randint(3, 15)))
+             for _ in range(36)]
+    # guarantee qualifying pairs: one exact dup + one one-token edit
+    texts.append(texts[0])
+    edit = texts[1].split()
+    if len(edit) > 6:
+        edit[3] = "vX"
+    texts.append(" ".join(edit))
+    texts += ["v0 v1", ""]  # <3 tokens / empty: must never pair
+    # (also exercises the empty-result schema guard when pairs are few)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    got = set(map(tuple, jaccard_pairs_exact(
+        ds, threshold=0.4).to_pandas()[["doc_a", "doc_b"]].to_numpy()))
+    sets = shingle_hash_sets(texts, 3)
+    want = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            a, b = sets[i], sets[j]
+            if len(a) == 0 or len(b) == 0:
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            if inter / (len(a) + len(b) - inter) >= 0.4:
+                want.add((i, j))
+    assert got == want
