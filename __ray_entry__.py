@@ -690,6 +690,26 @@ def _q_top_customers_per_nation(sf_dir: str):
     return top_customers_per_nation(sf_dir)
 
 
+def _q_events_quantiles(sf_dir: str):
+    from kgray.pipelines.relational import events_value_quantiles
+
+    return events_value_quantiles(sf_dir)
+
+
+def _q_events_quantiles_approx(sf_dir: str):
+    """Histogram-sketch quantiles (approximate by design — rows-only;
+    the error-bound contract is pytest-checked against the exact op)."""
+    from kgray.pipelines.relational import events_value_quantiles_approx
+
+    return events_value_quantiles_approx(sf_dir)
+
+
+def _q_orders_top100(sf_dir: str):
+    from kgray.pipelines.relational import orders_top100_global_sort
+
+    return orders_top100_global_sort(sf_dir)
+
+
 def _q_events_asof(sf_dir: str):
     from kgray.pipelines.relational import events_asof_join
 
@@ -845,6 +865,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "events_distinct_users": _q_events_distinct_users,
         "top_customers_per_nation": _q_top_customers_per_nation,
+        "events_quantiles": _q_events_quantiles,
+        "events_quantiles_approx": _q_events_quantiles_approx,
+        "orders_top100": _q_orders_top100,
         "customers_semi_join": _q_customers_semi,
         "customers_anti_join": _q_customers_anti,
         "customer_left_join_counts": _q_customer_left_counts,
@@ -1094,6 +1117,31 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+""",
+        "events_quantiles": """
+SELECT event_type, 0.25 AS q,
+       floor(quantile_cont(value, 0.25) * 10000 + 0.5) / 10000 AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.5,
+       floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.75,
+       floor(quantile_cont(value, 0.75) * 10000 + 0.5) / 10000
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.95,
+       floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000
+FROM events GROUP BY event_type
+""",
+        "orders_top100": """
+SELECT CAST(row_number() OVER (
+         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+       o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
 """,
         "customers_semi_join": """
 SELECT c_custkey, c_name FROM customer c

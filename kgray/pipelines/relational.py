@@ -585,6 +585,121 @@ def top_customers_per_nation(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     return _round_half_up(out, {"total_spent": 2})
 
 
+def events_value_quantiles(
+    sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)
+) -> "ray.data.Dataset":
+    """EXACT per-type value quantiles (linear interpolation).
+
+    Exact quantiles need every value of a key in one place: coarse
+    partition by event_type, one vectorized pandas quantile per type.
+    Partitioning assumption (documented, inherent to exactness): one
+    key's values fit in a worker — when they don't, use
+    ``events_value_quantiles_approx`` (mergeable-sketch scale path)."""
+    from ..utils import coarse_grouped_map
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    q_list = list(qs)
+
+    def quantiles_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"event_type": [], "q": [], "value": []}
+        for t, gd in g.groupby("event_type", sort=False):
+            vals = gd["value"].quantile(q_list, interpolation="linear")
+            rows["event_type"] += [t] * len(q_list)
+            rows["q"] += q_list
+            rows["value"] += list(vals)
+        return pd.DataFrame(rows)
+
+    return _round_half_up(
+        coarse_grouped_map(ev, "event_type", quantiles_partition,
+                           num_partitions=8),
+        {"value": 4},
+    )
+
+
+def events_value_quantiles_approx(
+    sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95), n_bins: int = 4096
+) -> "ray.data.Dataset":
+    """Approximate per-type quantiles via a MERGEABLE equi-width
+    histogram sketch — the scale path: each batch folds its values into a
+    (type, bin)-count partial, the coarse reduce sums counts, and the
+    quantile is interpolated inside the winning bin.  Error ≤ one bin
+    width of the value range regardless of row count; the shuffle carries
+    at most types×bins count rows per block, never values."""
+    import pyarrow.parquet as pq
+
+    from ..utils import coarse_grouped_map
+
+    # value range from parquet column statistics — metadata, not a scan
+    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    idx = pf.schema_arrow.get_field_index("value")
+    lo, hi = np.inf, -np.inf
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        lo, hi = min(lo, st.min), max(hi, st.max)
+    width = (hi - lo) / n_bins or 1.0
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    q_list = list(qs)
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bins = np.clip(
+            ((df["value"] - lo) / width).astype(np.int64), 0, n_bins - 1
+        )
+        g = (
+            pd.DataFrame({"event_type": df.event_type, "bin": bins})
+            .groupby(["event_type", "bin"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_hist(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"event_type": [], "q": [], "value": []}
+        for t, gd in g.groupby("event_type", sort=False):
+            h = gd.groupby("bin")["n"].sum().sort_index()
+            counts = h.to_numpy()
+            edges = lo + h.index.to_numpy() * width
+            cum = np.cumsum(counts)
+            total = cum[-1]
+            for q in q_list:
+                target = q * total
+                i = int(np.searchsorted(cum, target))
+                i = min(i, len(counts) - 1)
+                prev = cum[i - 1] if i > 0 else 0
+                frac = (target - prev) / counts[i] if counts[i] else 0.0
+                rows["event_type"].append(t)
+                rows["q"].append(q)
+                rows["value"].append(edges[i] + frac * width)
+        return pd.DataFrame(rows)
+
+    return coarse_grouped_map(
+        ev.map_batches(partial_hist, batch_format="pyarrow"),
+        "event_type",
+        reduce_hist,
+        num_partitions=8,
+    )
+
+
+def orders_top100_global_sort(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
+    """Global distributed sort + limit: the k highest-value orders with a
+    dense rank.  Exercises Ray's range-partitioned sort end to end (the
+    sample→boundaries→exchange→merge all-to-all), then takes the head —
+    the pattern for any 'global leaderboard' question."""
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    top = orders.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+    t = top.to_pandas()  # k rows by contract
+    t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    return ray.data.from_pandas(
+        t[["rnk", "o_orderkey", "o_custkey", "o_totalprice"]]
+    )
+
+
 def events_asof_join(
     sf_dir: str, num_partitions: int = 32
 ) -> "ray.data.Dataset":

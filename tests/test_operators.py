@@ -757,3 +757,50 @@ def test_jaccard_exact_equals_bruteforce():
             if inter / (len(a) + len(b) - inter) >= 0.4:
                 want.add((i, j))
     assert got == want
+
+
+def test_quantiles_exact_and_sketch_bound():
+    """Exact per-type quantiles match pandas; the mergeable-histogram
+    sketch stays within 1% of the value range of the exact answer."""
+    import pandas as pd
+    from kgray.pipelines.relational import (
+        events_value_quantiles,
+        events_value_quantiles_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ex = events_value_quantiles(sf).to_pandas()
+    raw = pd.read_parquet(sf + "/events.parquet",
+                          columns=["event_type", "value"])
+    for (t, q), row in ex.set_index(["event_type", "q"]).iterrows():
+        want = raw[raw.event_type == t]["value"].quantile(
+            q, interpolation="linear"
+        )
+        import numpy as np
+        want = np.floor(want * 10000 + 0.5) / 10000
+        assert abs(row.value - want) < 1e-9, (t, q, row.value, want)
+
+    # sketch guarantee is on RANK, not value: the reported value must lie
+    # between the exact q±1% quantiles (value distance is unbounded in
+    # sparse tails where adjacent order statistics are far apart)
+    ap = events_value_quantiles_approx(sf).to_pandas()
+    for (t, q), row in ap.set_index(["event_type", "q"]).iterrows():
+        vals = raw[raw.event_type == t]["value"]
+        lo = vals.quantile(max(q - 0.01, 0.0))
+        hi = vals.quantile(min(q + 0.01, 1.0))
+        assert lo - 1e-9 <= row.value <= hi + 1e-9, (t, q, row.value, lo, hi)
+
+
+def test_orders_top100_global_sort():
+    import pandas as pd
+    from kgray.pipelines.relational import orders_top100_global_sort
+
+    sf = "/root/testdata/sf0.001"
+    got = orders_top100_global_sort(sf, k=10).to_pandas()
+    raw = pd.read_parquet(sf + "/orders.parquet",
+                          columns=["o_orderkey", "o_totalprice"])
+    want = raw.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    assert list(got.o_orderkey) == list(want.o_orderkey)
+    assert list(got.rnk) == list(range(1, 11))
