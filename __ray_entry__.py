@@ -690,6 +690,20 @@ def _q_top_customers_per_nation(sf_dir: str):
     return top_customers_per_nation(sf_dir)
 
 
+def _q_events_distinct_users_hll(sf_dir: str):
+    """HyperLogLog approximate distinct (sketch — rows-only by design;
+    the 1.04/sqrt(m) error contract is pytest-checked vs the exact op)."""
+    from kgray.pipelines.relational import events_distinct_users_hll
+
+    return events_distinct_users_hll(sf_dir)
+
+
+def _q_top_tokens(sf_dir: str):
+    from kgray.pipelines.relational import top_tokens
+
+    return top_tokens(sf_dir)
+
+
 def _q_events_quantiles(sf_dir: str):
     from kgray.pipelines.relational import events_value_quantiles
 
@@ -865,6 +879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "events_distinct_users": _q_events_distinct_users,
         "top_customers_per_nation": _q_top_customers_per_nation,
+        "events_distinct_users_hll": _q_events_distinct_users_hll,
+        "top_tokens": _q_top_tokens,
         "events_quantiles": _q_events_quantiles,
         "events_quantiles_approx": _q_events_quantiles_approx,
         "orders_top100": _q_orders_top100,
@@ -1117,6 +1133,15 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+""",
+        "top_tokens": """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+, counts AS (SELECT token, count(*) AS n FROM toks
+             WHERE token <> '' GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk,
+       token, n
+FROM counts ORDER BY n DESC, token LIMIT 20
 """,
         "events_quantiles": """
 SELECT event_type, 0.25 AS q,

@@ -804,3 +804,39 @@ def test_orders_top100_global_sort():
     ).head(10)
     assert list(got.o_orderkey) == list(want.o_orderkey)
     assert list(got.rnk) == list(range(1, 11))
+
+
+def test_hll_distinct_error_contract():
+    """HLL estimate within the sketch's error envelope of the exact
+    count, per type — including a high-cardinality synthetic check."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from kgray.pipelines.relational import events_distinct_users_hll
+
+    sf = "/root/testdata/sf0.001"
+    got = events_distinct_users_hll(sf).to_pandas().set_index("event_type")
+    raw = pd.read_parquet(sf + "/events.parquet",
+                          columns=["event_type", "user_id"])
+    for t, gd in raw.groupby("event_type"):
+        exact = gd.user_id.nunique()
+        approx = got.loc[t, "n_users_approx"]
+        # 5 sigma of the b=10 standard error (1.04/sqrt(1024) ~ 3.25%)
+        assert abs(approx - exact) <= max(5, 0.163 * exact), (t, exact, approx)
+
+    # high-cardinality: 30k distinct ids through the same sketch machinery
+    rng = np.random.RandomState(2)
+    ids = rng.randint(0, 10**12, 30000)
+    t = pa.table({
+        "event_type": pa.array(["x"] * len(ids), pa.string()),
+        "user_id": pa.array(ids, pa.int64()),
+    })
+    import os, tempfile
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        big = events_distinct_users_hll(d).to_pandas()
+    exact = len(np.unique(ids))
+    approx = int(big.n_users_approx.iloc[0])
+    assert abs(approx - exact) / exact < 0.1  # 3 sigma at b=10
