@@ -225,6 +225,12 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs_exact(docs, threshold=0.5)
 
 
+def _q_train_val_split(sf_dir: str):
+    from kgray.pipelines.curate import train_val_split
+
+    return train_val_split(sf_dir)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (banded blocking, recall-guaranteed for
     hamming <= bands-1; signatures not SQL-computable — rows-only)."""
@@ -860,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_dedup": _q_near_dup_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "curate_corpus": _q_curate_corpus,
+        "train_val_split": _q_train_val_split,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         # similarity search
@@ -901,6 +908,19 @@ def oracle_sql() -> dict[str, str]:
     # LSH approximation OF this ground truth (identical output contract)
     d["jaccard_pairs"] = d["minhash_near_dup"]
     return d
+
+
+def _train_val_split_sql() -> str:
+    from kgray.pipelines.curate import SPLIT_MULT, split_threshold
+
+    return f"""
+SELECT doc_id,
+       CASE WHEN CAST((CAST(doc_id AS HUGEINT) * {SPLIT_MULT})
+                 % 18446744073709551616 AS UBIGINT)
+                 < {split_threshold(0.1)}
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
 
 
 def _oracle_sql_dict() -> dict[str, str]:
@@ -1134,6 +1154,7 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 """,
+        "train_val_split": _train_val_split_sql(),
         "top_tokens": """
 WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
               FROM documents)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -39,6 +40,47 @@ from ..stages.dedup import (
     pair_components,
 )
 from ..stages.text_analysis import _TOKEN_RE
+
+
+SPLIT_MULT = 11400714819323198485  # odd 64-bit golden-ratio multiplier
+
+
+def split_threshold(val_frac: float) -> int:
+    """The uint64 cut point for ``val_frac`` (one shared constant so the
+    engine and any SQL replica compare against the same integer)."""
+    return min(int(val_frac * 2 ** 64), 2 ** 64 - 1)
+
+
+def train_val_split(
+    sf_dir: str, val_frac: float = 0.1
+) -> "ray.data.Dataset":
+    """Deterministic train/validation assignment per document: a pure
+    map over hash(doc_id) — no shuffle, no randomness, no state.
+
+    split = 'val' iff (doc_id * SPLIT_MULT mod 2^64) < val_frac·2^64.
+    Multiplicative hashing makes the assignment (a) stable — a document
+    keeps its split when the corpus grows, the property a training
+    pipeline needs so checkpointed eval sets never leak into train —
+    and (b) reproducible from the id alone on any engine (the identical
+    arithmetic runs as HUGEINT math in the SQL oracle)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    thr = np.uint64(split_threshold(val_frac))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(SPLIT_MULT)
+        split = np.where(h < thr, "val", "train")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
 
 
 def curate_corpus(

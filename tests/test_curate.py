@@ -67,3 +67,32 @@ def test_curate_exact_matches_lsh(ray_session, corpus_dir):
     a = curate_corpus(corpus_dir, pair_method="lsh").to_pandas()
     b = curate_corpus(corpus_dir, pair_method="exact").to_pandas()
     assert sorted(a.doc_id) == sorted(b.doc_id)
+
+
+def test_train_val_split_stable_and_sized(ray_session, tmp_path):
+    """Split is deterministic, stable under corpus growth, and near the
+    requested fraction."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.curate import train_val_split
+
+    def write(n, d):
+        t = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        })
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+    small, big = tmp_path / "s", tmp_path / "b"
+    small.mkdir(); big.mkdir()
+    write(2000, str(small))
+    write(6000, str(big))
+    s = train_val_split(str(small), 0.2).to_pandas().set_index("doc_id")
+    b = train_val_split(str(big), 0.2).to_pandas().set_index("doc_id")
+    # growth never flips an existing assignment
+    assert (s.split == b.loc[s.index].split).all()
+    frac = (b.split == "val").mean()
+    assert abs(frac - 0.2) < 0.02
