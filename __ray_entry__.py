@@ -748,6 +748,43 @@ def _q_orders_high_value(sf_dir: str):
     return filter_orders_high_value(sf_dir, cutoff=100000.0)
 
 
+def _q_q3_shipping_priority(sf_dir: str):
+    from kgray.pipelines.analytics import shipping_priority
+
+    return shipping_priority(sf_dir, segment="BUILDING",
+                             cutoff="1998-01-01", k=10)
+
+
+def _q_pricing_rollup(sf_dir: str):
+    from kgray.pipelines.analytics import pricing_rollup
+
+    return pricing_rollup(sf_dir)
+
+
+def _q_events_pivot(sf_dir: str):
+    from kgray.pipelines.analytics import events_type_pivot
+
+    return events_type_pivot(sf_dir)
+
+
+def _q_customer_order_statuses(sf_dir: str):
+    from kgray.pipelines.analytics import customer_order_statuses
+
+    return customer_order_statuses(sf_dir)
+
+
+def _q_part_copurchase(sf_dir: str):
+    from kgray.pipelines.analytics import part_copurchase_degree
+
+    return part_copurchase_degree(sf_dir, k=20)
+
+
+def _q_user_activity_outer(sf_dir: str):
+    from kgray.pipelines.analytics import user_activity_outer
+
+    return user_activity_outer(sf_dir, cutoff=450000.0)
+
+
 def _q_bioc_ingest(sf_dir: str):
     """BioC/PubTator XML ingestion (reference pub.py:29-66): wrap each
     document's text in a BioC passage (XML-escaped), parse with BiocReader,
@@ -896,6 +933,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_left_join_counts": _q_customer_left_counts,
         "supplier_balance": _q_supplier_balance,
         "orders_high_value": _q_orders_high_value,
+        # composite analytics (multi-join / rollup / pivot / string-agg /
+        # self-join pairs / full-outer)
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "pricing_rollup": _q_pricing_rollup,
+        "events_pivot": _q_events_pivot,
+        "customer_order_statuses": _q_customer_order_statuses,
+        "part_copurchase": _q_part_copurchase,
+        "user_activity_outer": _q_user_activity_outer,
         # XML sources (BioC ingestion + E-utilities metadata kernels)
         "bioc_ingest": _q_bioc_ingest,
         "eutils_metadata": _q_eutils_metadata,
@@ -1139,6 +1184,76 @@ FROM supplier GROUP BY s_nationkey
         "orders_high_value": """
 SELECT o_orderkey, o_totalprice, o_orderstatus
 FROM orders WHERE o_totalprice > 100000.0
+""",
+        "q3_shipping_priority": """
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_orderdate ASC,
+                               l_orderkey ASC) AS BIGINT) AS rnk,
+       l_orderkey, o_orderdate, o_orderpriority,
+       floor(revenue * 100 + 0.5) / 100 AS revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2, 3
+) QUALIFY rnk <= 10
+""",
+        "pricing_rollup": """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+       floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+        "events_pivot": """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+  count(*) FILTER (event_type = 'click') AS n_click,
+  floor(COALESCE(sum(value) FILTER (event_type = 'click'), 0)
+        * 10000 + 0.5) / 10000 AS v_click,
+  count(*) FILTER (event_type = 'error') AS n_error,
+  floor(COALESCE(sum(value) FILTER (event_type = 'error'), 0)
+        * 10000 + 0.5) / 10000 AS v_error,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  floor(COALESCE(sum(value) FILTER (event_type = 'purchase'), 0)
+        * 10000 + 0.5) / 10000 AS v_purchase,
+  count(*) FILTER (event_type = 'signup') AS n_signup,
+  floor(COALESCE(sum(value) FILTER (event_type = 'signup'), 0)
+        * 10000 + 0.5) / 10000 AS v_signup,
+  count(*) FILTER (event_type = 'view') AS n_view,
+  floor(COALESCE(sum(value) FILTER (event_type = 'view'), 0)
+        * 10000 + 0.5) / 10000 AS v_view
+FROM events GROUP BY 1
+""",
+        "customer_order_statuses": """
+SELECT o_custkey,
+       string_agg(o_orderstatus, '' ORDER BY o_orderkey) AS status_seq,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+""",
+        "part_copurchase": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey x, b.l_partkey y FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (SELECT part, count(*) AS degree
+        FROM (SELECT x AS part FROM p UNION ALL SELECT y AS part FROM p)
+        GROUP BY part)
+SELECT CAST(row_number() OVER (ORDER BY degree DESC, part ASC) AS BIGINT)
+         AS rnk, part, degree
+FROM deg QUALIFY rnk <= 20
+""",
+        "user_activity_outer": """
+WITH e AS (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1),
+o AS (SELECT o_custkey AS k, count(*) AS n_high_orders FROM orders
+      WHERE o_totalprice > 450000.0 GROUP BY 1)
+SELECT COALESCE(e.k, o.k) AS key,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_high_orders, 0) AS n_high_orders
+FROM e FULL OUTER JOIN o ON e.k = o.k
 """,
         "events_asof": """
 SELECT p.event_id, p.user_id, p.ts, p.value,

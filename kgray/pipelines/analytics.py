@@ -1,0 +1,435 @@
+"""Composite analytics pipelines: multi-join shipping-priority query,
+rollup/pivot aggregates, ordered string aggregation, self-join pair
+generation (co-purchase graph), and a full-outer activity join.
+
+These widen the engine's relational surface beyond pipelines/relational —
+every operator here has an exact DuckDB oracle in __ray_entry__ and uses
+the scale patterns established there:
+
+- per-batch PARTIAL aggregation before any keyed shuffle;
+- utils.coarse_grouped_map for every keyed reduce (vectorized pandas per
+  coarse partition — never per-group Python);
+- utils.repartition_join for fact↔fact hops (both sides shuffled once on
+  hash(key), per-partition vectorized merge);
+- broadcast only for true dimension sides;
+- top-k selection as per-block top-k → driver reduce over ≤ blocks×k rows.
+"""
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .relational import _read, _round_half_up
+from ..utils import coarse_grouped_map, repartition_join
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping priority
+# ---------------------------------------------------------------------------
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """customer(σ segment) ⋈ orders(σ date) ⋈ lineitem(σ date), grouped by
+    order, top-k by revenue — the classic 3-table analytic join.
+
+    Join strategy (same reasoning as relational.revenue_by_nation): the
+    customer side is reduced to a FILTERED KEY SET and broadcast (at TPC-H
+    ratios customer is the 10×-smaller side; at 100 TB swap the broadcast
+    for a repartition_join semi on o_custkey — one more shuffle, same
+    result).  The fact↔fact hop lineitem↔orders runs as a distributed
+    repartition join on the order key, with lineitem pre-aggregated per
+    order inside map_batches so the join's left side carries ≤ one row per
+    (orderkey × block).
+    """
+    import pyarrow.parquet as pq
+
+    cutoff_ts = pd.Timestamp(cutoff)
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+    seg_keys = ray.put(
+        set(cust.loc[cust.c_mktsegment == segment, "c_custkey"].tolist())
+    )
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = ray.get(seg_keys)
+        df = df[(df.o_orderdate < cutoff_ts) & df.o_custkey.isin(keys)]
+        return pa.Table.from_pandas(
+            df[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+            preserve_index=False,
+        )
+
+    o_filt = orders.map_batches(filter_orders, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.l_shipdate > cutoff_ts]
+        df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    joined = repartition_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        o_filt,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "revenue": pa.float64()},
+        right_types={
+            "o_orderkey": pa.int64(),
+            "o_orderdate": pa.timestamp("us"),
+            "o_orderpriority": pa.string(),
+        },
+    )
+
+    def final_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        ).agg(revenue=("revenue", "sum"))
+
+    agg = coarse_grouped_map(joined, "l_orderkey", final_reduce)
+
+    sort_cols = ["revenue", "o_orderdate", "l_orderkey"]
+    asc = [False, True, True]
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=asc).head(k)
+
+    cand = agg.map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    t = cand.sort_values(sort_cols, ascending=asc).head(k).reset_index(
+        drop=True
+    )
+    t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    t["revenue"] = np.floor(t["revenue"] * 100.0 + 0.5) / 100.0
+    return ray.data.from_pandas(
+        t[["rnk", "l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP aggregate
+# ---------------------------------------------------------------------------
+
+def pricing_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): finest level, per-flag
+    subtotals, and the grand total in one result, rollup nulls encoded as
+    'ALL'.
+
+    Only the finest level touches the fact table (partial agg → coarse
+    keyed reduce); the coarser levels re-aggregate the FINEST RESULT,
+    which is ≤ |flag|×|status| rows by construction — the rollup costs one
+    extra tiny stage, not extra passes over the data.
+    """
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            revenue=("revenue", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).agg(
+            sum_qty=("sum_qty", "sum"),
+            revenue=("revenue", "sum"),
+            n_rows=("n_rows", "sum"),
+        )
+
+    fine = coarse_grouped_map(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        reduce_fine,
+    )
+
+    def rollup_levels(df: pd.DataFrame) -> pd.DataFrame:
+        aggs = dict(
+            sum_qty=("sum_qty", "sum"),
+            revenue=("revenue", "sum"),
+            n_rows=("n_rows", "sum"),
+        )
+        lv1 = df.groupby("l_returnflag", as_index=False).agg(**aggs)
+        lv1["l_linestatus"] = "ALL"
+        lv0 = df.agg({"sum_qty": "sum", "revenue": "sum", "n_rows": "sum"})
+        lv0 = pd.DataFrame([lv0])
+        lv0["l_returnflag"] = "ALL"
+        lv0["l_linestatus"] = "ALL"
+        cols = ["l_returnflag", "l_linestatus", "sum_qty", "revenue",
+                "n_rows"]
+        out = pd.concat([df[cols], lv1[cols], lv0[cols]], ignore_index=True)
+        out["n_rows"] = out.n_rows.astype(np.int64)
+        return out
+
+    # one partition: the finest level is dimension-bounded (|flag|×|status|)
+    out = fine.repartition(1).map_batches(
+        rollup_levels, batch_format="pandas", batch_size=None
+    )
+    return _round_half_up(out, {"sum_qty": 2, "revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES: List[str] = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot event_type into columns: per hour-of-day, count and value-sum
+    per type (conditional aggregation — the distributed form of PIVOT for
+    a known category vocabulary).
+
+    Partial (hour, type) cells are aggregated per batch, the keyed reduce
+    is per hour, and the pivot itself is a per-partition pandas reshape of
+    ≤ 24×|types| cells.
+    """
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df.ts.dt.hour.astype(np.int64)
+        g = df.groupby(["hour", "event_type"], as_index=False).agg(
+            n=("value", "size"), v=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pivot_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["hour", "event_type"], as_index=False).agg(
+            n=("n", "sum"), v=("v", "sum")
+        )
+        wide = g.pivot(index="hour", columns="event_type", values=["n", "v"])
+        out = pd.DataFrame({"hour": wide.index.to_numpy()})
+        for t in EVENT_TYPES:
+            n = (
+                wide[("n", t)] if ("n", t) in wide.columns
+                else pd.Series(0.0, index=wide.index)
+            )
+            v = (
+                wide[("v", t)] if ("v", t) in wide.columns
+                else pd.Series(0.0, index=wide.index)
+            )
+            out[f"n_{t}"] = n.fillna(0).to_numpy().astype(np.int64)
+            out[f"v_{t}"] = v.fillna(0.0).to_numpy()
+        return out
+
+    out = coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "hour",
+        pivot_partition,
+    )
+    return _round_half_up(out, {f"v_{t}": 4 for t in EVENT_TYPES})
+
+
+# ---------------------------------------------------------------------------
+# Ordered grouped string aggregation
+# ---------------------------------------------------------------------------
+
+def customer_order_statuses(sf_dir: str) -> "ray.data.Dataset":
+    """Per customer: the order-key-ordered concatenation of order statuses
+    (string_agg ... ORDER BY) plus the order count — grouped sequence
+    materialization, e.g. building per-user event strings for sessionized
+    training data."""
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderstatus"],
+    )
+
+    def concat_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderkey"])
+        g = df.groupby("o_custkey", as_index=False).agg(
+            status_seq=("o_orderstatus", "".join),
+            n_orders=("o_orderkey", "size"),
+        )
+        g["n_orders"] = g.n_orders.astype(np.int64)
+        return g
+
+    return coarse_grouped_map(orders, "o_custkey", concat_partition)
+
+
+# ---------------------------------------------------------------------------
+# Self-join pair generation: co-purchase degree
+# ---------------------------------------------------------------------------
+
+def part_copurchase_degree(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Top-k parts by co-purchase degree: parts sharing an order form a
+    pair; a part's degree counts its (other-part, order) incidences.
+
+    Pair generation is the canonical bounded self-join: lineitem is
+    shuffled once on l_orderkey (coarse keyed reduce), and each partition
+    self-merges its orders vectorized — safe because an order's distinct
+    part count is bounded by the order, not the dataset (≤ O(10) at any
+    scale; contrast the capped LSH buckets in stages/dedup.py where group
+    size is data-dependent).  Degrees then reduce per part, and top-k is
+    per-block → driver over ≤ blocks×k rows.
+    """
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        both = pd.concat(
+            [m.l_partkey_x, m.l_partkey_y], ignore_index=True
+        ).to_frame("part")
+        g = both.groupby("part", as_index=False).agg(degree=("part", "size"))
+        g["degree"] = g.degree.astype(np.int64)
+        return g
+
+    partial_deg = coarse_grouped_map(li, "l_orderkey", pairs_partition)
+
+    def reduce_deg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("part", as_index=False).agg(degree=("degree", "sum"))
+        g["degree"] = g.degree.astype(np.int64)
+        return g
+
+    deg = coarse_grouped_map(partial_deg, "part", reduce_deg)
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["degree", "part"], ascending=[False, True]
+        ).head(k)
+
+    cand = deg.map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    t = cand.sort_values(
+        ["degree", "part"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    return ray.data.from_pandas(t[["rnk", "part", "degree"]])
+
+
+def part_copurchase_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """The full (part_a, part_b, n_orders) co-purchase edge list —
+    the graph that part_pagerank walks.  Same bounded self-join as
+    part_copurchase_degree, without the top-k."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        g = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).agg(
+            n_orders=("l_orderkey", "size")
+        )
+        return g.rename(columns={"l_partkey_x": "part_a",
+                                 "l_partkey_y": "part_b"})
+
+    partial = coarse_grouped_map(li, "l_orderkey", pairs_partition)
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["part_a", "part_b"], as_index=False).agg(
+            n_orders=("n_orders", "sum")
+        )
+        g["n_orders"] = g.n_orders.astype(np.int64)
+        return g
+
+    return coarse_grouped_map(partial, ["part_a", "part_b"], reduce_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Full-outer activity join
+# ---------------------------------------------------------------------------
+
+def user_activity_outer(
+    sf_dir: str, cutoff: float = 450000.0
+) -> "ray.data.Dataset":
+    """FULL OUTER join of two independent per-key aggregates: event counts
+    per user vs high-value order counts per customer, on user_id ≡
+    o_custkey.  Unmatched sides (users with no high-value orders;
+    customers outside the event log) report zero — the
+    reconciliation-report shape.  Both sides partial-aggregate before the
+    single repartition_join(how="outer") shuffle."""
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def ev_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("user_id", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ev_counts = coarse_grouped_map(
+        ev.map_batches(ev_partial, batch_format="pyarrow"),
+        "user_id",
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum")
+        ),
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.o_totalprice > cutoff]
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_high_orders=("o_custkey", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o_counts = coarse_grouped_map(
+        orders.map_batches(o_partial, batch_format="pyarrow"),
+        "o_custkey",
+        lambda df: df.groupby("o_custkey", as_index=False).agg(
+            n_high_orders=("n_high_orders", "sum")
+        ),
+    )
+
+    joined = repartition_join(
+        ev_counts,
+        o_counts,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_types={"user_id": pa.int64(), "n_events": pa.int64()},
+        right_types={"o_custkey": pa.int64(), "n_high_orders": pa.int64()},
+        how="outer",
+    )
+
+    def fill_zero(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "key": df.user_id.astype(np.int64),
+                "n_events": df.n_events.fillna(0).astype(np.int64),
+                "n_high_orders": df.n_high_orders.fillna(0).astype(np.int64),
+            }
+        )
+        return out
+
+    return joined.map_batches(
+        fill_zero, batch_format="pandas", batch_size=None
+    )

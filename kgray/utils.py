@@ -147,13 +147,13 @@ def repartition_join(
     """Distributed hash-join via tag-union + coarse-partition groupby
     + per-partition vectorized pandas merge.
 
-    ``how``: "inner" | "left" | "semi" | "anti".  Inner/left emit
-    [left_on] + left cols + right cols (left pads unmatched right cols
-    with nulls — numeric right columns therefore come back as float64,
-    cast downstream if needed); semi/anti emit [left_on] + left cols
-    only (the right side contributes existence, never columns), with
-    left multiplicity preserved.  All variants shuffle both sides
-    exactly once on hash(key) — the per-partition kernel is the only
+    ``how``: "inner" | "left" | "outer" | "semi" | "anti".  Inner/left/
+    outer emit [left_on] + left cols + right cols (unmatched sides pad
+    with nulls — numeric columns therefore come back as float64, cast
+    downstream if needed); semi/anti emit [left_on] + left cols only
+    (the right side contributes existence, never columns), with left
+    multiplicity preserved.  All variants shuffle both sides exactly
+    once on hash(key) — the per-partition kernel is the only
     difference, since every row of a key lands in one partition.
 
     Why not ``Dataset.join``: Ray 2.49's hash-join aggregators (a) reserve
@@ -239,7 +239,7 @@ def repartition_join(
     if width:
         tagged = tagged.repartition(width)
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how!r}")
     out_cols = (
         [left_on] + lcols if how in ("semi", "anti")
@@ -251,12 +251,16 @@ def repartition_join(
 
         l = g[g._side == 0]
         r = g[g._side == 1]
-        if l.empty:
+        if l.empty and how != "outer":
             # ZERO-column empty frame: map_batches passes empties through
             # untouched and pd.concat ignores column-less frames, so this
             # never pollutes the joined schema downstream.
             return pd.DataFrame()
-        if how == "semi":
+        if how == "outer":
+            m = l[["_jkey"] + lcols].merge(
+                r[["_jkey"] + rcols], on="_jkey", how="outer"
+            )
+        elif how == "semi":
             m = l[l._jkey.isin(r._jkey)][["_jkey"] + lcols]
         elif how == "anti":
             m = l[~l._jkey.isin(r._jkey)][["_jkey"] + lcols]
