@@ -873,6 +873,42 @@ def _q_eutils_metadata(sf_dir: str):
     ).select_columns(["doc_id", "pmid", "title", "doi", "journal"])
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from kgray.stages.corpus_stats import tfidf_top_terms
+
+    return tfidf_top_terms(sf_dir, k=5)
+
+
+def _q_bigram_pmi(sf_dir: str):
+    from kgray.stages.corpus_stats import bigram_pmi
+
+    return bigram_pmi(sf_dir, k=20, min_count=5)
+
+
+def _q_stratified_sample(sf_dir: str):
+    from kgray.stages.corpus_stats import stratified_sample
+
+    return stratified_sample(sf_dir, per_stratum=50, stratum_col="lang")
+
+
+def _q_top_tokens_mg(sf_dir: str):
+    """Misra-Gries candidate pass + exact recount: provably equals the
+    exact top-k whenever the k-th frequency clears the sketch floor
+    (pytest-checked), so it shares top_tokens' oracle."""
+    from kgray.stages.corpus_stats import top_tokens_mg
+
+    return top_tokens_mg(sf_dir, k=20)
+
+
+def _q_customers_semi_bloom(sf_dir: str):
+    """Bloom-prefiltered semi join: exact same answer as
+    customers_semi_join (the Bloom stage only shrinks the join input),
+    so it shares that oracle."""
+    from kgray.pipelines.analytics import customers_semi_join_bloom
+
+    return customers_semi_join_bloom(sf_dir, cutoff=350000.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline (generic adapter, fully oracle-checked)
@@ -944,6 +980,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # XML sources (BioC ingestion + E-utilities metadata kernels)
         "bioc_ingest": _q_bioc_ingest,
         "eutils_metadata": _q_eutils_metadata,
+        # corpus statistics (curation scoring / sampling / heavy hitters)
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bigram_pmi": _q_bigram_pmi,
+        "stratified_sample": _q_stratified_sample,
+        "top_tokens_mg": _q_top_tokens_mg,
+        "customers_semi_join_bloom": _q_customers_semi_bloom,
     }
 
 
@@ -952,7 +994,29 @@ def oracle_sql() -> dict[str, str]:
     # the exact similarity join shares the minhash oracle: minhash is the
     # LSH approximation OF this ground truth (identical output contract)
     d["jaccard_pairs"] = d["minhash_near_dup"]
+    # MG heavy hitters provably equal the exact top-k (recount pass);
+    # the Bloom semi join is exact (false positives removed by the final
+    # repartition semi) — both share the exact op's oracle
+    d["top_tokens_mg"] = d["top_tokens"]
+    d["customers_semi_join_bloom"] = d["customers_semi_join"]
     return d
+
+
+def _stratified_sample_sql(per_stratum: int = 50) -> str:
+    # keep iff hash(doc_id)·|stratum| < per_stratum·2⁶⁴ — the identical
+    # exact-integer comparison corpus_stats.stratified_sample makes
+    # (threshold form thr = ceil(X/cnt); h < thr ⟺ h·cnt < X)
+    from kgray.pipelines.curate import SPLIT_MULT
+
+    x = per_stratum << 64
+    return f"""
+WITH cnt AS (SELECT lang, CAST(count(*) AS HUGEINT) AS c
+             FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cnt USING (lang)
+WHERE CAST(CAST((CAST(doc_id AS HUGEINT) * {SPLIT_MULT})
+           % 18446744073709551616 AS UBIGINT) AS HUGEINT) * c < {x}
+"""
 
 
 def _train_val_split_sql() -> str:
@@ -1378,4 +1442,49 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        'Journal ' || CAST(doc_id % 5 AS VARCHAR) AS journal
 FROM documents WHERE doc_id < 200
 """,
+        # float expressions below mirror corpus_stats bit-for-bit: same
+        # cast points, same left-assoc multiply order, libm ln(), and the
+        # engine's floor(x*1e6+0.5)/1e6 half-up rounding
+        "tfidf_top_terms": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok FROM t),
+tf AS (SELECT doc_id, tok AS token, count(*) AS tf
+       FROM u WHERE tok <> '' GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+             floor(CAST(tf.tf AS DOUBLE)
+                   * ln((SELECT n_docs FROM n) / CAST(dfq.df AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 AS tfidf
+      FROM tf JOIN dfq USING (token))
+SELECT doc_id, token, tf, df, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+FROM s QUALIFY rnk <= 5
+""",
+        "bigram_pmi": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
+uni AS (SELECT tok AS token, count(*) AS c FROM u WHERE tok <> ''
+        GROUP BY 1),
+big AS (SELECT a.tok AS token_a, b.tok AS token_b, count(*) AS n_ab
+        FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.tok <> '' AND b.tok <> '' GROUP BY 1, 2),
+nt AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM uni),
+nb AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS v FROM big),
+s AS (SELECT token_a, token_b, n_ab,
+             (CAST(n_ab AS DOUBLE) * (SELECT v FROM nt)
+              * (SELECT v FROM nt))
+             / ((SELECT v FROM nb) * CAST(ca.c AS DOUBLE)
+                * CAST(cb.c AS DOUBLE)) AS ratio
+      FROM big JOIN uni ca ON ca.token = big.token_a
+               JOIN uni cb ON cb.token = big.token_b
+      WHERE n_ab >= 5)
+SELECT CAST(row_number() OVER (ORDER BY ratio DESC, token_a, token_b)
+            AS BIGINT) AS rnk,
+       token_a, token_b, n_ab,
+       floor(ln(ratio) * 1e6 + 0.5) / 1e6 AS pmi
+FROM s QUALIFY rnk <= 20
+""",
+        "stratified_sample": _stratified_sample_sql(50),
     }

@@ -363,6 +363,106 @@ def part_copurchase_pairs(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter-accelerated semi join
+# ---------------------------------------------------------------------------
+
+_BLOOM_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _bloom_hashes(keys: np.ndarray):
+    """Two independent 64-bit hash streams for double hashing
+    (pos_i = h1 + i·h2), both via the engine's stable vectorized hasher."""
+    from pandas.util import hash_array
+
+    k = np.asarray(keys)
+    h1 = hash_array(k)
+    with np.errstate(over="ignore"):
+        h2 = hash_array(h1 * _BLOOM_MIX) | np.uint64(1)  # odd → full cycle
+    return h1, h2
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int):
+    h1, h2 = _bloom_hashes(keys)
+    m = np.uint64(m_bits)
+    with np.errstate(over="ignore"):
+        return [
+            ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+            for i in range(n_hashes)
+        ]
+
+
+def customers_semi_join_bloom(
+    sf_dir: str,
+    cutoff: float = 350000.0,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> "ray.data.Dataset":
+    """Semi join with a broadcast Bloom prefilter: same answer as
+    relational.customers_with_high_value_orders, different scale shape.
+
+    When the build side's key set is too large to broadcast exactly, a
+    Bloom filter broadcasts in O(m_bits) regardless of key count: per-batch
+    bitmaps are OR-merged (the merge is sketch-sized — blocks × m/8 bytes —
+    never key-count-sized), the probe side filters to candidates with zero
+    shuffle, and only the candidate SUPERSET (exact hits + ~(1-e^{-kn/m})^k
+    false positives) pays the exact repartition-join semi that removes
+    false positives.  The final answer is exact — the Bloom stage only
+    shrinks the join's left side, typically by orders of magnitude.
+    """
+    import pyarrow.compute as pc
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def build_bitmap(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("o_totalprice"), cutoff))
+        keys = np.unique(t.column("o_custkey").to_numpy(
+            zero_copy_only=False))
+        bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+        if len(keys):
+            for pos in _bloom_positions(keys, m_bits, n_hashes):
+                np.bitwise_or.at(bits, pos >> 3,
+                                 np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    # sketch-sized driver reduce: blocks × m/8 bytes, independent of keys
+    parts = orders.map_batches(
+        build_bitmap, batch_format="pyarrow"
+    ).to_pandas()
+    merged = np.zeros(m_bits >> 3, dtype=np.uint8)
+    for b in parts.bits:
+        merged |= np.frombuffer(b, dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        ok = np.ones(len(keys), dtype=bool)
+        for pos in _bloom_positions(keys, m_bits, n_hashes):
+            ok &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        return batch.filter(pa.array(ok))
+
+    candidates = cust.map_batches(probe, batch_format="pyarrow")
+
+    def high_value_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("o_totalprice"), cutoff))
+        return pa.table({"o_custkey": t.column("o_custkey")}).group_by(
+            "o_custkey"
+        ).aggregate([])
+
+    return repartition_join(
+        candidates,
+        orders.map_batches(high_value_keys, batch_format="pyarrow"),
+        "c_custkey",
+        "o_custkey",
+        {"c_custkey": pa.int64(), "c_name": pa.string()},
+        {"o_custkey": pa.int64()},
+        how="semi",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full-outer activity join
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,390 @@
+"""Corpus-level statistics for training-data curation: TF-IDF term
+scoring, bigram PMI collocations, deterministic stratified sampling, and
+Misra-Gries heavy hitters with an exact-recount second pass.
+
+Tokenization is the engine's SQL-parity convention (single-space split,
+empty tokens dropped — see pipelines/relational.top_tokens) so every
+operator here has an exact DuckDB oracle.  Float scores are computed with
+the EXACT expression the oracle uses (same cast points, same operator
+associativity, libm ``math.log``) and rounded half-up, so value hashes
+match bit-for-bit; rankings sort on the pre-log ratio (pure double
+arithmetic) wherever possible to keep ordering engine-independent.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..utils import coarse_grouped_map, repartition_join
+
+
+def _read_docs(sf_dir: str, columns) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _round6(v: np.ndarray) -> np.ndarray:
+    return np.floor(v * 1e6 + 0.5) / 1e6
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """Top-k TF-IDF terms per document: tfidf = tf · ln(N/df).
+
+    Three scale-shaped stages: (1) per-batch (doc, token, tf) counts — a
+    document's text lives in one row, so per-doc term frequencies are
+    exact map-side with no shuffle; (2) document frequencies by a
+    token-keyed coarse reduce over the DISTINCT (doc, token) rows stage 1
+    already produced; (3) a token-keyed repartition join attaches df back
+    to the tf rows, and a doc-keyed coarse reduce ranks each document's
+    terms.  Two all-to-alls total, both on the token/doc key, both moving
+    pre-aggregated rows.  N is one count() metadata aggregate.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        d = d[d.token.notna() & (d.token != "")]
+        g = d.groupby(["doc_id", "token"], as_index=False).agg(
+            tf=("token", "size")
+        )
+        g["tf"] = g.tf.astype(np.int64)
+        return pa.Table.from_pandas(g[["doc_id", "token", "tf"]],
+                                    preserve_index=False)
+
+    tf = docs.map_batches(tf_partial, batch_format="pyarrow")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # (doc_id, token) rows are globally unique after tf_partial, so
+        # document frequency is a plain row count per token
+        t = pa.table({"token": batch.column("token")})
+        g = t.group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "df"])
+
+    dfs = coarse_grouped_map(
+        tf.map_batches(df_partial, batch_format="pyarrow"),
+        "token",
+        lambda d: d.groupby("token", as_index=False).agg(df=("df", "sum")),
+    )
+
+    joined = repartition_join(
+        tf, dfs, "token", "token",
+        {"token": pa.string(), "doc_id": pa.int64(), "tf": pa.int64()},
+        {"token": pa.string(), "df": pa.int64()},
+    )
+
+    def rank_doc_terms(d: pd.DataFrame) -> pd.DataFrame:
+        # ln once per distinct df value — libm log, the same call DuckDB's
+        # ln() makes, so scores are bit-identical to the oracle
+        logs = {int(v): math.log(n_docs / float(v)) for v in d.df.unique()}
+        d = d.copy()
+        d["tfidf"] = _round6(
+            d.tf.to_numpy(np.float64)
+            * d.df.map(logs).to_numpy(np.float64)
+        )
+        d = d.sort_values(
+            ["doc_id", "tfidf", "token"], ascending=[True, False, True]
+        )
+        d = d.groupby("doc_id", as_index=False, group_keys=False).head(k)
+        d["rnk"] = d.groupby("doc_id").cumcount().to_numpy() + 1
+        d["rnk"] = d.rnk.astype(np.int64)
+        d["df"] = d.df.astype(np.int64)
+        d["tf"] = d.tf.astype(np.int64)
+        return d[["doc_id", "token", "tf", "df", "tfidf", "rnk"]]
+
+    return coarse_grouped_map(joined, "doc_id", rank_doc_terms)
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+def bigram_pmi(
+    sf_dir: str, k: int = 20, min_count: int = 5
+) -> "ray.data.Dataset":
+    """Top-k bigram collocations by pointwise mutual information.
+
+    pmi(a,b) = ln( P(a,b) / (P(a)P(b)) ) with P over token/bigram totals.
+    Counting is map-side partial + coarse keyed reduce for unigrams and
+    bigrams; the two probability lookups are token-keyed repartition joins
+    (vocabulary is data-dependent — joined, not broadcast).  Ranking sorts
+    on the probability RATIO (pure double arithmetic, identical across
+    engines) rather than its logarithm, so order never depends on libm;
+    ln is applied only to the reported score.
+
+    The unigram/bigram count tables are materialized once: each feeds
+    both a totals aggregate and a join, and an unmaterialized lineage
+    would re-run the count shuffle per consumer.  Both tables are
+    vocabulary-sized (bounded by distinct tokens/bigrams, not corpus
+    rows).
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode_tokens(df: pd.DataFrame):
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        nxt = d.groupby(level=0).token.shift(-1)
+        return d, nxt
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d, _ = explode_tokens(df)
+        vc = d.token[d.token.notna() & (d.token != "")].value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "c": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d, nxt = explode_tokens(df)
+        mask = (
+            d.token.notna() & (d.token != "") & nxt.notna() & (nxt != "")
+        )
+        pairs = pd.DataFrame(
+            {"token_a": d.token[mask], "token_b": nxt[mask]}
+        )
+        g = pairs.groupby(["token_a", "token_b"], as_index=False).agg(
+            n_ab=("token_a", "size")
+        )
+        g["n_ab"] = g.n_ab.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    uni = coarse_grouped_map(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        "token",
+        lambda d: d.groupby("token", as_index=False).agg(c=("c", "sum")),
+    ).materialize()
+    big = coarse_grouped_map(
+        docs.map_batches(big_partial, batch_format="pyarrow"),
+        ["token_a", "token_b"],
+        lambda d: d.groupby(["token_a", "token_b"], as_index=False).agg(
+            n_ab=("n_ab", "sum")
+        ),
+    ).materialize()
+
+    n_tokens = float(uni.sum("c"))
+    n_bigrams = float(big.sum("n_ab"))
+
+    big = big.filter(expr=f"n_ab >= {int(min_count)}")
+
+    def rename_uni(a: str, b: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({a: t.column("token"), b: t.column("c")})
+
+        return fn
+
+    j1 = repartition_join(
+        big,
+        uni.map_batches(rename_uni("token", "c_a"),
+                        batch_format="pyarrow"),
+        "token_a", "token",
+        {"token_a": pa.string(), "token_b": pa.string(),
+         "n_ab": pa.int64()},
+        {"token": pa.string(), "c_a": pa.int64()},
+    )
+    # second hop keys on token_b
+    j2 = repartition_join(
+        j1,
+        uni.map_batches(rename_uni("token_b", "c_b"),
+                        batch_format="pyarrow"),
+        "token_b", "token_b",
+        {"token_b": pa.string(), "token_a": pa.string(),
+         "n_ab": pa.int64(), "c_a": pa.int64()},
+        {"token_b": pa.string(), "c_b": pa.int64()},
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        # EXACT oracle expression and associativity:
+        # (c_ab::D * n_t * n_t) / (n_b::D * c_a * c_b)
+        num = df.n_ab.to_numpy(np.float64) * n_tokens * n_tokens
+        den = (
+            n_bigrams
+            * df.c_a.to_numpy(np.float64)
+            * df.c_b.to_numpy(np.float64)
+        )
+        out = df[["token_a", "token_b", "n_ab"]].copy()
+        out["ratio"] = num / den
+        return out
+
+    scored = j2.map_batches(score, batch_format="pandas")
+    sort_cols = ["ratio", "token_a", "token_b"]
+    asc = [False, True, True]
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=asc).head(k)
+
+    cand = scored.map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    t = cand.sort_values(sort_cols, ascending=asc).head(k).reset_index(
+        drop=True
+    )
+    t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    t["pmi"] = _round6(np.log(t.ratio.to_numpy(np.float64)))
+    t["n_ab"] = t.n_ab.astype(np.int64)
+    return ray.data.from_pandas(
+        t[["rnk", "token_a", "token_b", "n_ab", "pmi"]]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    sf_dir: str, per_stratum: int = 50, stratum_col: str = "lang"
+) -> "ray.data.Dataset":
+    """~``per_stratum`` documents per stratum, deterministically.
+
+    Bernoulli rate per stratum = per_stratum / |stratum|, decided by pure
+    integer arithmetic on the train_val_split multiplicative hash: keep
+    doc iff  hash(doc_id) · |stratum|  <  per_stratum · 2⁶⁴  (exact
+    128-bit comparison — the SQL oracle runs the identical HUGEINT
+    expression, so the sample is bit-reproducible on any engine).  Like
+    every hash sample, membership is stable under corpus growth within a
+    stratum size.  Stratum counts are one tiny aggregate (strata-bounded)
+    broadcast into the filter; the sample itself is a pure map — no
+    shuffle.
+    """
+    from ..pipelines.curate import SPLIT_MULT
+
+    docs = _read_docs(sf_dir, ["doc_id", stratum_col])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({stratum_col: batch.column(stratum_col)}).group_by(
+            stratum_col
+        ).aggregate([(stratum_col, "count")])
+        return g.rename_columns([stratum_col, "cnt"])
+
+    counts = coarse_grouped_map(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        stratum_col,
+        lambda d: d.groupby(stratum_col, as_index=False).agg(
+            cnt=("cnt", "sum")
+        ),
+    ).to_pandas()  # strata-bounded (|languages|), not data-sized
+
+    X = per_stratum << 64
+    thresholds: Dict[str, int] = {}
+    for s, cnt in zip(counts[stratum_col], counts.cnt):
+        thr = (X - 1) // int(cnt) + 1  # keep iff h < thr  ⟺  h·cnt < X
+        thresholds[s] = min(thr, 2 ** 64 - 1 + 1)  # ≥ 2⁶⁴ ⇒ keep all
+    thr_ref = ray.put(thresholds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        thrs = ray.get(thr_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(SPLIT_MULT)
+        strata = batch.column(stratum_col).to_pylist()
+        # per-row threshold via a tiny dict lookup vectorized by factorize
+        uniq, inv = np.unique(np.asarray(strata, dtype=object),
+                              return_inverse=True)
+        thr_arr = np.array(
+            [min(thrs.get(u, 0), 2 ** 64 - 1) for u in uniq],
+            dtype=np.uint64,
+        )
+        keep_all = np.array(
+            [thrs.get(u, 0) > 2 ** 64 - 1 for u in uniq], dtype=bool
+        )
+        mask = (h < thr_arr[inv]) | keep_all[inv]
+        return batch.filter(pa.array(mask))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters + exact recount
+# ---------------------------------------------------------------------------
+
+def top_tokens_mg(
+    sf_dir: str, k: int = 20, m: int = 4096
+) -> "ray.data.Dataset":
+    """Exact top-k tokens found with a Misra-Gries candidate pass.
+
+    Pass 1 keeps a mergeable m-counter Misra-Gries summary per batch
+    (exact batch counts, compressed by subtracting the (m+1)-th largest —
+    every token with true corpus count > N/(m+1) survives in at least one
+    batch), merged by a token-keyed coarse reduce.  Pass 2 re-counts ONLY
+    the surviving candidates exactly and takes the true top-k, so the
+    result equals the exact operator whenever the k-th frequency clears
+    the sketch floor — with m=4096 that is every realistic corpus, and the
+    property is pytest-checked against the exact top_tokens.
+
+    Why it scales: the shuffle carries ≤ m rows per block instead of the
+    full per-block vocabulary, and the recount's broadcast candidate set
+    is sketch-bounded, never vocabulary-bounded.
+    """
+    docs = _read_docs(sf_dir, ["text"])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist(), dtype=object)
+        toks = s.str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()  # descending
+        if len(vc) > m:
+            vc = vc - int(vc.iloc[m])
+            vc = vc[vc > 0]
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    sketch = coarse_grouped_map(
+        docs.map_batches(mg_partial, batch_format="pyarrow"),
+        "token",
+        lambda d: d.groupby("token", as_index=False).agg(n=("n", "sum")),
+    )
+    candidates = set(
+        sketch.select_columns(["token"]).to_pandas().token
+    )  # sketch-bounded: ≤ m × blocks entries, independent of vocabulary
+    cand_ref = ray.put(candidates)
+
+    def recount_partial(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        s = pd.Series(batch.column("text").to_pylist(), dtype=object)
+        toks = s.str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "") & toks.isin(cands)]
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = coarse_grouped_map(
+        docs.map_batches(recount_partial, batch_format="pyarrow"),
+        "token",
+        lambda d: d.groupby("token", as_index=False).agg(n=("n", "sum")),
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"],
+                              ascending=[False, True]).head(k)
+
+    cand = counts.map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    t = cand.sort_values(["n", "token"], ascending=[False, True]).head(
+        k
+    ).reset_index(drop=True)
+    t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    return ray.data.from_pandas(t[["rnk", "token", "n"]])

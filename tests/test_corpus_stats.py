@@ -1,0 +1,194 @@
+"""Semantics tests for stages/corpus_stats (TF-IDF, bigram PMI,
+stratified sampling, Misra-Gries heavy hitters) and the Bloom semi join.
+
+Exact end-to-end parity is covered by the DuckDB oracles in __ray_entry__
+(scripts/check_oracle.py); these pin the kernels' contracts on small
+controlled inputs: MG == exact top-k, Bloom semi == plain semi (exactness
+despite the sketch), sampling determinism and rate, TF-IDF ranking order.
+"""
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+def test_tfidf_matches_handrolled_reference():
+    from kgray.stages.corpus_stats import tfidf_top_terms
+
+    out = tfidf_top_terms(SF, k=3).to_pandas()
+    assert set(out.columns) == {"doc_id", "token", "tf", "df", "tfidf",
+                                "rnk"}
+    # per doc: exactly rnk 1..min(3, n_terms), strictly ordered by
+    # (tfidf desc, token asc)
+    for _, g in out.groupby("doc_id"):
+        g = g.sort_values("rnk")
+        assert g.rnk.tolist() == list(range(1, len(g) + 1))
+        keys = list(zip(-g.tfidf, g.token))
+        assert keys == sorted(keys)
+
+    # recompute one document's scores from raw text
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = float(len(docs))
+    df_counts = {}
+    for t in docs.text:
+        for tok in set(x for x in t.split(" ") if x):
+            df_counts[tok] = df_counts.get(tok, 0) + 1
+    row = docs.iloc[0]
+    tf_counts = pd.Series(
+        [x for x in row.text.split(" ") if x]
+    ).value_counts()
+    expected = {
+        tok: math.floor(c * math.log(n / df_counts[tok]) * 1e6 + 0.5) / 1e6
+        for tok, c in tf_counts.items()
+    }
+    got = out[out.doc_id == row.doc_id].set_index("token")
+    for tok in got.index:
+        assert got.loc[tok, "tfidf"] == pytest.approx(expected[tok],
+                                                      abs=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI
+# ---------------------------------------------------------------------------
+
+def test_bigram_pmi_orders_and_counts():
+    from kgray.stages.corpus_stats import bigram_pmi
+
+    out = bigram_pmi(SF, k=10, min_count=2).to_pandas()
+    assert out.rnk.tolist() == list(range(1, len(out) + 1))
+    assert (out.n_ab >= 2).all()
+    # pmi must be monotone along rank (ties broken lexically upstream)
+    assert (np.diff(out.pmi.to_numpy()) <= 1e-12).all()
+
+    # bigrams never cross document boundaries: count one known bigram
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    a, b = out.iloc[0].token_a, out.iloc[0].token_b
+    n_ab = 0
+    for t in docs.text:
+        toks = t.split(" ")
+        n_ab += sum(
+            1
+            for x, y in zip(toks, toks[1:])
+            if x == a and y == b and x and y
+        )
+    assert n_ab == out.iloc[0].n_ab
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_sized():
+    from kgray.stages.corpus_stats import stratified_sample
+
+    s1 = stratified_sample(SF, per_stratum=10).to_pandas()
+    s2 = stratified_sample(SF, per_stratum=10).to_pandas()
+    pd.testing.assert_frame_equal(
+        s1.sort_values("doc_id").reset_index(drop=True),
+        s2.sort_values("doc_id").reset_index(drop=True),
+    )
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "lang"])
+    sizes = docs.lang.value_counts()
+    got = s1.lang.value_counts()
+    for lang, n in sizes.items():
+        g = int(got.get(lang, 0))
+        if n <= 10:
+            assert g == n  # keep-all when stratum smaller than quota
+        else:
+            # Bernoulli with rate 10/n: allow generous binomial slack
+            assert 0 < g <= 10 + 4 * math.sqrt(10) + 1
+
+
+def test_stratified_sample_membership_stable_under_growth():
+    # a doc kept at rate 10/n must also be kept at rate 20/n (nested
+    # samples — the hash-threshold construction guarantees it)
+    from kgray.stages.corpus_stats import stratified_sample
+
+    small = set(stratified_sample(SF, per_stratum=10).to_pandas().doc_id)
+    big = set(stratified_sample(SF, per_stratum=20).to_pandas().doc_id)
+    assert small <= big
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_top_tokens_mg_equals_exact():
+    from kgray.pipelines.relational import top_tokens
+    from kgray.stages.corpus_stats import top_tokens_mg
+
+    exact = top_tokens(SF, k=20).to_pandas().reset_index(drop=True)
+    mg = top_tokens_mg(SF, k=20).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        exact[["rnk", "token", "n"]], mg[["rnk", "token", "n"]],
+        check_dtype=False,
+    )
+
+
+def test_top_tokens_mg_small_sketch_still_exact_when_floor_clears():
+    # m=64 on a tiny corpus: every token with count > N/(m+1) survives;
+    # the recount makes any surviving superset exact, so top-k of heavy
+    # tokens must match whenever the k-th count clears the floor
+    from kgray.stages.corpus_stats import top_tokens_mg
+    from kgray.pipelines.relational import top_tokens
+
+    exact = top_tokens(SF, k=5).to_pandas()
+    mg = top_tokens_mg(SF, k=5, m=64).to_pandas()
+    total = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    n_tokens = int(
+        total.text.str.split(" ").explode().replace("", np.nan).notna()
+        .sum()
+    )
+    if exact.n.iloc[-1] > n_tokens / 65:
+        pd.testing.assert_frame_equal(
+            exact[["rnk", "token", "n"]].reset_index(drop=True),
+            mg[["rnk", "token", "n"]].reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join
+# ---------------------------------------------------------------------------
+
+def test_bloom_semi_join_equals_plain_semi():
+    from kgray.pipelines.analytics import customers_semi_join_bloom
+    from kgray.pipelines.relational import customers_with_high_value_orders
+
+    plain = customers_with_high_value_orders(
+        SF, cutoff=350000.0
+    ).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    bloom = customers_semi_join_bloom(
+        SF, cutoff=350000.0
+    ).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        plain[["c_custkey", "c_name"]], bloom[["c_custkey", "c_name"]],
+        check_dtype=False,
+    )
+
+
+def test_bloom_tiny_filter_still_exact():
+    # m=2^10 bits on ~hundreds of keys → high false-positive rate; the
+    # exact semi pass must still remove every false positive
+    from kgray.pipelines.analytics import customers_semi_join_bloom
+    from kgray.pipelines.relational import customers_with_high_value_orders
+
+    plain = customers_with_high_value_orders(SF, cutoff=300000.0)
+    bloom = customers_semi_join_bloom(
+        SF, cutoff=300000.0, m_bits=1 << 10, n_hashes=2
+    )
+    assert (
+        sorted(plain.to_pandas().c_custkey)
+        == sorted(bloom.to_pandas().c_custkey)
+    )
