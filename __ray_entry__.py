@@ -909,6 +909,30 @@ def _q_customers_semi_bloom(sf_dir: str):
     return customers_semi_join_bloom(sf_dir, cutoff=350000.0)
 
 
+def _q_pack_sequences(sf_dir: str):
+    from kgray.stages.pack import pack_sequences
+
+    return pack_sequences(sf_dir, budget=1024)
+
+
+def _q_shuffle_order(sf_dir: str):
+    from kgray.stages.pack import shuffle_order
+
+    return shuffle_order(sf_dir)
+
+
+def _q_decontaminate(sf_dir: str):
+    from kgray.stages.corpus_stats import decontaminate
+
+    return decontaminate(sf_dir, bench_mod=97)
+
+
+def _q_repetition_stats(sf_dir: str):
+    from kgray.stages.corpus_stats import repetition_stats
+
+    return repetition_stats(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline (generic adapter, fully oracle-checked)
@@ -986,6 +1010,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "top_tokens_mg": _q_top_tokens_mg,
         "customers_semi_join_bloom": _q_customers_semi_bloom,
+        # training-data assembly / curation
+        "pack_sequences": _q_pack_sequences,
+        "shuffle_order": _q_shuffle_order,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -1016,6 +1045,19 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN cnt USING (lang)
 WHERE CAST(CAST((CAST(doc_id AS HUGEINT) * {SPLIT_MULT})
            % 18446744073709551616 AS UBIGINT) AS HUGEINT) * c < {x}
+"""
+
+
+def _shuffle_order_sql() -> str:
+    from kgray.pipelines.curate import SPLIT_MULT
+
+    return f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY CAST((CAST(doc_id AS HUGEINT) * {SPLIT_MULT})
+                  % 18446744073709551616 AS UBIGINT),
+                  doc_id) AS BIGINT) AS position
+FROM documents
 """
 
 
@@ -1487,4 +1529,61 @@ SELECT CAST(row_number() OVER (ORDER BY ratio DESC, token_a, token_b)
 FROM s QUALIFY rnk <= 20
 """,
         "stratified_sample": _stratified_sample_sql(50),
+        "pack_sequences": """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM tok)
+SELECT doc_id, n_tokens, CAST(off AS BIGINT) AS token_offset,
+       CAST(off // 1024 AS BIGINT) AS seq_id
+FROM c
+""",
+        "shuffle_order": _shuffle_order_sql(),
+        "decontaminate": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
+sh AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+         WHERE s.doc_id % 97 <> 0)
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+""",
+        "repetition_stats": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
+ne AS (SELECT doc_id, tok FROM u WHERE tok <> ''),
+ag AS (SELECT doc_id, count(*) n, count(DISTINCT tok) nd
+       FROM ne GROUP BY doc_id),
+tp AS (SELECT doc_id, max(c) mx
+       FROM (SELECT doc_id, tok, count(*) c FROM ne GROUP BY 1, 2)
+       GROUP BY doc_id),
+bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+       FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       WHERE a.tok <> '' AND b.tok <> ''),
+bag AS (SELECT doc_id, count(*) nb, count(DISTINCT bigram) nbd
+        FROM bg GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(ag.n, 0) AS BIGINT) AS n_tokens_r,
+       CASE WHEN COALESCE(ag.n, 0) > 0
+            THEN 1.0 - CAST(ag.nd AS DOUBLE) / CAST(ag.n AS DOUBLE)
+            ELSE 0.0 END AS dup_token_ratio,
+       CASE WHEN COALESCE(ag.n, 0) > 0
+            THEN CAST(tp.mx AS DOUBLE) / CAST(ag.n AS DOUBLE)
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN COALESCE(bag.nb, 0) > 0
+            THEN 1.0 - CAST(bag.nbd AS DOUBLE) / CAST(bag.nb AS DOUBLE)
+            ELSE 0.0 END AS dup_bigram_ratio
+FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
+LEFT JOIN tp ON tp.doc_id = d.doc_id
+LEFT JOIN bag ON bag.doc_id = d.doc_id
+""",
     }

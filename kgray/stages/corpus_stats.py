@@ -309,6 +309,123 @@ def stratified_sample(
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(sf_dir: str, bench_mod: int = 97) -> "ray.data.Dataset":
+    """Drop training documents sharing any 3-token shingle with the
+    benchmark set (docs with doc_id % bench_mod == 0) — the standard
+    n-gram decontamination pass run before every pretraining job.
+
+    Scale shape: the benchmark side is small by definition (eval suites
+    are KBs against a 100 TB corpus), so its distinct shingles are
+    gathered once and broadcast via ``ray.put``; the probe is then a pure
+    map over the corpus — per-batch shingling + a vectorized hash-set
+    membership test (`pandas.Series.isin`), zero shuffle.  Shingles use
+    the engine's minhash convention (raw single-space split including
+    empties, 3-token window) so the DuckDB oracle is exact.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def shingle_frame(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        nxt1 = d.groupby(level=0).token.shift(-1)
+        nxt2 = d.groupby(level=0).token.shift(-2)
+        ok = nxt2.notna()
+        return pd.DataFrame(
+            {
+                "doc_id": d.doc_id[ok].to_numpy(np.int64),
+                "shingle": d.token[ok] + " " + nxt1[ok] + " " + nxt2[ok],
+            }
+        )
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = shingle_frame(df[df.doc_id % bench_mod == 0])
+        u = s.shingle.unique()
+        return pa.table({"shingle": pa.array(u, pa.string())})
+
+    bench_shingles = set(
+        docs.map_batches(bench_partial, batch_format="pyarrow")
+        .to_pandas()
+        .shingle
+    )  # benchmark-sized — the documented broadcast assumption
+    bench_ref = ray.put(bench_shingles)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        df = batch.to_pandas()
+        df = df[df.doc_id % bench_mod != 0]
+        s = shingle_frame(df)
+        hit = s.doc_id[s.shingle.isin(bench)].unique()
+        keep = df.doc_id[~df.doc_id.isin(hit)].to_numpy(np.int64)
+        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+    return docs.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Repetition / Gopher-style quality signals
+# ---------------------------------------------------------------------------
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document repetition signals (the Gopher repetition rules):
+    duplicate-token ratio, most-frequent-token fraction, and
+    duplicate-bigram ratio.  Pure map over the corpus — each document's
+    text lives in one row, so every signal is exact per batch with no
+    shuffle; the kernels are one vectorized explode + groupby per batch.
+
+    Float ratios are plain IEEE divisions of exact integer counts — the
+    identical expression on both engines, so no rounding is needed for
+    bit-equality with the oracle.  Empty documents report 0.0.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().reset_index(drop=True)
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        nonempty = d[d.token.notna() & (d.token != "")]
+        n = nonempty.groupby("doc_id").token.size()
+        nd = nonempty.groupby("doc_id").token.nunique()
+        top = (
+            nonempty.groupby(["doc_id", "token"]).size()
+            .groupby("doc_id").max()
+        )
+        nxt = d.groupby(level=0).token.shift(-1)
+        bm = d.token.notna() & (d.token != "") & nxt.notna() & (nxt != "")
+        bg = pd.DataFrame(
+            {
+                "doc_id": d.doc_id[bm],
+                "bigram": d.token[bm] + " " + nxt[bm],
+            }
+        )
+        nb = bg.groupby("doc_id").bigram.size()
+        nbd = bg.groupby("doc_id").bigram.nunique()
+
+        ids = df.doc_id
+        n_ = n.reindex(ids, fill_value=0).to_numpy(np.float64)
+        nd_ = nd.reindex(ids, fill_value=0).to_numpy(np.float64)
+        top_ = top.reindex(ids, fill_value=0).to_numpy(np.float64)
+        nb_ = nb.reindex(ids, fill_value=0).to_numpy(np.float64)
+        nbd_ = nbd.reindex(ids, fill_value=0).to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup_tok = np.where(n_ > 0, 1.0 - nd_ / n_, 0.0)
+            top_frac = np.where(n_ > 0, top_ / n_, 0.0)
+            dup_big = np.where(nb_ > 0, 1.0 - nbd_ / nb_, 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.to_numpy(np.int64), pa.int64()),
+                "n_tokens_r": pa.array(n_.astype(np.int64), pa.int64()),
+                "dup_token_ratio": pa.array(dup_tok, pa.float64()),
+                "top_token_frac": pa.array(top_frac, pa.float64()),
+                "dup_bigram_ratio": pa.array(dup_big, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Misra-Gries heavy hitters + exact recount
 # ---------------------------------------------------------------------------
 

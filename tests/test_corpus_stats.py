@@ -192,3 +192,90 @@ def test_bloom_tiny_filter_still_exact():
         sorted(plain.to_pandas().c_custkey)
         == sorted(bloom.to_pandas().c_custkey)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing / shuffle order (distributed prefix sums)
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_is_contiguous_prefix_sum():
+    from kgray.stages.pack import pack_sequences
+
+    out = pack_sequences(SF, budget=256, n_ranges=7).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # offsets must be the exact running sum of n_tokens in doc_id order
+    expect = out.n_tokens.cumsum().shift(fill_value=0)
+    assert (out.token_offset.to_numpy() == expect.to_numpy()).all()
+    assert (out.seq_id.to_numpy() == out.token_offset.to_numpy() // 256).all()
+    # seq ids are nondecreasing and start at 0
+    assert out.seq_id.iloc[0] == 0
+    assert (np.diff(out.seq_id.to_numpy()) >= 0).all()
+
+
+def test_shuffle_order_is_a_permutation_and_deterministic():
+    from kgray.stages.pack import shuffle_order
+
+    p1 = shuffle_order(SF).to_pandas().sort_values("doc_id")
+    p2 = shuffle_order(SF, bucket_bits=3).to_pandas().sort_values("doc_id")
+    n = len(p1)
+    assert sorted(p1.position) == list(range(1, n + 1))
+    # bucket count is an implementation knob — order must not change
+    pd.testing.assert_frame_equal(
+        p1.reset_index(drop=True), p2.reset_index(drop=True)
+    )
+    # and it is not the identity order (it actually shuffles)
+    assert (p1.sort_values("doc_id").position.to_numpy()
+            != np.arange(1, n + 1)).any()
+
+
+# ---------------------------------------------------------------------------
+# Decontamination / repetition signals
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_drops_bench_and_overlapping_docs():
+    from kgray.stages.corpus_stats import decontaminate
+
+    kept = set(decontaminate(SF, bench_mod=97).to_pandas().doc_id)
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    bench = docs[docs.doc_id % 97 == 0]
+    assert kept.isdisjoint(set(bench.doc_id))
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    bench_sh = set().union(*[shingles(t) for t in bench.text]) if len(
+        bench) else set()
+    for _, row in docs[docs.doc_id % 97 != 0].iterrows():
+        expected = shingles(row.text).isdisjoint(bench_sh)
+        assert (row.doc_id in kept) == expected
+
+
+def test_repetition_stats_known_values():
+    from kgray.stages.corpus_stats import repetition_stats
+    import ray.data as rd
+    import os
+    import tempfile
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a a b", "x y z w", ""],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.to_parquet(os.path.join(tmp, "documents.parquet"))
+        out = repetition_stats(tmp).to_pandas().set_index("doc_id")
+    # doc 1: 4 tokens, 2 distinct -> dup .5; top 'a' 3/4; bigrams
+    # (a a),(a a),(a b): 3 total 2 distinct -> dup 1/3
+    assert out.loc[1, "n_tokens_r"] == 4
+    assert out.loc[1, "dup_token_ratio"] == pytest.approx(0.5)
+    assert out.loc[1, "top_token_frac"] == pytest.approx(0.75)
+    assert out.loc[1, "dup_bigram_ratio"] == pytest.approx(1 / 3)
+    # doc 2: all distinct
+    assert out.loc[2, "dup_token_ratio"] == 0.0
+    assert out.loc[2, "dup_bigram_ratio"] == 0.0
+    # doc 3: empty -> zeros, not NaN
+    assert out.loc[3, "n_tokens_r"] == 0
+    assert out.loc[3, "dup_token_ratio"] == 0.0
