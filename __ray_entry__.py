@@ -933,6 +933,66 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(sf_dir)
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII count + redaction over documents with deterministically
+    injected contact lines (the corpus itself is digit-free, so the
+    injection — pure integer arithmetic on doc_id, replicated verbatim
+    in the oracle — is what makes the regexes actually fire)."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.scrub import inject_synthetic_pii, pii_scrub
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(inject_synthetic_pii, batch_format="pyarrow")
+        .map_batches(pii_scrub, batch_format="pyarrow")
+    )
+
+
+def _q_chunk_dedup(sf_dir: str):
+    """Exact 20-word-chunk dedup: global first occurrence per distinct
+    chunk (fixed-window form of exact substring dedup)."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.dedup import chunk_dedup_exact
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return chunk_dedup_exact(docs, chunk_words=20)
+
+
+def _q_quota_sample(sf_dir: str):
+    from kgray.pipelines.curate import quota_sample
+
+    return quota_sample(sf_dir, per_source=5)
+
+
+def _q_quality_percentile(sf_dir: str):
+    from kgray.pipelines.curate import quality_percentile_filter
+
+    return quality_percentile_filter(sf_dir, pct=0.9)
+
+
+def _q_events_interarrival(sf_dir: str):
+    from kgray.pipelines.analytics import events_interarrival
+
+    return events_interarrival(sf_dir)
+
+
+def _q_events_props_stats(sf_dir: str):
+    from kgray.pipelines.analytics import events_props_stats
+
+    return events_props_stats(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline (generic adapter, fully oracle-checked)
@@ -1015,6 +1075,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": _q_shuffle_order,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
+        # scrubbing / windowed / semi-structured extensions
+        "pii_scrub": _q_pii_scrub,
+        "chunk_dedup": _q_chunk_dedup,
+        "quota_sample": _q_quota_sample,
+        "quality_percentile": _q_quality_percentile,
+        "events_interarrival": _q_events_interarrival,
+        "events_props_stats": _q_events_props_stats,
     }
 
 
@@ -1058,6 +1125,32 @@ SELECT doc_id,
                   % 18446744073709551616 AS UBIGINT),
                   doc_id) AS BIGINT) AS position
 FROM documents
+"""
+
+
+def _pii_scrub_sql() -> str:
+    # injection expression mirrors kgray.stages.scrub.inject_synthetic_pii
+    # integer-for-integer; regex constants are spliced from the stage
+    # module so both engines compile the SAME RE2 pattern strings
+    from kgray.stages.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    inj = (
+        "text || ' contact user' || doc_id || '@example.com or 10.' || "
+        "(doc_id % 256) || '.' || ((doc_id // 256) % 256) || '.' || "
+        "(doc_id % 100) || ' tel ' || (doc_id % 700 + 200) || '-' || "
+        "((doc_id // 3) % 900 + 100) || '-' || ((doc_id // 11) % 9000 + 1000)"
+    )
+    return f"""
+WITH inj AS (SELECT doc_id, {inj} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IPV4_RE}', '<IPV4>', 'g') AS redacted
+FROM inj
 """
 
 
@@ -1585,5 +1678,59 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
 LEFT JOIN tp ON tp.doc_id = d.doc_id
 LEFT JOIN bag ON bag.doc_id = d.doc_id
+""",
+        "pii_scrub": _pii_scrub_sql(),
+        "chunk_dedup": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id,
+        [array_to_string(toks[(i*20+1):((i+1)*20)], ' ')
+         FOR i IN range(CAST(ceil(len(toks)/20.0) AS INT))] AS chunks
+      FROM t),
+e AS (SELECT doc_id, unnest(chunks) AS chunk,
+        CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_seq
+      FROM c),
+r AS (SELECT doc_id, chunk_seq, chunk,
+        row_number() OVER (PARTITION BY chunk
+                           ORDER BY doc_id, chunk_seq) AS rn
+      FROM e)
+SELECT doc_id, chunk_seq, chunk FROM r WHERE rn = 1
+""",
+        "quota_sample": """
+WITH h AS (SELECT source, doc_id,
+                  (doc_id * 2654435761) % 4294967296 AS h
+           FROM documents),
+r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY h, doc_id) AS rnk
+      FROM h)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id FROM r WHERE rnk <= 5
+""",
+        "quality_percentile": """
+WITH c AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cc FROM c),
+thr AS (SELECT min(n_chars) AS t FROM cum
+        WHERE cc >= ceil(0.9 * (SELECT count(*) FROM documents)))
+SELECT d.doc_id, d.n_chars FROM documents d, thr WHERE d.n_chars >= thr.t
+""",
+        "events_interarrival": """
+WITH g AS (SELECT user_id,
+                  date_diff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) AS gap
+           FROM events)
+SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+""",
+        "events_props_stats": r"""
+WITH k AS (SELECT event_type,
+                  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+           FROM events
+           WHERE regexp_extract(props, '"k": (\d+)', 1) <> '')
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k, CAST(max(k) AS BIGINT) AS max_k
+FROM k GROUP BY event_type
 """,
     }

@@ -197,6 +197,11 @@ def run_bench() -> dict:
         "pack_sequences",
         "shuffle_order",
         "decontaminate",
+        "pii_scrub",
+        "chunk_dedup",
+        "quota_sample",
+        "events_interarrival",
+        "events_props_stats",
     ]:
         best = None
         for _ in range(repeats):

@@ -533,3 +533,86 @@ def user_activity_outer(
     return joined.map_batches(
         fill_zero, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user inter-arrival gaps (lag/diff window) and JSON props extraction
+# ---------------------------------------------------------------------------
+
+
+def events_interarrival(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user inter-arrival statistics: (user_id, n_events, sum_gap_us,
+    max_gap_us) where gaps are microsecond differences between successive
+    events of that user ordered by (ts, event_id).
+
+    The lag/diff window needs every event of a user in one place sorted
+    by time — coarse partition on user_id (all of a user's rows co-locate
+    by construction), then ONE vectorized sort + groupby-diff per
+    partition.  Gap arithmetic stays int64 microseconds end-to-end, so
+    the engine and the SQL oracle agree bit-for-bit (no float summation
+    order).  Skew note: a single user's history must fit in a worker —
+    true for any real per-user stream; a hot synthetic key would need
+    time-bucketed pre-gapping (diff within bucket + boundary stitch).
+    """
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def gaps_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        # normalize to µs regardless of the frame's datetime resolution
+        # (arrow timestamp[us] → datetime64[us], pd.to_datetime → [ns])
+        ts_us = df.ts.astype("datetime64[us]").astype("int64")
+        gap = ts_us.groupby(df.user_id, sort=False).diff()
+        out = pd.DataFrame(
+            {"user_id": df.user_id, "gap": gap}
+        ).dropna()
+        out["gap"] = out.gap.astype("int64")
+        g = out.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"),
+            sum_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"),
+        )
+        g["n_gaps"] = g.n_gaps.astype("int64")
+        return g
+
+    return coarse_grouped_map(ev, "user_id", gaps_partition)
+
+
+_PROPS_K_RE = r'"k": (?P<k>\d+)'
+
+
+def events_props_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON-ish ``props`` string column with ONE vectorized RE2 pass
+    (pyarrow.compute.extract_regex — no JSON parser, no Python rows),
+    then aggregate per event_type: (event_type, n, sum_k, max_k).
+
+    Combiner-first: each batch collapses to ≤ |event_type| rows before
+    the keyed shuffle.  All-integer outputs — exact vs the SQL oracle.
+    """
+    import pyarrow.compute as pc
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch.column("props"), _PROPS_K_RE), "k"
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        t = t.filter(pc.is_valid(t.column("k")))
+        return (
+            t.group_by("event_type")
+            .aggregate([("k", "count"), ("k", "sum"), ("k", "max")])
+            .rename_columns(["event_type", "n", "sum_k", "max_k"])
+        )
+
+    return coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "event_type",
+        lambda df: df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max")
+        ),
+        num_partitions=8,
+    )

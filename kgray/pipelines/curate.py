@@ -153,3 +153,111 @@ def curate_corpus(
         )
 
     return deduped.map_batches(keep_reps, batch_format="pyarrow")
+
+
+QUOTA_MULT = 2654435761  # Knuth multiplicative constant (fits int64 math)
+
+
+def quota_sample(
+    sf_dir: str, per_source: int = 5
+) -> "ray.data.Dataset":
+    """Deterministic per-source quota sampling: keep at most
+    ``per_source`` documents of each source, chosen by the smallest
+    (hash, doc_id) — the per-domain cap a crawl-curation pipeline applies
+    so no single site dominates the training mix.
+
+    The order key is pure integer arithmetic ((doc_id·QUOTA_MULT) mod
+    2³²) so a SQL replica ranks identically — no RNG, rerun-stable.
+    Combiner-first top-k: every block keeps its own best ``per_source``
+    rows per source before the source-keyed shuffle, so the all-to-all
+    moves ≤ per_source·sources rows per block regardless of corpus size;
+    the final coarse pass ranks whole sources vectorized.  Output:
+    (source, rnk, doc_id).
+    """
+    import pandas as pd
+
+    from ..utils import coarse_grouped_map
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+
+    def add_hash_and_prune(batch: pa.Table) -> pa.Table:
+        h = pc.subtract(
+            pc.multiply(batch.column("doc_id"), QUOTA_MULT),
+            pc.multiply(
+                pc.divide(
+                    pc.multiply(batch.column("doc_id"), QUOTA_MULT),
+                    2 ** 32,
+                ),
+                2 ** 32,
+            ),
+        )
+        df = batch.append_column("h", h).to_pandas()
+        df = df.sort_values(["source", "h", "doc_id"]).groupby(
+            "source", sort=False
+        ).head(per_source)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["source", "h", "doc_id"])
+        df = df.groupby("source", sort=False).head(per_source).copy()
+        df["rnk"] = df.groupby("source", sort=False).cumcount() + 1
+        return df[["source", "rnk", "doc_id"]]
+
+    return coarse_grouped_map(
+        docs.map_batches(add_hash_and_prune, batch_format="pyarrow"),
+        "source",
+        final_rank,
+        num_partitions=8,
+    )
+
+
+def quality_percentile_filter(
+    sf_dir: str, pct: float = 0.9
+) -> "ray.data.Dataset":
+    """Keep the documents at or above the ``pct`` length percentile:
+    threshold t = min n_chars whose cumulative count ≥ ceil(pct·N)
+    (ties at t all kept — deterministic, no interpolation ambiguity).
+
+    Two passes, both scale-shaped: (1) a value-counts aggregate —
+    combiner-first count per distinct n_chars, tiny because the score's
+    CARDINALITY (distinct lengths), not the corpus, bounds it — collected
+    to the driver to pick t; (2) a broadcast threshold filter, pure map.
+    For unbounded-cardinality scores substitute the mergeable histogram
+    sketch (stages/corpus_stats) in pass 1; everything else is unchanged.
+    Output: (doc_id, n_chars).
+    """
+    import math
+
+    from ..utils import coarse_grouped_map
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({"n_chars": batch.column("n_chars")})
+            .group_by("n_chars")
+            .aggregate([([], "count_all")])
+            .rename_columns(["n_chars", "c"])
+        )
+
+    counts = coarse_grouped_map(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        "n_chars",
+        lambda df: df.groupby("n_chars", as_index=False).agg(c=("c", "sum")),
+        num_partitions=8,
+    ).to_pandas()
+    counts = counts.sort_values("n_chars")
+    n = int(counts.c.sum())
+    need = math.ceil(pct * n)
+    cum = counts.c.cumsum()
+    t = int(counts.n_chars[cum >= need].iloc[0])
+
+    return docs.filter(
+        expr=f"n_chars >= {t}"
+    )

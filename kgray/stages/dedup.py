@@ -798,3 +798,74 @@ def near_dup_groups(
     return docs.select_columns(["doc_id"]).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+def word_chunks(batch: pa.Table, chunk_words: int = 20) -> pa.Table:
+    """Explode (doc_id, text) → (doc_id, chunk_seq, chunk): consecutive
+    ``chunk_words``-token windows, last window ragged.
+
+    Tokenisation is a plain single-space split (string_split semantics,
+    matching the DuckDB oracle byte-for-byte: empty tokens preserved).
+    Chunk assembly is per-chunk Python string joins — linear map-side
+    work with no shuffle; the joins are the payload construction itself,
+    not an avoidable inner loop.
+    """
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id, out_seq, out_chunk = [], [], []
+    w = chunk_words
+    for d, t in zip(ids, texts):
+        toks = (t or "").split(" ")
+        for i in range((len(toks) + w - 1) // w):
+            out_id.append(d)
+            out_seq.append(i)
+            out_chunk.append(" ".join(toks[i * w : (i + 1) * w]))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_seq": pa.array(out_seq, pa.int64()),
+            "chunk": pa.array(out_chunk, pa.string()),
+        }
+    )
+
+
+def chunk_dedup_exact(
+    docs: "ray.data.Dataset", chunk_words: int = 20
+) -> "ray.data.Dataset":
+    """Exact substring-granularity dedup (Lee et al. 2022's goal at fixed
+    window size): split every document into ``chunk_words``-token chunks
+    and keep each distinct chunk's GLOBAL first occurrence, ordered by
+    (doc_id, chunk_seq).  Returns the surviving (doc_id, chunk_seq, chunk)
+    rows — the corpus with every repeated span removed once seen.
+
+    Combiner-first like ``exact_dedup``: each exploded batch collapses its
+    own duplicate chunks to the local minimum occurrence before the
+    chunk-keyed shuffle, so the all-to-all moves ≤ one row per distinct
+    chunk per block.  (At petabyte scale, key the shuffle on a 128-bit
+    content hash of the chunk and keep the chunk text only on the winning
+    row.)
+    """
+    from ..utils import coarse_grouped_map
+
+    exploded = docs.map_batches(
+        lambda b: word_chunks(b, chunk_words), batch_format="pyarrow"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["doc_id", "chunk_seq"]).drop_duplicates(
+            "chunk", keep="first"
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["doc_id", "chunk_seq"]).drop_duplicates(
+            "chunk", keep="first"
+        )
+        return df[["doc_id", "chunk_seq", "chunk"]]
+
+    return coarse_grouped_map(
+        exploded.map_batches(partial, batch_format="pyarrow"),
+        "chunk",
+        final_reduce,
+    )
