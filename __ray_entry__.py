@@ -993,6 +993,35 @@ def _q_events_props_stats(sf_dir: str):
     return events_props_stats(sf_dir)
 
 
+def _q_unigram_nll(sf_dir: str):
+    from kgray.stages.corpus_stats import unigram_nll
+
+    return unigram_nll(sf_dir)
+
+
+def _q_length_deciles(sf_dir: str):
+    from kgray.stages.corpus_stats import length_deciles
+
+    return length_deciles(sf_dir)
+
+
+def _q_kg_pagerank(sf_dir: str):
+    """PageRank (4 power iterations, d=0.85) over the KG's distinct
+    subj→obj edge graph; oracle unrolls the identical iterations in SQL
+    over the same CTE-derived edge set."""
+    import pyarrow as pa
+
+    from kgray.stages.graph_algos import pagerank
+
+    edges = _kg_result(sf_dir).edges.map_batches(
+        lambda b: pa.table(
+            {"src": b.column("subj"), "dst": b.column("obj")}
+        ),
+        batch_format="pyarrow",
+    )
+    return pagerank(edges, damping=0.85, iters=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline (generic adapter, fully oracle-checked)
@@ -1082,6 +1111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile": _q_quality_percentile,
         "events_interarrival": _q_events_interarrival,
         "events_props_stats": _q_events_props_stats,
+        "unigram_nll": _q_unigram_nll,
+        "length_deciles": _q_length_deciles,
+        "kg_pagerank": _q_kg_pagerank,
     }
 
 
@@ -1152,6 +1184,39 @@ SELECT doc_id,
            '{IPV4_RE}', '<IPV4>', 'g') AS redacted
 FROM inj
 """
+
+
+def _pagerank_sql(iters: int = 4, d: float = 0.85) -> str:
+    # unrolled power iteration over the KG CTE's edge set; float
+    # expressions mirror stages/graph_algos.pagerank term-for-term
+    # ((1-d)/n literal, d·(c + m/n) grouping, final half-up 1e-6 round)
+    parts = [
+        """
+, eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,
+                         'w(X:' || tb || ')' AS dst FROM pairs),
+nd AS (SELECT src AS node FROM eg UNION SELECT dst FROM eg),
+dg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg
+       FROM eg GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nd)"""
+    ]
+    for t in range(iters):
+        parts.append(f"""
+, m{t} AS (SELECT COALESCE(sum(r.r), 0.0) AS m
+          FROM r{t} r LEFT JOIN dg USING (node) WHERE dg.outdeg IS NULL),
+c{t} AS (SELECT e.dst AS node, sum(r.r / dg.outdeg) AS c
+        FROM eg e JOIN r{t} r ON e.src = r.node
+                  JOIN dg ON e.src = dg.node
+        GROUP BY e.dst),
+r{t + 1} AS (SELECT nd.node,
+            {1 - d} / (SELECT n FROM nn)
+            + {d} * (COALESCE(c.c, 0.0)
+                     + (SELECT m FROM m{t}) / (SELECT n FROM nn)) AS r
+            FROM nd LEFT JOIN c{t} c USING (node))""")
+    parts.append(
+        f"\nSELECT node, floor(r * 1e6 + 0.5) / 1e6 AS pr FROM r{iters}"
+    )
+    return _KG_CTE + "".join(parts)
 
 
 def _train_val_split_sql() -> str:
@@ -1733,4 +1798,23 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(k) AS BIGINT) AS sum_k, CAST(max(k) AS BIGINT) AS max_k
 FROM k GROUP BY event_type
 """,
+        # unigram-LM scoring: same cast points and libm ln() as
+        # corpus_stats.unigram_nll; half-up 1e-6 rounding on the score
+        "unigram_nll": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok FROM t),
+ne AS (SELECT doc_id, tok FROM u WHERE tok <> ''),
+cnt AS (SELECT tok, CAST(count(*) AS DOUBLE) c FROM ne GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) n FROM cnt),
+lp AS (SELECT tok, ln(c / (SELECT n FROM tot)) AS logp FROM cnt)
+SELECT ne.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       floor(-(sum(lp.logp) / count(*)) * 1e6 + 0.5) / 1e6 AS avg_nll
+FROM ne JOIN lp ON ne.tok = lp.tok GROUP BY ne.doc_id
+""",
+        "length_deciles": """
+SELECT doc_id, n_chars,
+       CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+FROM documents
+""",
+        "kg_pagerank": _pagerank_sql(),
     }

@@ -202,6 +202,8 @@ def run_bench() -> dict:
         "quota_sample",
         "events_interarrival",
         "events_props_stats",
+        "unigram_nll",
+        "length_deciles",
     ]:
         best = None
         for _ in range(repeats):

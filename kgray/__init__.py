@@ -22,7 +22,19 @@ from .functions.bel import (  # noqa: F401
 )
 from .functions.prompts import load_prompt  # noqa: F401
 from .corpus import generate_documents, write_corpus  # noqa: F401
-from .pipelines.curate import curate_corpus  # noqa: F401
+from .pipelines.curate import (  # noqa: F401
+    curate_corpus,
+    quality_percentile_filter,
+    quota_sample,
+    train_val_split,
+)
+from .stages.scrub import pii_redact, pii_scrub, pii_stats  # noqa: F401
+from .stages.dedup import chunk_dedup_exact, exact_dedup  # noqa: F401
+from .stages.graph_algos import pagerank  # noqa: F401
+from .stages.corpus_stats import (  # noqa: F401
+    length_deciles,
+    unigram_nll,
+)
 
 __all__ = [
     "KGConfig",
@@ -40,4 +52,15 @@ __all__ = [
     "generate_documents",
     "write_corpus",
     "curate_corpus",
+    "quality_percentile_filter",
+    "quota_sample",
+    "train_val_split",
+    "pii_stats",
+    "pii_redact",
+    "pii_scrub",
+    "chunk_dedup_exact",
+    "exact_dedup",
+    "pagerank",
+    "length_deciles",
+    "unigram_nll",
 ]

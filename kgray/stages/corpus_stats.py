@@ -505,3 +505,136 @@ def top_tokens_mg(
     ).reset_index(drop=True)
     t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
     return ray.data.from_pandas(t[["rnk", "token", "n"]])
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (CCNet-style perplexity filter, exact)
+# ---------------------------------------------------------------------------
+
+def unigram_nll(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram language model — the scoring half of a CCNet/KenLM-style
+    quality filter (low avg NLL = typical text, high = outlier).
+
+    Pass 1 builds the model: global token counts (combiner-first per
+    batch, token-keyed coarse reduce) collected to the driver — bounded
+    by VOCABULARY size, not corpus size — and broadcast as a token→ln(p)
+    table via ``ray.put``.  Pass 2 is a pure map: explode each batch's
+    tokens, one vectorized ``Series.map`` against the broadcast table,
+    one groupby-sum per batch (a document never spans batches, so no
+    shuffle).  At open-vocabulary scale, truncate the table to the top-V
+    tokens + an OOV bucket; the two-pass shape is unchanged.
+
+    Float contract with the oracle: ln(count/total) in float64 on both
+    sides, score = floor(-(Σlogp/n)·1e6 + 0.5)/1e6.  Output:
+    (doc_id, n_tok, avg_nll).
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist(), dtype=object)
+        toks = s.str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = coarse_grouped_map(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        "token",
+        lambda d: d.groupby("token", as_index=False).agg(n=("n", "sum")),
+    ).to_pandas()
+    total = float(counts.n.sum())
+    logp = pd.Series(
+        np.log(counts.n.to_numpy(np.float64) / total),
+        index=counts.token,
+    )
+    logp_ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = ray.get(logp_ref)
+        df = batch.to_pandas()
+        toks = df.set_index("doc_id").text.str.split(" ").explode()
+        toks = toks[toks != ""]
+        per_tok = toks.map(lp)
+        g = per_tok.groupby(level=0).agg(["count", "sum"])
+        avg_nll = _round6(-(g["sum"].to_numpy() / g["count"].to_numpy()))
+        return pa.table(
+            {
+                "doc_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "n_tok": pa.array(
+                    g["count"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "avg_nll": pa.array(avg_nll, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Global NTILE bucketing (distributed rank over a total order)
+# ---------------------------------------------------------------------------
+
+def length_deciles(sf_dir: str, buckets: int = 10) -> "ray.data.Dataset":
+    """Assign every document its NTILE bucket over the global
+    (n_chars, doc_id) order — SQL ``ntile(B) OVER (ORDER BY n_chars,
+    doc_id)`` semantics exactly (first N mod B buckets take the extra
+    row).
+
+    A global rank without a global sort: pass 1 aggregates VALUE COUNTS
+    of the order key's first component (bounded by the key's cardinality)
+    and turns them into per-value cumulative offsets on the driver;
+    pass 2 coarse-partitions by n_chars — co-locating every row of each
+    distinct value — ranks doc_ids within each value vectorized, and adds
+    the broadcast offset.  rank→bucket is then pure arithmetic.  Output:
+    (doc_id, n_chars, decile).
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({"n_chars": batch.column("n_chars")})
+            .group_by("n_chars")
+            .aggregate([([], "count_all")])
+            .rename_columns(["n_chars", "c"])
+        )
+
+    counts = coarse_grouped_map(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        "n_chars",
+        lambda d: d.groupby("n_chars", as_index=False).agg(c=("c", "sum")),
+        num_partitions=8,
+    ).to_pandas().sort_values("n_chars")
+    n_total = int(counts.c.sum())
+    offsets = pd.Series(
+        np.concatenate(([0], counts.c.cumsum().to_numpy()[:-1])),
+        index=counts.n_chars,
+    )
+    off_ref = ray.put(offsets)
+    q, r = divmod(n_total, buckets)
+
+    def rank_partition(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values(["n_chars", "doc_id"])
+        local = df.groupby("n_chars", sort=False).cumcount()
+        rank = df.n_chars.map(off).to_numpy() + local.to_numpy() + 1
+        if q == 0:
+            decile = rank
+        else:
+            head = r * (q + 1)
+            decile = np.where(
+                rank <= head,
+                (rank - 1) // (q + 1) + 1,
+                r + (rank - head - 1) // q + 1,
+            )
+        out = df[["doc_id", "n_chars"]].copy()
+        out["decile"] = decile.astype(np.int64)
+        return out
+
+    return coarse_grouped_map(docs, "n_chars", rank_partition,
+                              num_partitions=8)

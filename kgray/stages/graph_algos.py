@@ -1,0 +1,173 @@
+"""Iterative graph algorithms over edge tables — PageRank power
+iteration as Dataset-to-Dataset transforms.
+
+The engine's KG output is a node/edge table pair (stages/graph.py,
+reference convert_to_cx2.py:124-166 emits the same shape); downstream
+consumers rank entities on it.  PageRank is the representative iterative
+algorithm: every iteration is a join + keyed aggregate, the one dataflow
+shape Ray Data has no built-in loop for — so it is expressed here as a
+driver-side Python loop over fully distributed per-iteration steps.
+
+Scale shape per iteration (T iterations, E edges, V nodes):
+- one ``repartition_join`` of the edge table against the rank table on
+  src (both sides shuffled once on hash(key) — no broadcast of the
+  V-sized rank vector, which at web scale does not fit a worker);
+- one coarse keyed reduce summing contributions per dst;
+- one left join back onto the node set (restores zero-indegree nodes);
+- two scalar aggregates (dangling mass, node count) — driver receives
+  exactly two floats, never a table.
+Each iteration's rank table is materialized (V rows — the one
+deliberately pinned intermediate; Ray re-executes lazy lineage per
+consumer, and iteration k+1 consumes iteration k twice).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..utils import coarse_grouped_map, repartition_join
+
+
+def _distinct_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(src, dst) with exact duplicates removed (combiner-first)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["src", "dst"]).group_by(
+            ["src", "dst"]
+        ).aggregate([])
+
+    return coarse_grouped_map(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["src", "dst"],
+        lambda df: df.drop_duplicates(["src", "dst"]),
+        num_partitions=8,
+    )
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    damping: float = 0.85,
+    iters: int = 4,
+) -> "ray.data.Dataset":
+    """PageRank over a directed edge Dataset (src, dst) → (node, rank).
+
+    Standard formulation: r₀ = 1/V;
+    r_{t+1}(v) = (1-d)/V + d·(Σ_{u→v} r_t(u)/outdeg(u) + m_t/V)
+    where m_t is the dangling (outdeg-0) mass.  Self-loops count as
+    ordinary edges; duplicate edges collapse first.  Ranks are rounded
+    half-up to 6 decimals ONLY on the final iteration, matching the SQL
+    oracle's unrolled iterations expression-for-expression.
+    """
+    e = _distinct_edges(edges).materialize()
+
+    deg = coarse_grouped_map(
+        e.map_batches(
+            lambda b: b.group_by("src").aggregate([([], "count_all")])
+            .rename_columns(["src", "outdeg"]),
+            batch_format="pyarrow",
+        ),
+        "src",
+        lambda df: df.groupby("src", as_index=False).agg(
+            outdeg=("outdeg", "sum")
+        ),
+        num_partitions=8,
+    )
+
+    def node_halves(batch: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            batch.column("src").chunks + batch.column("dst").chunks
+        )
+        return pa.table({"node": both})
+
+    nodes = coarse_grouped_map(
+        e.map_batches(node_halves, batch_format="pyarrow"),
+        "node",
+        lambda df: df.drop_duplicates("node"),
+        num_partitions=8,
+    ).materialize()
+    n = float(nodes.count())
+
+    # state: (node, r, outdeg); outdeg NaN ⟺ dangling
+    state = repartition_join(
+        nodes,
+        deg,
+        "node",
+        "src",
+        {"node": pa.string()},
+        {"src": pa.string(), "outdeg": pa.int64()},
+        num_partitions=8,
+        how="left",
+    ).map_batches(
+        lambda df: df.assign(r=1.0 / n), batch_format="pandas"
+    ).materialize()
+
+    base = (1 - damping) / n
+    for t in range(iters):
+        dangling = state.map_batches(
+            lambda df: pd.DataFrame(
+                {"m": [df.r[df.outdeg.isna()].sum()]}
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        ).sum("m")
+        m = float(dangling or 0.0)
+
+        contrib = repartition_join(
+            e,
+            state,
+            "src",
+            "node",
+            {"src": pa.string(), "dst": pa.string()},
+            {"node": pa.string(), "r": pa.float64(),
+             "outdeg": pa.float64()},
+            num_partitions=8,
+        )
+
+        def partial_sum(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.assign(w=df.r / df.outdeg)
+            return df.groupby("dst", as_index=False).agg(c=("w", "sum"))
+
+        summed = coarse_grouped_map(
+            contrib.map_batches(
+                partial_sum, batch_format="pandas", batch_size=None
+            ),
+            "dst",
+            lambda df: df.groupby("dst", as_index=False).agg(
+                c=("c", "sum")
+            ),
+            num_partitions=8,
+        )
+
+        joined = repartition_join(
+            state.select_columns(["node", "outdeg"]),
+            summed,
+            "node",
+            "dst",
+            {"node": pa.string(), "outdeg": pa.float64()},
+            {"dst": pa.string(), "c": pa.float64()},
+            num_partitions=8,
+            how="left",
+        )
+
+        def update(df: pd.DataFrame, _m=m) -> pd.DataFrame:
+            c = df.c.fillna(0.0)
+            return df.assign(r=base + damping * (c + _m / n))[
+                ["node", "r", "outdeg"]
+            ]
+
+        state = joined.map_batches(
+            update, batch_format="pandas"
+        ).materialize()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df.node,
+                "pr": np.floor(df.r.to_numpy() * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return state.map_batches(finalize, batch_format="pandas")

@@ -1,0 +1,116 @@
+"""Semantics tests for PageRank (stages/graph_algos) and the
+unigram-LM / NTILE operators (stages/corpus_stats additions).
+
+Oracle parity at sf0.01 is covered by __ray_entry__ (unrolled-SQL
+PageRank, ln()-exact NLL, ntile(10)); these pin the kernels against
+hand-rolled references on controlled inputs.
+"""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_pagerank(edge_set, iters=4, d=0.85):
+    nodes = sorted({s for s, _ in edge_set} | {t for _, t in edge_set})
+    idx = {v: i for i, v in enumerate(nodes)}
+    outdeg = {v: sum(1 for s, _ in edge_set if s == v) for v in nodes}
+    n = float(len(nodes))
+    r = np.full(len(nodes), 1 / n)
+    for _ in range(iters):
+        m = sum(r[idx[v]] for v in nodes if outdeg[v] == 0)
+        c = np.zeros(len(nodes))
+        for s, t in edge_set:
+            c[idx[t]] += r[idx[s]] / outdeg[s]
+        r = (1 - d) / n + d * (c + m / n)
+    return {
+        v: float(np.floor(r[idx[v]] * 1e6 + 0.5) / 1e6) for v in nodes
+    }
+
+
+def test_pagerank_matches_reference_with_dangling_and_dups():
+    from kgray.stages.graph_algos import pagerank
+
+    # dup edge a→b, dangling sink d, self-loop e→e
+    edges = pa.table(
+        {
+            "src": ["a", "a", "b", "c", "a", "e"],
+            "dst": ["b", "c", "c", "d", "b", "e"],
+        }
+    )
+    out = (
+        pagerank(ray.data.from_arrow(edges), iters=4)
+        .to_pandas()
+        .set_index("node")
+        .pr.to_dict()
+    )
+    want = _ref_pagerank(
+        {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("e", "e")}
+    )
+    assert out == want
+
+
+def test_pagerank_mass_conserved():
+    from kgray.stages.graph_algos import pagerank
+
+    edges = pa.table(
+        {"src": ["a", "b", "c"], "dst": ["b", "c", "a"]}
+    )
+    out = pagerank(ray.data.from_arrow(edges), iters=6).to_pandas()
+    assert abs(out.pr.sum() - 1.0) < 1e-5
+    # symmetric cycle ⇒ uniform ranks
+    assert out.pr.nunique() == 1
+
+
+def test_unigram_nll_hand_computed(tmp_path):
+    from kgray.stages.corpus_stats import unigram_nll
+
+    # corpus: 'x' appears 3/4, 'y' 1/4
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["x x y", "x"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = (
+        unigram_nll(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    lx, ly = np.log(3 / 4), np.log(1 / 4)
+    exp1 = np.floor(-((2 * lx + ly) / 3) * 1e6 + 0.5) / 1e6
+    exp2 = np.floor(-lx * 1e6 + 0.5) / 1e6
+    assert out.loc[1].tolist() == [3, exp1]
+    assert out.loc[2].tolist() == [1, exp2]
+
+
+def test_length_deciles_ntile_semantics(tmp_path):
+    from kgray.stages.corpus_stats import length_deciles
+
+    # N=13, B=5 → bucket sizes 3,3,3,2,2 over (n_chars, doc_id) order
+    df = pd.DataFrame(
+        {
+            "doc_id": range(13),
+            "n_chars": [5, 5, 5, 5, 1, 1, 9, 9, 9, 9, 9, 9, 2],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        length_deciles(str(tmp_path), buckets=5)
+        .to_pandas()
+        .sort_values(["n_chars", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert out.decile.tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 5, 5]
+    order = list(zip(out.n_chars, out.doc_id))
+    assert order == sorted(order)
+
+
+def test_length_deciles_balanced_on_sf():
+    from kgray.stages.corpus_stats import length_deciles
+
+    out = length_deciles(SF).to_pandas()
+    sizes = out.decile.value_counts()
+    assert sorted(sizes.index) == list(range(1, 11))
+    assert sizes.max() - sizes.min() <= 1
