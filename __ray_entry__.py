@@ -993,6 +993,22 @@ def _q_events_props_stats(sf_dir: str):
     return events_props_stats(sf_dir)
 
 
+def _q_near_dup_dedup_lp(sf_dir: str):
+    """Distributed-components variant of near_dup_dedup (min-label
+    propagation instead of driver union-find) — identical output,
+    shares its recursive-CTE oracle."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.dedup import near_dup_groups_distributed
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return near_dup_groups_distributed(docs, threshold=0.5)
+
+
 def _q_unigram_nll(sf_dir: str):
     from kgray.stages.corpus_stats import unigram_nll
 
@@ -1114,6 +1130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_nll": _q_unigram_nll,
         "length_deciles": _q_length_deciles,
         "kg_pagerank": _q_kg_pagerank,
+        "near_dup_dedup_lp": _q_near_dup_dedup_lp,
     }
 
 
@@ -1127,6 +1144,9 @@ def oracle_sql() -> dict[str, str]:
     # repartition semi) — both share the exact op's oracle
     d["top_tokens_mg"] = d["top_tokens"]
     d["customers_semi_join_bloom"] = d["customers_semi_join"]
+    # the label-propagation components op is the distributed twin of the
+    # driver-union-find one — same (doc_id, rep_id) contract and oracle
+    d["near_dup_dedup_lp"] = d["near_dup_dedup"]
     return d
 
 

@@ -29,8 +29,13 @@ from .pipelines.curate import (  # noqa: F401
     train_val_split,
 )
 from .stages.scrub import pii_redact, pii_scrub, pii_stats  # noqa: F401
-from .stages.dedup import chunk_dedup_exact, exact_dedup  # noqa: F401
-from .stages.graph_algos import pagerank  # noqa: F401
+from .stages.dedup import (  # noqa: F401
+    chunk_dedup_exact,
+    exact_dedup,
+    near_dup_groups,
+    near_dup_groups_distributed,
+)
+from .stages.graph_algos import connected_components, pagerank  # noqa: F401
 from .stages.corpus_stats import (  # noqa: F401
     length_deciles,
     unigram_nll,
@@ -61,6 +66,9 @@ __all__ = [
     "chunk_dedup_exact",
     "exact_dedup",
     "pagerank",
+    "connected_components",
+    "near_dup_groups",
+    "near_dup_groups_distributed",
     "length_deciles",
     "unigram_nll",
 ]

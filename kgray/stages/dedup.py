@@ -869,3 +869,44 @@ def chunk_dedup_exact(
         "chunk",
         final_reduce,
     )
+
+
+def near_dup_groups_distributed(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> "ray.data.Dataset":
+    """(doc_id, rep_id) near-dup components with NO driver-side graph:
+    the scale path of ``near_dup_groups``.  LSH-verified pairs feed the
+    distributed min-label propagation (stages/graph_algos.
+    connected_components); documents outside the pair graph re-enter as
+    their own representative via one left repartition join — the driver
+    never holds the pair graph, the label table, or the corpus.
+    Output contract identical to ``near_dup_groups`` (shared oracle).
+    """
+    from .graph_algos import connected_components
+    from ..utils import repartition_join
+
+    pairs = minhash_lsh_pairs(docs, threshold=threshold, **lsh_kwargs)
+    cc = connected_components(pairs)
+
+    joined = repartition_join(
+        docs.select_columns(["doc_id"]),
+        cc,
+        "doc_id",
+        "doc_id",
+        {"doc_id": pa.int64()},
+        {"doc_id": pa.int64(), "rep_id": pa.int64()},
+        num_partitions=8,
+        how="left",
+    )
+
+    def fill_self(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.astype("int64"),
+                "rep_id": df.rep_id.fillna(df.doc_id).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(fill_self, batch_format="pandas")

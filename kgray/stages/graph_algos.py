@@ -171,3 +171,118 @@ def pagerank(
         )
 
     return state.map_batches(finalize, batch_format="pandas")
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    max_iters: int = 50,
+) -> "ray.data.Dataset":
+    """Distributed connected components over an undirected pair-edge
+    Dataset (doc_a, doc_b) → (doc_id, rep_id), rep = component minimum.
+
+    Iterative min-label propagation, fully distributed — the scale path
+    next to ``stages/dedup.pair_components`` (driver union-find over
+    pair edges, fine while the PAIR GRAPH is collection-bounded; this
+    variant never collects it).  Each round: ship every node's current
+    label across its edges in both directions (one repartition join per
+    direction), take the per-node minimum of self+received labels (one
+    coarse keyed reduce), and stop when a round changes nothing (scalar
+    aggregate).  Rounds needed = component diameter — small for
+    near-dup/similarity graphs; a long-path graph would want the
+    hash-to-min doubling variant (same building blocks, halves the
+    rounds), noted here as the extension point.
+    """
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        return pa.table(
+            {
+                "src": pa.chunked_array(a.chunks + b.chunks),
+                "dst": pa.chunked_array(b.chunks + a.chunks),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    labels = coarse_grouped_map(
+        edges.map_batches(
+            lambda b: pa.table({"node": b.column("src")}),
+            batch_format="pyarrow",
+        ),
+        "node",
+        lambda df: df.drop_duplicates("node"),
+        num_partitions=8,
+    ).map_batches(
+        lambda b: b.append_column("label", b.column("node")),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_iters):
+        received = repartition_join(
+            edges,
+            labels,
+            "src",
+            "node",
+            {"src": pa.int64(), "dst": pa.int64()},
+            {"node": pa.int64(), "label": pa.int64()},
+            num_partitions=8,
+        )
+
+        def min_partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("dst", as_index=False).agg(
+                new_label=("label", "min")
+            )
+            return g.rename(columns={"dst": "node"})
+
+        candidate = coarse_grouped_map(
+            received.map_batches(
+                min_partial, batch_format="pandas", batch_size=None
+            ),
+            "node",
+            lambda df: df.groupby("node", as_index=False).agg(
+                new_label=("new_label", "min")
+            ),
+            num_partitions=8,
+        )
+
+        merged = repartition_join(
+            labels,
+            candidate,
+            "node",
+            "node",
+            {"node": pa.int64(), "label": pa.int64()},
+            {"node": pa.int64(), "new_label": pa.int64()},
+            num_partitions=8,
+            how="left",
+        )
+
+        def take_min(df: pd.DataFrame) -> pd.DataFrame:
+            nl = df.new_label.fillna(df.label)
+            out = pd.DataFrame(
+                {
+                    "node": df.node.astype("int64"),
+                    "label": np.minimum(
+                        df.label.astype("int64"), nl.astype("int64")
+                    ),
+                    "changed": (
+                        nl.astype("int64") < df.label.astype("int64")
+                    ).astype("int64"),
+                }
+            )
+            return out
+
+        new_labels = merged.map_batches(
+            take_min, batch_format="pandas"
+        ).materialize()
+        n_changed = new_labels.sum("changed") or 0
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "rep_id": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
