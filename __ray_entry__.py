@@ -1009,6 +1009,12 @@ def _q_near_dup_dedup_lp(sf_dir: str):
     return near_dup_groups_distributed(docs, threshold=0.5)
 
 
+def _q_encode_token_ids(sf_dir: str):
+    from kgray.stages.pack import encode_token_ids
+
+    return encode_token_ids(sf_dir, vocab_size=30)
+
+
 def _q_unigram_nll(sf_dir: str):
     from kgray.stages.corpus_stats import unigram_nll
 
@@ -1131,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_deciles": _q_length_deciles,
         "kg_pagerank": _q_kg_pagerank,
         "near_dup_dedup_lp": _q_near_dup_dedup_lp,
+        "encode_token_ids": _q_encode_token_ids,
     }
 
 
@@ -1837,4 +1844,23 @@ SELECT doc_id, n_chars,
 FROM documents
 """,
         "kg_pagerank": _pagerank_sql(),
+        # vocabulary rank and OOV id mirror stages/pack.build_vocab /
+        # encode_token_ids (top-30 by count desc then token asc, oov=30)
+        "encode_token_ids": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok, generate_subscripts(w, 1) i FROM t),
+ne AS (SELECT doc_id, tok, i FROM u WHERE tok <> ''),
+cnt AS (SELECT tok, count(*) n FROM ne GROUP BY tok),
+v AS (SELECT tok,
+             CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT)
+               AS id
+      FROM cnt QUALIFY id < 30),
+e AS (SELECT ne.doc_id, ne.i, COALESCE(v.id, 30) AS id
+      FROM ne LEFT JOIN v USING (tok))
+SELECT doc_id,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY i) AS ids,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(CASE WHEN id = 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM e GROUP BY doc_id
+""",
     }

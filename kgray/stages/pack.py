@@ -191,3 +191,80 @@ def shuffle_order(sf_dir: str, bucket_bits: int = 6) -> "ray.data.Dataset":
     return coarse_grouped_map(hashed, "bucket", rank_bucket).select_columns(
         ["doc_id", "position"]
     )
+
+
+def build_vocab(sf_dir: str, vocab_size: int = 30) -> pd.DataFrame:
+    """Frequency vocabulary: the ``vocab_size`` most frequent tokens,
+    id = dense rank by (count desc, token asc) starting at 0.
+
+    Counts come from a combiner-first keyed reduce; only the
+    VOCABULARY-bounded (token, n) table ever reaches the driver.  At
+    open-vocabulary scale, pre-prune with the Misra-Gries pass
+    (corpus_stats.top_tokens_mg) so the reduce ships sketch-bounded rows.
+    """
+    docs = _read_docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist(), dtype=object)
+        toks = s.str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = coarse_grouped_map(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "token",
+        lambda d: d.groupby("token", as_index=False).agg(n=("n", "sum")),
+    ).to_pandas()
+    counts = counts.sort_values(
+        ["n", "token"], ascending=[False, True]
+    ).head(vocab_size).reset_index(drop=True)
+    counts["token_id"] = np.arange(len(counts), dtype=np.int64)
+    return counts[["token", "token_id", "n"]]
+
+
+def encode_token_ids(
+    sf_dir: str, vocab_size: int = 30
+) -> "ray.data.Dataset":
+    """Tokenizer-prep encoding: map every document to its token-id
+    sequence under the corpus's own frequency vocabulary; ids outside
+    the top-``vocab_size`` become the OOV id (= vocab_size).
+
+    Output (doc_id, ids, n_tok, n_oov) where ``ids`` is the
+    comma-joined id string in token order — a canonical text form both
+    engines can hash identically (the Arrow-native list<int32> lives one
+    projection away).  Encoding itself is a pure map over a broadcast
+    token→id table: explode, one vectorized ``Series.map``, per-doc
+    joins.  No shuffle after the vocabulary pass.
+    """
+    vocab = build_vocab(sf_dir, vocab_size)
+    oov = vocab_size
+    vref = ray.put(vocab.set_index("token").token_id)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        df = batch.to_pandas().set_index("doc_id")
+        toks = df.text.str.split(" ").explode()
+        toks = toks[toks != ""]
+        ids = toks.map(v).fillna(oov).astype("int64")
+        g = ids.groupby(level=0)
+        ids_str = g.agg(lambda s: ",".join(map(str, s)))
+        out = pd.DataFrame(
+            {
+                "doc_id": ids_str.index.to_numpy(),
+                "ids": ids_str.to_numpy(),
+                "n_tok": g.size().to_numpy().astype(np.int64),
+                "n_oov": ids.eq(oov).groupby(level=0).sum()
+                .to_numpy().astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow"
+    )

@@ -240,3 +240,30 @@ def test_events_props_stats_skips_unparseable(tmp_path):
     )
     assert out.loc["a"].tolist() == [1, 3, 3]
     assert out.loc["b"].tolist() == [2, 10, 10]
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build / token-id encoding
+# ---------------------------------------------------------------------------
+
+def test_encode_token_ids_vocab_rank_and_oov(tmp_path):
+    from kgray.stages.pack import build_vocab, encode_token_ids
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["b a a c b a", "z a b"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    v = build_vocab(str(tmp_path), vocab_size=2)
+    # counts: a=4, b=3, c=1, z=1 → vocab a:0, b:1; c,z → OOV id 2
+    assert v.token.tolist() == ["a", "b"]
+    assert v.token_id.tolist() == [0, 1]
+    out = (
+        encode_token_ids(str(tmp_path), vocab_size=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1].tolist() == ["1,0,0,2,1,0", 6, 1]
+    assert out.loc[2].tolist() == ["2,0,1", 3, 1]
