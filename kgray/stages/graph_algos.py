@@ -51,6 +51,7 @@ def pagerank(
     edges: "ray.data.Dataset",
     damping: float = 0.85,
     iters: int = 4,
+    num_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """PageRank over a directed edge Dataset (src, dst) → (node, rank).
 
@@ -60,6 +61,9 @@ def pagerank(
     ordinary edges; duplicate edges collapse first.  Ranks are rounded
     half-up to 6 decimals ONLY on the final iteration, matching the SQL
     oracle's unrolled iterations expression-for-expression.
+
+    ``num_partitions`` sizes every per-iteration shuffle — one partition
+    per cluster core at small scale, ≈ edge_bytes/256 MB at web scale.
     """
     e = _distinct_edges(edges).materialize()
 
@@ -73,7 +77,7 @@ def pagerank(
         lambda df: df.groupby("src", as_index=False).agg(
             outdeg=("outdeg", "sum")
         ),
-        num_partitions=8,
+        num_partitions=num_partitions,
     )
 
     def node_halves(batch: pa.Table) -> pa.Table:
@@ -86,7 +90,7 @@ def pagerank(
         e.map_batches(node_halves, batch_format="pyarrow"),
         "node",
         lambda df: df.drop_duplicates("node"),
-        num_partitions=8,
+        num_partitions=num_partitions,
     ).materialize()
     n = float(nodes.count())
 
@@ -98,7 +102,7 @@ def pagerank(
         "src",
         {"node": pa.string()},
         {"src": pa.string(), "outdeg": pa.int64()},
-        num_partitions=8,
+        num_partitions=num_partitions,
         how="left",
     ).map_batches(
         lambda df: df.assign(r=1.0 / n), batch_format="pandas"
@@ -123,7 +127,7 @@ def pagerank(
             {"src": pa.string(), "dst": pa.string()},
             {"node": pa.string(), "r": pa.float64(),
              "outdeg": pa.float64()},
-            num_partitions=8,
+            num_partitions=num_partitions,
         )
 
         def partial_sum(df: pd.DataFrame) -> pd.DataFrame:
@@ -138,7 +142,7 @@ def pagerank(
             lambda df: df.groupby("dst", as_index=False).agg(
                 c=("c", "sum")
             ),
-            num_partitions=8,
+            num_partitions=num_partitions,
         )
 
         joined = repartition_join(
@@ -148,7 +152,7 @@ def pagerank(
             "dst",
             {"node": pa.string(), "outdeg": pa.float64()},
             {"dst": pa.string(), "c": pa.float64()},
-            num_partitions=8,
+            num_partitions=num_partitions,
             how="left",
         )
 
@@ -176,6 +180,7 @@ def pagerank(
 def connected_components(
     pairs: "ray.data.Dataset",
     max_iters: int = 50,
+    num_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """Distributed connected components over an undirected pair-edge
     Dataset (doc_a, doc_b) → (doc_id, rep_id), rep = component minimum.
@@ -190,7 +195,8 @@ def connected_components(
     aggregate).  Rounds needed = component diameter — small for
     near-dup/similarity graphs; a long-path graph would want the
     hash-to-min doubling variant (same building blocks, halves the
-    rounds), noted here as the extension point.
+    rounds), noted here as the extension point.  ``num_partitions``
+    sizes the per-round shuffles (scale like any keyed reduce).
     """
 
     def to_edges(batch: pa.Table) -> pa.Table:
@@ -212,7 +218,7 @@ def connected_components(
         ),
         "node",
         lambda df: df.drop_duplicates("node"),
-        num_partitions=8,
+        num_partitions=num_partitions,
     ).map_batches(
         lambda b: b.append_column("label", b.column("node")),
         batch_format="pyarrow",
@@ -226,7 +232,7 @@ def connected_components(
             "node",
             {"src": pa.int64(), "dst": pa.int64()},
             {"node": pa.int64(), "label": pa.int64()},
-            num_partitions=8,
+            num_partitions=num_partitions,
         )
 
         def min_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -243,7 +249,7 @@ def connected_components(
             lambda df: df.groupby("node", as_index=False).agg(
                 new_label=("new_label", "min")
             ),
-            num_partitions=8,
+            num_partitions=num_partitions,
         )
 
         merged = repartition_join(
@@ -253,7 +259,7 @@ def connected_components(
             "node",
             {"node": pa.int64(), "label": pa.int64()},
             {"node": pa.int64(), "new_label": pa.int64()},
-            num_partitions=8,
+            num_partitions=num_partitions,
             how="left",
         )
 
