@@ -65,8 +65,6 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         return pa.Table.from_pandas(g[["doc_id", "token", "tf"]],
                                     preserve_index=False)
 
-    tf = docs.map_batches(tf_partial, batch_format="pyarrow")
-
     def df_partial(batch: pa.Table) -> pa.Table:
         # (doc_id, token) rows are globally unique after tf_partial, so
         # document frequency is a plain row count per token
@@ -74,26 +72,31 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         g = t.group_by("token").aggregate([("token", "count")])
         return g.rename_columns(["token", "df"])
 
+    # document frequencies are VOCABULARY-bounded — broadcast them
+    # (the same scale argument as unigram_nll's model table) instead of
+    # paying a token-keyed repartition join + a doc-keyed re-shuffle
     dfs = coarse_grouped_map(
-        tf.map_batches(df_partial, batch_format="pyarrow"),
+        docs.map_batches(tf_partial, batch_format="pyarrow").map_batches(
+            df_partial, batch_format="pyarrow"
+        ),
         "token",
         lambda d: d.groupby("token", as_index=False).agg(df=("df", "sum")),
-    )
+    ).to_pandas()
+    # ln once per distinct df value — libm log, the same call DuckDB's
+    # ln() makes, so scores are bit-identical to the oracle
+    logs = {int(v): math.log(n_docs / float(v)) for v in dfs.df.unique()}
+    dfs["logterm"] = dfs.df.map(logs)
+    df_ref = ray.put(dfs.set_index("token"))
 
-    joined = repartition_join(
-        tf, dfs, "token", "token",
-        {"token": pa.string(), "doc_id": pa.int64(), "tf": pa.int64()},
-        {"token": pa.string(), "df": pa.int64()},
-    )
-
-    def rank_doc_terms(d: pd.DataFrame) -> pd.DataFrame:
-        # ln once per distinct df value — libm log, the same call DuckDB's
-        # ln() makes, so scores are bit-identical to the oracle
-        logs = {int(v): math.log(n_docs / float(v)) for v in d.df.unique()}
-        d = d.copy()
+    def rank_doc_terms(batch: pa.Table) -> pa.Table:
+        # a document is ONE input row, so its whole term set is in this
+        # batch — score and rank map-side, no shuffle after the df pass
+        look = ray.get(df_ref)
+        d = tf_partial(batch).to_pandas()
+        d["df"] = d.token.map(look.df).astype(np.int64)
         d["tfidf"] = _round6(
             d.tf.to_numpy(np.float64)
-            * d.df.map(logs).to_numpy(np.float64)
+            * d.token.map(look.logterm).to_numpy(np.float64)
         )
         d = d.sort_values(
             ["doc_id", "tfidf", "token"], ascending=[True, False, True]
@@ -101,11 +104,13 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         d = d.groupby("doc_id", as_index=False, group_keys=False).head(k)
         d["rnk"] = d.groupby("doc_id").cumcount().to_numpy() + 1
         d["rnk"] = d.rnk.astype(np.int64)
-        d["df"] = d.df.astype(np.int64)
         d["tf"] = d.tf.astype(np.int64)
-        return d[["doc_id", "token", "tf", "df", "tfidf", "rnk"]]
+        return pa.Table.from_pandas(
+            d[["doc_id", "token", "tf", "df", "tfidf", "rnk"]],
+            preserve_index=False,
+        )
 
-    return coarse_grouped_map(joined, "doc_id", rank_doc_terms)
+    return docs.map_batches(rank_doc_terms, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
