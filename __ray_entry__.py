@@ -1009,6 +1009,18 @@ def _q_near_dup_dedup_lp(sf_dir: str):
     return near_dup_groups_distributed(docs, threshold=0.5)
 
 
+def _q_label_centroids(sf_dir: str):
+    from kgray.stages.similarity import label_centroids
+
+    return label_centroids(sf_dir)
+
+
+def _q_events_funnel(sf_dir: str):
+    from kgray.pipelines.analytics import events_funnel
+
+    return events_funnel(sf_dir)
+
+
 def _q_encode_token_ids(sf_dir: str):
     from kgray.stages.pack import encode_token_ids
 
@@ -1138,6 +1150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "near_dup_dedup_lp": _q_near_dup_dedup_lp,
         "encode_token_ids": _q_encode_token_ids,
+        "label_centroids": _q_label_centroids,
+        "events_funnel": _q_events_funnel,
     }
 
 
@@ -1862,5 +1876,28 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tok,
        CAST(sum(CASE WHEN id = 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM e GROUP BY doc_id
+""",
+        # per-dimension class centroids; avg in double, half-up 1e-6
+        # rounding mirrors stages/similarity.label_centroids
+        "label_centroids": """
+WITH u AS (SELECT label, unnest(embedding) AS e,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       floor(avg(CAST(e AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS centroid
+FROM u GROUP BY label, dim
+""",
+        # ordered funnel: first view strictly before a click strictly
+        # before a purchase (strict > at both hops, min-ts anchors)
+        "events_funnel": """
+WITH v AS (SELECT user_id, min(ts) t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase
 """,
     }

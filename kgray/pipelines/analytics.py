@@ -616,3 +616,58 @@ def events_props_stats(sf_dir: str) -> "ray.data.Dataset":
         ),
         num_partitions=8,
     )
+
+
+def events_funnel(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered conversion funnel view → click → purchase: one row
+    (n_view, n_click, n_purchase) counting users whose first view is
+    strictly before some click which is strictly before some purchase.
+
+    Funnel matching needs each user's events together — ONE coarse
+    partition by user_id, then the whole three-stage match is vectorized
+    pandas inside the partition (min view ts; min click ts after it; any
+    purchase after that).  Partitions emit per-partition counts; the
+    driver-visible result is three integers, never rows.
+    """
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def funnel_partition(df: pd.DataFrame) -> pd.DataFrame:
+        v = (
+            df[df.event_type == "view"]
+            .groupby("user_id")
+            .ts.min()
+            .rename("t1")
+        )
+        c = df[df.event_type == "click"].join(v, on="user_id", how="inner")
+        c = (
+            c[c.ts > c.t1]
+            .groupby("user_id")
+            .ts.min()
+            .rename("t2")
+        )
+        p = df[df.event_type == "purchase"].join(
+            c, on="user_id", how="inner"
+        )
+        p = p[p.ts > p.t2].groupby("user_id").ts.min()
+        return pd.DataFrame(
+            {
+                "n_view": [np.int64(len(v))],
+                "n_click": [np.int64(len(c))],
+                "n_purchase": [np.int64(len(p))],
+            }
+        )
+
+    parts = coarse_grouped_map(ev, "user_id", funnel_partition)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_view": [np.int64(df.n_view.sum())],
+                "n_click": [np.int64(df.n_click.sum())],
+                "n_purchase": [np.int64(df.n_purchase.sum())],
+            }
+        )
+
+    return parts.repartition(1).map_batches(
+        total, batch_format="pandas", batch_size=None
+    )

@@ -446,3 +446,74 @@ def knn_ivf(
         .groupby("query_id")
         .map_groups(reduce_topk, batch_format="pandas")
     )
+
+
+def label_centroids(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label mean embedding (class centroids), long form:
+    (label, dim, centroid) — the aggregation half of nearest-centroid
+    classification and the update step of a k-means round.
+
+    Combiner-first vector aggregation: each batch collapses to one
+    (sum-vector, count) row per label it contains (one matmul-free numpy
+    reduce over the zero-copy (n, dim) matrix), the label-keyed coarse
+    reduce sums those — the shuffle moves labels × dim doubles per
+    block, never vectors.  Means divide in float64 and round half-up to
+    1e-6, mirroring the DuckDB oracle's avg(CAST(e AS DOUBLE)).
+    """
+    import os
+
+    from ..utils import coarse_grouped_map
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    def reduce_labels(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label")
+        rows = []
+        for label, grp in g:  # labels are class-bounded, not data-bounded
+            s = np.sum(np.stack(grp.sums.to_numpy()), axis=0)
+            rows.append((int(label), int(grp.n.sum()), s))
+        out = pd.DataFrame(rows, columns=["label", "n", "sums"])
+        return out
+
+    agg = coarse_grouped_map(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        "label",
+        reduce_labels,
+        num_partitions=8,
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in df.iterrows():
+            c = np.floor(
+                (np.asarray(r.sums) / float(r.n)) * 1e6 + 0.5
+            ) / 1e6
+            dims = np.arange(1, len(c) + 1, dtype=np.int64)
+            out.append(
+                pd.DataFrame(
+                    {"label": np.int64(r.label), "dim": dims,
+                     "centroid": c}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return agg.map_batches(finalize, batch_format="pandas",
+                           batch_size=None)

@@ -267,3 +267,60 @@ def test_encode_token_ids_vocab_rank_and_oov(tmp_path):
     )
     assert out.loc[1].tolist() == ["1,0,0,2,1,0", 6, 1]
     assert out.loc[2].tolist() == ["2,0,1", 3, 1]
+
+
+# ---------------------------------------------------------------------------
+# Label centroids / conversion funnel
+# ---------------------------------------------------------------------------
+
+def test_label_centroids_hand_computed(tmp_path):
+    import numpy as np
+
+    from kgray.stages.similarity import label_centroids
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [[1.0, 2.0], [3.0, 4.0], [10.0, 20.0]],
+            "label": [7, 7, 8],
+        }
+    )
+    emb.to_parquet(tmp_path / "embeddings.parquet")
+    out = (
+        label_centroids(str(tmp_path))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    assert out.label.tolist() == [7, 7, 8, 8]
+    assert out.dim.tolist() == [1, 2, 1, 2]
+    assert out.centroid.tolist() == [2.0, 3.0, 10.0, 20.0]
+
+
+def test_events_funnel_ordering_is_strict(tmp_path):
+    from kgray.pipelines.analytics import events_funnel
+
+    rows = [
+        # user 1: view < click < purchase — full conversion
+        (1, "view", "2020-01-01 00:00"),
+        (1, "click", "2020-01-01 00:10"),
+        (1, "purchase", "2020-01-01 00:20"),
+        # user 2: click BEFORE first view — no click stage
+        (2, "click", "2020-01-01 00:00"),
+        (2, "view", "2020-01-01 00:10"),
+        (2, "purchase", "2020-01-01 00:20"),
+        # user 3: view+click, purchase before click — stops at click
+        (3, "view", "2020-01-01 00:00"),
+        (3, "purchase", "2020-01-01 00:05"),
+        (3, "click", "2020-01-01 00:10"),
+        # user 4: never views
+        (4, "click", "2020-01-01 00:00"),
+        (4, "purchase", "2020-01-01 00:10"),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    ev["ts"] = pd.to_datetime(ev.ts)
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = events_funnel(str(tmp_path)).to_pandas()
+    assert out.n_view.tolist() == [3]
+    assert out.n_click.tolist() == [2]
+    assert out.n_purchase.tolist() == [1]
