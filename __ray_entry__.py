@@ -1009,6 +1009,57 @@ def _q_near_dup_dedup_lp(sf_dir: str):
     return near_dup_groups_distributed(docs, threshold=0.5)
 
 
+def _q_copurchase_triangles(sf_dir: str):
+    """Triangle count over the part co-purchase graph (distinct ordered
+    pairs) — wedge join + composite-key closure, all distributed."""
+    import pyarrow as pa
+
+    from kgray.pipelines.analytics import part_copurchase_pairs
+    from kgray.stages.graph_algos import count_triangles
+
+    edges = part_copurchase_pairs(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"src": b.column("part_a"), "dst": b.column("part_b")}
+        ),
+        batch_format="pyarrow",
+    )
+    return count_triangles(edges)
+
+
+def _q_dedup_incremental(sf_dir: str):
+    """Daily-ingest dedup: docs with doc_id%3==0 are the NEW shard, the
+    rest the SEEN corpus; survivors are new texts absent from seen,
+    first-occurrence within the shard."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.dedup import dedup_incremental
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    import pyarrow.compute as pc
+
+    def split(batch, keep_new):
+        m = pc.equal(
+            pc.subtract(
+                batch.column("doc_id"),
+                pc.multiply(pc.divide(batch.column("doc_id"), 3), 3),
+            ),
+            0,
+        )
+        return batch.filter(m if keep_new else pc.invert(m))
+
+    new = docs.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow"
+    )
+    seen = docs.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    )
+    return dedup_incremental(new, seen)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -1152,6 +1203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_token_ids": _q_encode_token_ids,
         "label_centroids": _q_label_centroids,
         "events_funnel": _q_events_funnel,
+        "copurchase_triangles": _q_copurchase_triangles,
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -1899,5 +1952,20 @@ p AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN c USING (user_id)
 SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
        CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
        CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase
+""",
+        "copurchase_triangles": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey x, b.l_partkey y FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+w AS (SELECT e1.x a, e1.y b, e2.y c FROM e e1 JOIN e e2 ON e1.y = e2.x)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM w JOIN e e3 ON e3.x = w.a AND e3.y = w.c
+""",
+        "dedup_incremental": """
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+seen AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
+surv AS (SELECT n.doc_id, n.text FROM newd n
+         WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text))
+SELECT min(doc_id) AS doc_id, text FROM surv GROUP BY text
 """,
     }

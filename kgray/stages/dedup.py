@@ -910,3 +910,50 @@ def near_dup_groups_distributed(
         )
 
     return joined.map_batches(fill_self, batch_format="pandas")
+
+
+def dedup_incremental(
+    new_docs: "ray.data.Dataset",
+    seen_docs: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Incremental-ingest dedup: the (doc_id, text) rows of ``new_docs``
+    whose text appears nowhere in ``seen_docs``, keeping the minimum
+    doc_id per text WITHIN the new shard — what a daily crawl delta runs
+    against the accumulated corpus before anything else touches it.
+
+    Both sides collapse combiner-first to ≤ one row per distinct text
+    per block, the anti membership check is one text-keyed repartition
+    join (no broadcast of the seen corpus — it is the BIG side), and the
+    keep-first pass reuses the exact-dedup reduce.  At petabyte scale
+    key both hops on a 128-bit content hash instead of the raw text.
+    """
+    from ..utils import repartition_join
+
+    def seen_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"text": batch.column("text")}).group_by(
+            "text"
+        ).aggregate([])
+
+    seen_texts = seen_docs.map_batches(
+        seen_partial, batch_format="pyarrow"
+    )
+
+    survivors = repartition_join(
+        new_docs.select_columns(["text", "doc_id"]),
+        seen_texts,
+        "text",
+        "text",
+        {"text": pa.string(), "doc_id": pa.int64()},
+        {"text": pa.string()},
+        how="anti",
+    )
+
+    def keep_first(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby("text", as_index=False).agg(
+            doc_id=("doc_id", "min")
+        )
+        return out[["doc_id", "text"]]
+
+    from ..utils import coarse_grouped_map
+
+    return coarse_grouped_map(survivors, "text", keep_first)

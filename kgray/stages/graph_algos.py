@@ -292,3 +292,70 @@ def connected_components(
         ),
         batch_format="pyarrow",
     )
+
+
+def count_triangles(
+    edges: "ray.data.Dataset",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Triangle count over an ordered undirected edge Dataset
+    (src, dst with src < dst, distinct) → one row (n_triangles).
+
+    The join plan: wedges = E ⋈ E on (e1.dst = e2.src) — every (a<b<c)
+    path — then a semi join of wedges against E on the composite
+    (a, c) key closes them.  Two repartition joins, one scalar count;
+    the composite key packs both int keys into one int64 so the second
+    hop is a plain single-key hash join.  Skew note: wedge fan-out at a
+    node is deg², so a hot node dominates its partition — at web scale
+    cap or sample per-node adjacency (the standard heavy-hitter split)
+    before the wedge join.
+    """
+    e = edges.materialize()  # feeds three consumers below
+
+    right = e.map_batches(
+        lambda b: pa.table(
+            {"wb": b.column("src"), "c": b.column("dst")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    wedges = repartition_join(
+        e,
+        right,
+        "dst",
+        "wb",
+        {"src": pa.int64(), "dst": pa.int64()},
+        {"wb": pa.int64(), "c": pa.int64()},
+        num_partitions=num_partitions,
+    )
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df.src.astype("int64") * np.int64(2 ** 32)
+                + df.c.astype("int64")
+            }
+        )
+
+    def edge_key(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = pc.add(
+            pc.multiply(b.column("src"), 2 ** 32), b.column("dst")
+        )
+        return pa.table({"k": k})
+
+    closed = repartition_join(
+        wedges.map_batches(add_key, batch_format="pandas"),
+        e.map_batches(edge_key, batch_format="pyarrow"),
+        "k",
+        "k",
+        {"k": pa.int64()},
+        {"k": pa.int64()},
+        num_partitions=num_partitions,
+        how="semi",
+    )
+    n = closed.count()
+    return ray.data.from_pandas(
+        pd.DataFrame({"n_triangles": [np.int64(n)]})
+    )

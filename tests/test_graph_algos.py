@@ -155,3 +155,60 @@ def test_near_dup_distributed_matches_union_find():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_count_triangles_k4_plus_pendant():
+    import itertools
+
+    from kgray.stages.graph_algos import count_triangles
+
+    pairs = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5)]
+    e = pa.table(
+        {
+            "src": pa.array([a for a, _ in pairs], pa.int64()),
+            "dst": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    out = count_triangles(ray.data.from_arrow(e)).to_pandas()
+    assert out.n_triangles.tolist() == [4]
+
+
+def test_count_triangles_triangle_free():
+    from kgray.stages.graph_algos import count_triangles
+
+    # star graph: no triangles
+    e = pa.table(
+        {
+            "src": pa.array([1, 1, 1], pa.int64()),
+            "dst": pa.array([2, 3, 4], pa.int64()),
+        }
+    )
+    out = count_triangles(ray.data.from_arrow(e)).to_pandas()
+    assert out.n_triangles.tolist() == [0]
+
+
+def test_dedup_incremental_semantics(tmp_path):
+    from kgray.stages.dedup import dedup_incremental
+
+    seen = pd.DataFrame(
+        {"doc_id": [100, 101], "text": ["old one", "old two"]}
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["old one", "fresh", "fresh", "brand new"],
+        }
+    )
+    out = (
+        dedup_incremental(
+            ray.data.from_pandas(new), ray.data.from_pandas(seen)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 'old one' dropped (seen); 'fresh' kept once at its min doc_id
+    assert list(zip(out.doc_id, out.text)) == [
+        (2, "fresh"),
+        (4, "brand new"),
+    ]
