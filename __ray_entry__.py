@@ -1060,6 +1060,12 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_incremental(new, seen)
 
 
+def _q_lineitem_corr(sf_dir: str):
+    from kgray.pipelines.analytics import lineitem_qty_price_corr
+
+    return lineitem_qty_price_corr(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -1205,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "copurchase_triangles": _q_copurchase_triangles,
         "dedup_incremental": _q_dedup_incremental,
+        "lineitem_corr": _q_lineitem_corr,
     }
 
 
@@ -1967,5 +1974,22 @@ seen AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
 surv AS (SELECT n.doc_id, n.text FROM newd n
          WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text))
 SELECT min(doc_id) AS doc_id, text FROM surv GROUP BY text
+""",
+        # closed-form Pearson r from raw moment sums — same expression
+        # as analytics.lineitem_qty_price_corr, half-up 1e-6 rounding
+        "lineitem_corr": """
+WITH m AS (SELECT CAST(count(*) AS DOUBLE) n,
+    sum(CAST(l_quantity AS DOUBLE)) sx,
+    sum(CAST(l_extendedprice AS DOUBLE)) sy,
+    sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) sxx,
+    sum(CAST(l_extendedprice AS DOUBLE)
+        * CAST(l_extendedprice AS DOUBLE)) syy,
+    sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) sxy
+  FROM lineitem)
+SELECT CAST(n AS BIGINT) AS n,
+       floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 1e6 + 0.5) / 1e6 AS corr_qty_price
+FROM m
 """,
     }

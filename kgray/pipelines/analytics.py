@@ -671,3 +671,55 @@ def events_funnel(sf_dir: str) -> "ray.data.Dataset":
     return parts.repartition(1).map_batches(
         total, batch_format="pandas", batch_size=None
     )
+
+
+def lineitem_qty_price_corr(sf_dir: str) -> "ray.data.Dataset":
+    """One-pass distributed Pearson correlation between l_quantity and
+    l_extendedprice: each batch emits the six moment sums (n, Σx, Σy,
+    Σx², Σy², Σxy) in float64, one tiny reduce adds them, and the
+    closed-form r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is
+    evaluated once — the moment-sketch shape every streaming statistic
+    (variance, covariance, OLS slope) shares.  The oracle evaluates the
+    SAME closed form from SQL sums; both sides round half-up to 1e-6.
+    Output: one row (n, corr_qty_price).
+    """
+    li = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        y = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )
+        x = x.astype(np.float64)
+        y = y.astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([np.int64(len(x))], pa.int64()),
+                "sx": pa.array([x.sum()], pa.float64()),
+                "sy": pa.array([y.sum()], pa.float64()),
+                "sxx": pa.array([(x * x).sum()], pa.float64()),
+                "syy": pa.array([(y * y).sum()], pa.float64()),
+                "sxy": pa.array([(x * y).sum()], pa.float64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        n = float(df.n.sum())
+        sx, sy = df.sx.sum(), df.sy.sum()
+        sxx, syy, sxy = df.sxx.sum(), df.syy.sum(), df.sxy.sum()
+        r = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        return pd.DataFrame(
+            {
+                "n": [np.int64(n)],
+                "corr_qty_price": [float(np.floor(r * 1e6 + 0.5) / 1e6)],
+            }
+        )
+
+    return (
+        li.map_batches(moments, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )

@@ -324,3 +324,23 @@ def test_events_funnel_ordering_is_strict(tmp_path):
     assert out.n_view.tolist() == [3]
     assert out.n_click.tolist() == [2]
     assert out.n_purchase.tolist() == [1]
+
+
+def test_lineitem_corr_on_linear_data(tmp_path, monkeypatch):
+    from kgray.pipelines import analytics
+
+    df = pd.DataFrame(
+        {
+            "l_quantity": [1.0, 2.0, 3.0, 4.0],
+            "l_extendedprice": [10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    out = analytics.lineitem_qty_price_corr(str(tmp_path)).to_pandas()
+    assert out.n.tolist() == [4]
+    assert out.corr_qty_price.tolist() == [1.0]
+
+    df["l_extendedprice"] = [40.0, 30.0, 20.0, 10.0]
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    out = analytics.lineitem_qty_price_corr(str(tmp_path)).to_pandas()
+    assert out.corr_qty_price.tolist() == [-1.0]
