@@ -1060,6 +1060,26 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_incremental(new, seen)
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    """Deterministic full k-means over embeddings (iterative broadcast
+    centroids + combiner partial sums; non-SQL — rows + pytest numpy
+    replica)."""
+    from kgray.stages.similarity import kmeans_embeddings
+
+    return kmeans_embeddings(sf_dir, k=8, iters=5)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style cluster-then-pairwise dedup (rows-only; pytest
+    proves k=1 equals brute-force components and within-cluster
+    completeness).  threshold matches the corpus's planted pair level;
+    recall at such low thresholds is corpus-dependent — the operator
+    targets the ≥0.9 regime where near-dups co-cluster."""
+    from kgray.stages.similarity import semantic_dedup
+
+    return semantic_dedup(sf_dir, k=8, iters=5, threshold=0.45)
+
+
 def _q_lineitem_corr(sf_dir: str):
     from kgray.pipelines.analytics import lineitem_qty_price_corr
 
@@ -1212,6 +1232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": _q_copurchase_triangles,
         "dedup_incremental": _q_dedup_incremental,
         "lineitem_corr": _q_lineitem_corr,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 

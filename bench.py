@@ -204,6 +204,8 @@ def run_bench() -> dict:
         "events_props_stats",
         "unigram_nll",
         "length_deciles",
+        "kmeans_embeddings",
+        "semantic_dedup",
     ]:
         best = None
         for _ in range(repeats):

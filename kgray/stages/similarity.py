@@ -517,3 +517,194 @@ def label_centroids(sf_dir: str) -> "ray.data.Dataset":
 
     return agg.map_batches(finalize, batch_format="pandas",
                            batch_size=None)
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, iters: int = 5
+) -> "ray.data.Dataset":
+    """Full k-means over the embeddings table → (vec_id, cluster, dist):
+    the clustering step semantic curation pipelines (SemDeDup-style
+    pruning, domain discovery) run over document embeddings.
+
+    Deterministic: centroids initialize to the k smallest vec_ids, every
+    iteration is exact float64 — reruns and cluster sizes are
+    reproducible, no RNG.  Per iteration: centroids broadcast (k×dim —
+    model-sized, the one legitimate broadcast), every batch assigns by
+    one matmul argmin and emits per-cluster partial sums (combiner), a
+    cluster-keyed coarse reduce finishes the means on k rows.  Empty
+    clusters keep their previous centroid.  The corpus is never
+    collected; the driver sees k×dim floats per iteration.
+    """
+    import os
+
+    from ..utils import coarse_grouped_map
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).materialize()  # consumed iters+1 times — pin the read
+
+    seed = emb.filter(expr=f"vec_id < {k}").to_pandas().sort_values(
+        "vec_id"
+    )
+    C = np.asarray(seed.embedding.tolist(), dtype=np.float64)
+
+    def assign(batch: pa.Table, C=None) -> np.ndarray:
+        m = _to_matrix(batch.column("embedding"))
+        d2 = (
+            (m * m).sum(axis=1, keepdims=True)
+            - 2.0 * (m @ C.T)
+            + (C * C).sum(axis=1)
+        )
+        return m, d2
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Ci = ray.get(cref)
+            m, d2 = assign(batch, Ci)
+            a = d2.argmin(axis=1)
+            sums = np.zeros((Ci.shape[0], m.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=Ci.shape[0]).astype(
+                np.int64
+            )
+            keep = counts > 0
+            return pa.table(
+                {
+                    "cluster": pa.array(
+                        np.nonzero(keep)[0].astype(np.int64), pa.int64()
+                    ),
+                    "n": pa.array(counts[keep], pa.int64()),
+                    "sums": pa.array(
+                        list(sums[keep]), pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        def reduce_clusters(df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for c, grp in df.groupby("cluster"):  # ≤ k groups
+                rows.append(
+                    (int(c), int(grp.n.sum()),
+                     np.sum(np.stack(grp.sums.to_numpy()), axis=0))
+                )
+            return pd.DataFrame(rows, columns=["cluster", "n", "sums"])
+
+        agg = coarse_grouped_map(
+            emb.map_batches(partial, batch_format="pyarrow"),
+            "cluster",
+            reduce_clusters,
+            num_partitions=4,
+        ).to_pandas()  # k rows
+        newC = C.copy()
+        for _, r in agg.iterrows():
+            newC[int(r.cluster)] = np.asarray(r.sums) / float(r.n)
+        C = newC
+
+    cref = ray.put(C)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        Ci = ray.get(cref)
+        m, d2 = assign(batch, Ci)
+        a = d2.argmin(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "dist": pa.array(
+                    np.sqrt(np.maximum(d2[np.arange(len(a)), a], 0.0)),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return emb.map_batches(final_assign, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.95,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, find
+    cosine ≥ threshold pairs WITHIN each cluster only, keep one
+    representative per connected component → (vec_id, rep_id).
+
+    The clustering is what makes the pairwise step tractable: candidate
+    generation is cluster-local (Σ nᵢ² instead of n²), the documented
+    approximation being cross-cluster near-dups (near-identical vectors
+    co-cluster, so recall loss concentrates at the threshold boundary).
+    The vector payload reaches its cluster through a vec_id-keyed
+    repartition join of the assignment against the embedding table —
+    no driver-side vector collection at any point; per cluster the
+    cosine block is one matmul over a coarse partition; components run
+    over the pair-bounded edge list (same contract as near_dup_groups).
+    """
+    from .dedup import pair_components
+    from ..utils import coarse_grouped_map, repartition_join
+
+    assigned = kmeans_embeddings(sf_dir, k=k, iters=iters)
+
+    import os
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    with_vecs = repartition_join(
+        assigned.select_columns(["vec_id", "cluster"]),
+        emb,
+        "vec_id",
+        "vec_id",
+        {"vec_id": pa.int64(), "cluster": pa.int64()},
+        {"vec_id": pa.int64(), "embedding": pa.list_(pa.float32())},
+        num_partitions=8,
+    )
+
+    def cluster_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in df.groupby("cluster"):
+            ids = grp.vec_id.to_numpy()
+            if len(ids) < 2:
+                continue
+            m = np.stack(
+                [np.asarray(e, dtype=np.float64)
+                 for e in grp.embedding.to_numpy()]
+            )
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sim = m @ m.T
+            iu, ju = np.triu_indices(len(ids), 1)
+            hit = sim[iu, ju] >= threshold
+            for a, b in zip(ids[iu[hit]], ids[ju[hit]]):
+                out.append((min(int(a), int(b)), max(int(a), int(b))))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"]).astype(
+            "int64"
+        )
+
+    pairs = coarse_grouped_map(
+        with_vecs,
+        "cluster",
+        cluster_pairs,
+        num_partitions=4,
+    )
+    rep = ray.put(pair_components(pairs))
+
+    def assign_rep(batch: pa.Table) -> pa.Table:
+        m = ray.get(rep)
+        ids = batch.column("vec_id").to_pylist()
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "rep_id": pa.array(
+                    [m.get(i, i) for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        assign_rep, batch_format="pyarrow"
+    )
