@@ -933,6 +933,24 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(sf_dir)
 
 
+def _q_duplicate_ngrams(sf_dir: str):
+    from kgray.stages.filters import duplicate_ngram_stats
+
+    return duplicate_ngram_stats(sf_dir)
+
+
+def _q_quality_filter(sf_dir: str):
+    from kgray.stages.filters import quality_filter
+
+    return quality_filter(sf_dir)
+
+
+def _q_importance_sample(sf_dir: str):
+    from kgray.stages.filters import importance_sample
+
+    return importance_sample(sf_dir)
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII count + redaction over documents with deterministically
     injected contact lines (the corpus itself is digit-free, so the
@@ -1215,6 +1233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": _q_shuffle_order,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
+        "duplicate_ngrams": _q_duplicate_ngrams,
+        "quality_filter": _q_quality_filter,
+        "importance_sample": _q_importance_sample,
         # scrubbing / windowed / semi-structured extensions
         "pii_scrub": _q_pii_scrub,
         "chunk_dedup": _q_chunk_dedup,
@@ -1866,6 +1887,55 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
 LEFT JOIN tp ON tp.doc_id = d.doc_id
 LEFT JOIN bag ON bag.doc_id = d.doc_id
+""",
+        "duplicate_ngrams": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
+g AS (SELECT a.doc_id,
+             a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok
+                   || ' ' || e.tok AS gram
+      FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+      JOIN u d ON a.doc_id = d.doc_id AND d.i = a.i + 3
+      JOIN u e ON a.doc_id = e.doc_id AND e.i = a.i + 4),
+gc AS (SELECT doc_id, gram, count(*) n_pos FROM g GROUP BY 1, 2),
+gd AS (SELECT gram, count(DISTINCT doc_id) ndocs FROM gc GROUP BY 1)
+SELECT gc.doc_id,
+       CAST(sum(gc.n_pos) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN gd.ndocs >= 2 THEN gc.n_pos ELSE 0 END)
+            AS BIGINT) AS dup_ngrams,
+       sum(CASE WHEN gd.ndocs >= 2 THEN gc.n_pos ELSE 0 END)::DOUBLE
+           / sum(gc.n_pos)::DOUBLE AS dup_frac
+FROM gc JOIN gd USING (gram) GROUP BY gc.doc_id
+""",
+        "quality_filter": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok FROM t),
+ag AS (SELECT doc_id, count(*) n, count(DISTINCT tok) nd,
+              sum(length(tok)) ch,
+              sum(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) hits
+       FROM u GROUP BY 1)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       ch::DOUBLE / n::DOUBLE AS mean_word_len,
+       nd::DOUBLE / n::DOUBLE AS distinct_frac,
+       CAST(hits AS BIGINT) AS stopword_hits,
+       (n >= 15 AND n <= 90
+        AND ch::DOUBLE / n::DOUBLE >= 3.0
+        AND ch::DOUBLE / n::DOUBLE <= 4.5
+        AND nd::DOUBLE / n::DOUBLE >= 0.35
+        AND hits >= 1) AS keep
+FROM ag
+""",
+        "importance_sample": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok FROM t),
+ag AS (SELECT doc_id, count(DISTINCT tok) nd FROM u GROUP BY 1),
+s AS (SELECT doc_id, least(1.0, nd::DOUBLE / 48.0) score FROM ag)
+SELECT doc_id, score FROM s
+WHERE CAST(CAST((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                % 18446744073709551616 AS UBIGINT) AS DOUBLE)
+      < score * 18446744073709551616.0
 """,
         "pii_scrub": _pii_scrub_sql(),
         "chunk_dedup": """
