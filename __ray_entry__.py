@@ -933,6 +933,30 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(sf_dir)
 
 
+def _q_large_orders(sf_dir: str):
+    from kgray.pipelines.tpch_extra import large_orders
+
+    return large_orders(sf_dir)
+
+
+def _q_promo_revenue(sf_dir: str):
+    from kgray.pipelines.tpch_extra import promo_revenue
+
+    return promo_revenue(sf_dir)
+
+
+def _q_idle_rich_customers(sf_dir: str):
+    from kgray.pipelines.tpch_extra import idle_rich_customers
+
+    return idle_rich_customers(sf_dir)
+
+
+def _q_customer_running_total(sf_dir: str):
+    from kgray.pipelines.tpch_extra import customer_running_total
+
+    return customer_running_total(sf_dir)
+
+
 def _q_duplicate_ngrams(sf_dir: str):
     from kgray.stages.filters import duplicate_ngram_stats
 
@@ -1234,6 +1258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "duplicate_ngrams": _q_duplicate_ngrams,
+        "large_orders": _q_large_orders,
+        "promo_revenue": _q_promo_revenue,
+        "idle_rich_customers": _q_idle_rich_customers,
+        "customer_running_total": _q_customer_running_total,
         "quality_filter": _q_quality_filter,
         "importance_sample": _q_importance_sample,
         # scrubbing / windowed / semi-structured extensions
@@ -1887,6 +1915,51 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
 LEFT JOIN tp ON tp.doc_id = d.doc_id
 LEFT JOIN bag ON bag.doc_id = d.doc_id
+""",
+        "large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250.0
+),
+j AS (
+  SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+         o.o_totalprice, big.sum_qty
+  FROM big
+  JOIN orders o ON o.o_orderkey = big.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rnk,
+       c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM j ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+        "promo_revenue": """
+SELECT floor(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1.0 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1.0 - l.l_discount)) * 1e6 + 0.5)
+       / 1e6 AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= '1995-09-01' AND l.l_shipdate < '1995-10-01'
+""",
+        "idle_rich_customers": """
+WITH thr AS (SELECT avg(c_acctbal) a FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS total_acctbal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= '2000-01-01')
+GROUP BY c_mktsegment
+""",
+        "customer_running_total": """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       floor(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+             * 100.0 + 0.5) / 100.0 AS running_total
+FROM orders
 """,
         "duplicate_ngrams": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
