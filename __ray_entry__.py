@@ -1175,6 +1175,23 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=4)
 
 
+def _q_kg_two_hop(sf_dir: str):
+    """Two-hop reachability counts over the KG's distinct subj→obj edge
+    graph (distributed wedge self-join; oracle is the identical self-join
+    over the same CTE-derived edge set)."""
+    import pyarrow as pa
+
+    from kgray.stages.graph_algos import two_hop_counts
+
+    edges = _kg_result(sf_dir).edges.map_batches(
+        lambda b: pa.table(
+            {"src": b.column("subj"), "dst": b.column("obj")}
+        ),
+        batch_format="pyarrow",
+    )
+    return two_hop_counts(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline (generic adapter, fully oracle-checked)
@@ -1274,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_nll": _q_unigram_nll,
         "length_deciles": _q_length_deciles,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_two_hop": _q_kg_two_hop,
         "near_dup_dedup_lp": _q_near_dup_dedup_lp,
         "encode_token_ids": _q_encode_token_ids,
         "label_centroids": _q_label_centroids,
@@ -2083,6 +2101,15 @@ SELECT doc_id, n_chars,
 FROM documents
 """,
         "kg_pagerank": _pagerank_sql(),
+        "kg_two_hop": _KG_CTE + """
+, eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,
+                         'w(X:' || tb || ')' AS dst FROM pairs),
+th AS (SELECT DISTINCT a.src, b.dst AS far
+       FROM eg a JOIN eg b ON a.dst = b.src
+       WHERE b.dst <> a.src)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS n_two_hop
+FROM th GROUP BY src
+""",
         # vocabulary rank and OOV id mirror stages/pack.build_vocab /
         # encode_token_ids (top-30 by count desc then token asc, oov=30)
         "encode_token_ids": """

@@ -206,6 +206,11 @@ def run_bench() -> dict:
         "length_deciles",
         "kmeans_embeddings",
         "semantic_dedup",
+        "duplicate_ngrams",
+        "quality_filter",
+        "importance_sample",
+        "large_orders",
+        "customer_running_total",
     ]:
         best = None
         for _ in range(repeats):

@@ -359,3 +359,69 @@ def count_triangles(
     return ray.data.from_pandas(
         pd.DataFrame({"n_triangles": [np.int64(n)]})
     )
+
+
+def two_hop_counts(
+    edges: "ray.data.Dataset", num_partitions: int = 8
+) -> "ray.data.Dataset":
+    """Per node: how many DISTINCT nodes are reachable in exactly two
+    directed hops (excluding the node itself) — the canonical multi-hop
+    traversal, as a distributed self-join over the edge table.
+
+    Plan: distinct edges (combiner-first), wedge join e.dst = e'.src via
+    one repartition_join (both copies of the edge table shuffle once on
+    the mid node — never a broadcast of the edge set), map-side
+    drop_duplicates of (src, far) per batch, a keyed distinct on the
+    pair, then partial counts reduced per src.  A hot mid node fans out
+    |in(mid)| x |out(mid)| wedge rows — that blowup is inherent to the
+    query; the pair-keyed distinct immediately re-hashes the wedges so
+    no single reducer holds a hot node's full fan-out.
+
+    The distinct edge table is materialized once: both sides of the
+    wedge join consume it, and Ray re-executes lazy lineage per
+    consumer — without pinning, the whole upstream pipeline (e.g. KG
+    extraction) would run twice.
+    """
+    e = _distinct_edges(edges).materialize()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"mid": b.column("src"), "far": b.column("dst")}
+        )
+
+    wedges = repartition_join(
+        e,
+        e.map_batches(rename, batch_format="pyarrow"),
+        "dst",
+        "mid",
+        {"src": pa.string(), "dst": pa.string()},
+        {"mid": pa.string(), "far": pa.string()},
+        num_partitions=num_partitions,
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df.far != df.src][["src", "far"]]
+        return p.drop_duplicates()
+
+    pairs = coarse_grouped_map(
+        wedges.map_batches(pair_partial, batch_format="pandas"),
+        ["src", "far"],
+        lambda df: df.drop_duplicates(["src", "far"]),
+        num_partitions=num_partitions,
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", as_index=False).agg(n=("far", "size"))
+        return g
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", as_index=False).agg(n_two_hop=("n", "sum"))
+        g["n_two_hop"] = g["n_two_hop"].astype(np.int64)
+        return g.rename(columns={"src": "node"})
+
+    return coarse_grouped_map(
+        pairs.map_batches(count_partial, batch_format="pandas"),
+        "src",
+        count_final,
+        num_partitions=num_partitions,
+    )

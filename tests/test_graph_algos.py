@@ -212,3 +212,25 @@ def test_dedup_incremental_semantics(tmp_path):
         (2, "fresh"),
         (4, "brand new"),
     ]
+
+
+def test_two_hop_counts_hand_graph():
+    from kgray.stages.graph_algos import two_hop_counts
+
+    # a->b->c, a->b->d, b->c->a (cycle back, c!=b's src b? b->c->a: far a
+    # from b), duplicate edge a->b must not double-count, self-reach
+    # excluded: c->a->b (c reaches b), a->b->a would be excluded if present
+    e = pd.DataFrame(
+        {
+            "src": ["a", "a", "b", "b", "c"],
+            "dst": ["b", "b", "c", "d", "a"],
+        }
+    )
+    out = (
+        two_hop_counts(ray.data.from_pandas(e))
+        .to_pandas()
+        .set_index("node")
+        .n_two_hop.to_dict()
+    )
+    # a -> b -> {c, d}: 2;  b -> c -> a: 1;  c -> a -> b: 1
+    assert out == {"a": 2, "b": 1, "c": 1}
