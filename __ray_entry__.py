@@ -1175,6 +1175,12 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=4)
 
 
+def _q_events_winsorized(sf_dir: str):
+    from kgray.pipelines.relational import events_winsorized
+
+    return events_winsorized(sf_dir)
+
+
 def _q_kg_two_hop(sf_dir: str):
     """Two-hop reachability counts over the KG's distinct subj→obj edge
     graph (distributed wedge self-join; oracle is the identical self-join
@@ -1292,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_deciles": _q_length_deciles,
         "kg_pagerank": _q_kg_pagerank,
         "kg_two_hop": _q_kg_two_hop,
+        "events_winsorized": _q_events_winsorized,
         "near_dup_dedup_lp": _q_near_dup_dedup_lp,
         "encode_token_ids": _q_encode_token_ids,
         "label_centroids": _q_label_centroids,
@@ -1933,6 +1940,22 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
 LEFT JOIN tp ON tp.doc_id = d.doc_id
 LEFT JOIN bag ON bag.doc_id = d.doc_id
+""",
+        "events_winsorized": """
+WITH q AS (SELECT event_type,
+                  quantile_cont(value, 0.01) lo,
+                  quantile_cont(value, 0.99) hi
+           FROM events GROUP BY 1)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(avg(e.value) * 1e6 + 0.5) / 1e6 AS mean_raw,
+       floor(avg(least(greatest(e.value, q.lo), q.hi)) * 1e6 + 0.5) / 1e6
+           AS mean_winsorized,
+       CAST(sum(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_low,
+       CAST(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_high
+FROM events e JOIN q USING (event_type) GROUP BY e.event_type
 """,
         "large_orders": """
 WITH big AS (

@@ -897,3 +897,84 @@ def events_range_join(
         .groupby("_pkey")
         .map_groups(range_partition, batch_format="pandas")
     )
+
+
+def events_winsorized(
+    sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99
+) -> "ray.data.Dataset":
+    """Per-event-type winsorized statistics: clip values at the exact
+    [lo_q, hi_q] quantiles and report raw vs clipped means plus clip
+    counts — the outlier-robust aggregate a metrics pipeline runs before
+    trusting a mean.
+
+    Two passes: (1) exact per-type thresholds via the same
+    coarse-partitioned quantile kernel as events_value_quantiles — the
+    result is one row per event TYPE, small by construction (key
+    cardinality, not data size), so broadcasting it is the legitimate
+    small-side pattern; (2) a vectorized clip + per-type partial moments
+    inside map_batches, one tiny keyed reduce.  Means are rounded
+    half-up to 6 decimals (cross-engine summation order).
+    """
+    from ..utils import coarse_grouped_map
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def thresholds_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"event_type": [], "lo": [], "hi": []}
+        for t, gd in g.groupby("event_type", sort=False):
+            q = gd["value"].quantile([lo_q, hi_q],
+                                     interpolation="linear")
+            rows["event_type"].append(t)
+            rows["lo"].append(float(q.iloc[0]))
+            rows["hi"].append(float(q.iloc[1]))
+        return pd.DataFrame(rows)
+
+    thr = coarse_grouped_map(
+        ev, "event_type", thresholds_partition, num_partitions=8
+    ).to_pandas()
+    lo = ray.put(dict(zip(thr.event_type, thr.lo)))
+    hi = ray.put(dict(zip(thr.event_type, thr.hi)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lo_m = df.event_type.map(ray.get(lo)).to_numpy(np.float64)
+        hi_m = df.event_type.map(ray.get(hi)).to_numpy(np.float64)
+        v = df.value.to_numpy(np.float64)
+        clipped = np.minimum(np.maximum(v, lo_m), hi_m)
+        out = pd.DataFrame(
+            {
+                "event_type": df.event_type,
+                "n": 1,
+                "s_raw": v,
+                "s_win": clipped,
+                "c_lo": (v < lo_m).astype(np.int64),
+                "c_hi": (v > hi_m).astype(np.int64),
+            }
+        )
+        g = out.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).sum()
+        res = pd.DataFrame(
+            {
+                "event_type": g.event_type,
+                "n": g.n.astype(np.int64),
+                "mean_raw": np.floor(
+                    g.s_raw / g.n * 1e6 + 0.5
+                ) / 1e6,
+                "mean_winsorized": np.floor(
+                    g.s_win / g.n * 1e6 + 0.5
+                ) / 1e6,
+                "n_clipped_low": g.c_lo.astype(np.int64),
+                "n_clipped_high": g.c_hi.astype(np.int64),
+            }
+        )
+        return res
+
+    return coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "event_type",
+        final,
+        num_partitions=8,
+    )

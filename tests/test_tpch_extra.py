@@ -86,3 +86,23 @@ def test_customer_running_total_is_cumulative():
         assert np.allclose(grp.running_total.to_numpy(), exp, atol=0.01)
         # monotone nondecreasing (prices are positive)
         assert (np.diff(grp.running_total.to_numpy()) >= 0).all()
+
+
+def test_events_winsorized_hand_checked():
+    from kgray.pipelines.relational import events_winsorized
+
+    out = events_winsorized(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["event_type", "value"])
+    for t, g in ev.groupby("event_type"):
+        lo, hi = g.value.quantile([0.01, 0.99], interpolation="linear")
+        clip = g.value.clip(lo, hi)
+        row = out.loc[t]
+        assert row.n == len(g)
+        assert abs(row.mean_raw - g.value.mean()) < 1e-6
+        assert abs(row.mean_winsorized - clip.mean()) < 1e-6
+        assert row.n_clipped_low == (g.value < lo).sum()
+        assert row.n_clipped_high == (g.value > hi).sum()
+        # winsorizing must pull the mean toward the median
+        assert row.mean_winsorized != row.mean_raw or \
+            row.n_clipped_low + row.n_clipped_high == 0
