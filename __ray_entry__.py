@@ -1175,6 +1175,40 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=4)
 
 
+def _q_sliding_chunks(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.chunk import sliding_chunks
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return sliding_chunks(docs, window=20, stride=10)
+
+
+def _q_users_intersect(sf_dir: str):
+    from kgray.pipelines.analytics import user_event_sets
+
+    return user_event_sets(sf_dir, "view", "purchase", mode="intersect")
+
+
+def _q_users_except(sf_dir: str):
+    from kgray.pipelines.analytics import user_event_sets
+
+    return user_event_sets(
+        sf_dir, "view", "purchase", mode="except", b_min_value=90.0
+    )
+
+
+def _q_source_percent_rank(sf_dir: str):
+    from kgray.stages.corpus_stats import source_percent_rank
+
+    return source_percent_rank(sf_dir)
+
+
 def _q_events_winsorized(sf_dir: str):
     from kgray.pipelines.relational import events_winsorized
 
@@ -1299,6 +1333,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_two_hop": _q_kg_two_hop,
         "events_winsorized": _q_events_winsorized,
+        "sliding_chunks": _q_sliding_chunks,
+        "users_intersect": _q_users_intersect,
+        "users_except": _q_users_except,
+        "source_percent_rank": _q_source_percent_rank,
         "near_dup_dedup_lp": _q_near_dup_dedup_lp,
         "encode_token_ids": _q_encode_token_ids,
         "label_centroids": _q_label_centroids,
@@ -1940,6 +1978,32 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
 LEFT JOIN tp ON tp.doc_id = d.doc_id
 LEFT JOIN bag ON bag.doc_id = d.doc_id
+""",
+        "sliding_chunks": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+r AS (SELECT doc_id, toks,
+             unnest(range(CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+      FROM t)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_seq,
+       CAST(least(20, len(toks) - i * 10) AS BIGINT) AS n_tokens,
+       array_to_string(toks[(i * 10 + 1):(i * 10 + 20)], ' ') AS chunk
+FROM r
+""",
+        "users_intersect": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+""",
+        "users_except": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > 90.0
+""",
+        "source_percent_rank": """
+SELECT doc_id, source, n_chars,
+       percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+FROM documents
 """,
         "events_winsorized": """
 WITH q AS (SELECT event_type,

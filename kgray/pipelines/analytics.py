@@ -26,7 +26,7 @@ import ray
 import ray.data
 
 from .relational import _read, _round_half_up
-from ..utils import coarse_grouped_map, repartition_join
+from ..utils import coarse_grouped_map, repartition_join, schema_floor
 
 
 # ---------------------------------------------------------------------------
@@ -723,3 +723,57 @@ def lineitem_qty_price_corr(sf_dir: str) -> "ray.data.Dataset":
         .repartition(1)
         .map_batches(combine, batch_format="pandas", batch_size=None)
     )
+
+
+def user_event_sets(
+    sf_dir: str, a: str = "view", b: str = "purchase",
+    mode: str = "intersect", b_min_value: float = None,
+) -> "ray.data.Dataset":
+    """Distributed set operations on per-user event participation:
+    mode='intersect' -> users with BOTH an ``a`` and a ``b`` event;
+    mode='except'    -> users with an ``a`` event and NO ``b`` event
+    (``b_min_value`` optionally restricts the b side to events above a
+    value threshold — without it, every user at small sf participates
+    in every type and the difference is empty).
+
+    One pass: each batch folds to (user_id, has_a, has_b) partial flags
+    (the combiner — bool OR is algebraic), one coarse keyed reduce ORs
+    the partials and applies the set predicate.  Equivalent SQL
+    INTERSECT / EXCEPT move both operand sets through a shuffle too;
+    this form moves ≤ one row per (user × block) instead of one per
+    event.
+    """
+    if mode not in ("intersect", "except"):
+        raise ValueError(f"unknown mode: {mode}")
+    cols = ["user_id", "event_type"]
+    if b_min_value is not None:
+        cols.append("value")
+    ev = _read(sf_dir, "events", columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.event_type.isin((a, b))]
+        is_b = df.event_type == b
+        if b_min_value is not None:
+            is_b &= df.value > b_min_value
+        g = df.assign(
+            has_a=(df.event_type == a).astype(np.int8),
+            has_b=is_b.astype(np.int8),
+        ).groupby("user_id", as_index=False)[["has_a", "has_b"]].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)[["has_a", "has_b"]].max()
+        if mode == "intersect":
+            keep = (g.has_a == 1) & (g.has_b == 1)
+        else:
+            keep = (g.has_a == 1) & (g.has_b == 0)
+        return g.loc[keep, ["user_id"]]
+
+    out = coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        final,
+    )
+    # an empty set difference must still carry its column
+    return schema_floor(out, pa.schema([("user_id", pa.int64())]))

@@ -115,3 +115,44 @@ def check_span_invariant(original: pa.Table, reassembled: pa.Table) -> None:
         for d in a:
             if a[d] != b[d]:
                 raise AssertionError(f"span invariant violated for {d}")
+
+
+def sliding_chunks(
+    docs: "ray.data.Dataset", window: int = 20, stride: int = 10
+) -> "ray.data.Dataset":
+    """Overlapping sliding-window chunks — the RAG-prep shape (windows
+    of ``window`` tokens every ``stride`` tokens, trailing windows
+    ragged).  Pure map-side explode, no shuffle; tokenisation is a plain
+    single-space split (string_split semantics, matching the oracle).
+
+    Output: (doc_id, chunk_seq, n_tokens, chunk), chunk_seq dense from 0
+    per document.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_seq, out_n, out_chunk = [], [], [], []
+        for d, t in zip(ids, texts):
+            toks = (t or "").split(" ")
+            n = len(toks)
+            seq = 0
+            for start in range(0, n, stride):
+                piece = toks[start : start + window]
+                out_id.append(d)
+                out_seq.append(seq)
+                out_n.append(len(piece))
+                out_chunk.append(" ".join(piece))
+                seq += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_seq": pa.array(out_seq, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "chunk": pa.array(out_chunk, pa.string()),
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow")

@@ -643,3 +643,39 @@ def length_deciles(sf_dir: str, buckets: int = 10) -> "ray.data.Dataset":
 
     return coarse_grouped_map(docs, "n_chars", rank_partition,
                               num_partitions=8)
+
+
+def source_percent_rank(sf_dir: str) -> "ray.data.Dataset":
+    """PERCENT_RANK() of document length within each source — the
+    score-normalization window that makes quality thresholds comparable
+    across heterogeneous sources.  percent_rank = (min_rank - 1)/(n - 1)
+    (0 when n = 1), an exact rational both engines evaluate identically
+    in one double division — no rounding needed.
+
+    One keyed shuffle (coarse partition by source), vectorized rank per
+    source.  Partitioning assumption: one source's rows fit in a worker
+    — when a source is the whole corpus, switch to the distributed rank
+    used by length_deciles (value-count prefix sums).
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def rank_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for s, g in df.groupby("source", sort=False):
+            r = g.n_chars.rank(method="min").to_numpy(np.float64)
+            n = len(g)
+            pr = (r - 1.0) / (n - 1.0) if n > 1 else np.zeros(n)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": g.doc_id.to_numpy(np.int64),
+                        "source": s,
+                        "n_chars": g.n_chars.to_numpy(np.int64),
+                        "pr": pr,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return coarse_grouped_map(docs, "source", rank_partition,
+                              num_partitions=8)

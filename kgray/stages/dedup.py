@@ -473,7 +473,7 @@ def jaccard_pairs_exact(
     changing semantics) instead; this op is the ground-truth path.
     """
     from .. import utils as _u  # noqa: F401  (coarse pattern helpers)
-    from ..utils import coarse_grouped_map
+    from ..utils import coarse_grouped_map, schema_floor
 
     docs = docs.repartition(_bounded_shuffle_width(shuffle_blocks))
 
@@ -531,16 +531,12 @@ def jaccard_pairs_exact(
         num_partitions=num_partitions,
         coalesce_blocks=None,  # already coarse-partitioned
     )
-    # union with a typed empty block so a no-pairs result keeps its schema
-    typed_empty = ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-            }
-        )
+    # a no-pairs result must still carry its columns (zero-column empty
+    # sort partitions otherwise collapse the schema — see utils.schema_floor)
+    return schema_floor(
+        out,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
-    return typed_empty.union(out)
 
 
 class SimHasher:

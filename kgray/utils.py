@@ -283,3 +283,34 @@ def repartition_join(
         tagged.groupby("_pkey")
         .map_groups(merge_partition, batch_format="pandas")
     )
+
+
+def schema_floor(ds: "ray.data.Dataset", schema: pa.Schema):
+    """Guarantee a typed schema on a possibly-empty keyed result.
+
+    Ray's sort-based groupby finalizes key-less partitions as
+    ZERO-COLUMN empty blocks ("new schema: ." RefBundle warnings);
+    they coexist harmlessly with nonempty blocks, but when EVERY
+    partition is empty the dataset's unified schema collapses to zero
+    columns — ``to_pandas()`` returns a (0, 0) frame and downstream
+    column references crash.  ``union`` with a typed empty block does
+    NOT fix it (the zero-column block still poisons unification), so
+    this helper materializes the result once and substitutes a typed
+    empty table iff there are no rows.
+
+    Use on operators whose output may be legitimately empty (set
+    differences, threshold joins).  The materialize is the result the
+    caller was about to consume anyway — keyed-aggregate outputs, the
+    small end of the pipeline.
+
+    Known Ray 2.49 limitation this canNOT fix: ``Dataset.to_pandas()``
+    drops all columns for ANY fully-empty dataset, typed or not (even
+    ``from_arrow(schema.empty_table())`` round-trips to a (0, 0)
+    frame).  ``schema()``, ``write_parquet`` and ``iter_batches`` see
+    the correct typed schema; pandas consumers of possibly-empty
+    results must guard on ``len(df)``.
+    """
+    m = ds.materialize()
+    if m.count() == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    return m
