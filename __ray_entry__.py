@@ -1175,6 +1175,28 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=4)
 
 
+def _q_cohort_retention(sf_dir: str):
+    from kgray.pipelines.analytics import cohort_retention
+
+    return cohort_retention(sf_dir)
+
+
+def _q_fuzzy_part_names(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.cluster import fuzzy_name_pairs
+
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_brand", "p_size", "p_name"],
+    )
+    return fuzzy_name_pairs(
+        part, ["p_brand", "p_size"], "p_name", max_dist=2
+    )
+
+
 def _q_sliding_chunks(sf_dir: str):
     import os
 
@@ -1334,6 +1356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "events_winsorized": _q_events_winsorized,
         "sliding_chunks": _q_sliding_chunks,
+        "cohort_retention": _q_cohort_retention,
+        "fuzzy_part_names": _q_fuzzy_part_names,
         "users_intersect": _q_users_intersect,
         "users_except": _q_users_except,
         "source_percent_rank": _q_source_percent_rank,
@@ -1978,6 +2002,24 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
 LEFT JOIN tp ON tp.doc_id = d.doc_id
 LEFT JOIN bag ON bag.doc_id = d.doc_id
+""",
+        "cohort_retention": """
+WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+           FROM events GROUP BY 1)
+SELECT f.cohort_day, date_trunc('day', e.ts) AS activity_day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+        "fuzzy_part_names": """
+WITH n AS (SELECT DISTINCT p_brand, p_size, p_name FROM part)
+SELECT a.p_brand, a.p_size,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM n a JOIN n b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
 """,
         "sliding_chunks": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -211,6 +211,7 @@ def run_bench() -> dict:
         "importance_sample",
         "large_orders",
         "customer_running_total",
+        "cohort_retention",
     ]:
         best = None
         for _ in range(repeats):

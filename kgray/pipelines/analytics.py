@@ -777,3 +777,75 @@ def user_event_sets(
     )
     # an empty set difference must still carry its column
     return schema_floor(out, pa.schema([("user_id", pa.int64())]))
+
+
+def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Day-cohort retention matrix: users grouped by their FIRST active
+    day, counted distinct on every subsequent active day — the classic
+    product-analytics triangle.
+
+    Three fully distributed steps: (1) per-user first day (per-batch min
+    partials, one keyed reduce); (2) per-user distinct active days
+    (per-batch combiner) repartition-joined to the cohort table on
+    user_id — fact↔fact, both sides shuffle once, no broadcast of the
+    user dimension (it scales with the data); (3) distinct-user counts
+    per (cohort_day, activity_day) — a keyed reduce whose partition key
+    is the matrix cell, so one cell's users land together and the count
+    is one vectorized nunique.
+    """
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df.ts.dt.floor("D")
+        g = df.groupby("user_id", as_index=False).agg(
+            cohort_day=("day", "min")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def first_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            cohort_day=("cohort_day", "min")
+        )
+
+    cohorts = coarse_grouped_map(
+        ev.map_batches(first_partial, batch_format="pyarrow"),
+        "user_id",
+        first_final,
+    )
+
+    def active_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["activity_day"] = df.ts.dt.floor("D")
+        g = df[["user_id", "activity_day"]].drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    active = ev.map_batches(active_partial, batch_format="pyarrow")
+
+    joined = repartition_join(
+        active,
+        cohorts,
+        left_on="user_id",
+        right_on="user_id",
+        left_types={
+            "user_id": pa.int64(),
+            "activity_day": pa.timestamp("us"),
+        },
+        right_types={
+            "user_id": pa.int64(),
+            "cohort_day": pa.timestamp("us"),
+        },
+    )
+
+    def cell_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(
+            ["cohort_day", "activity_day", "user_id"]
+        ).groupby(["cohort_day", "activity_day"], as_index=False).agg(
+            n_users=("user_id", "nunique")
+        )
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    return coarse_grouped_map(
+        joined, ["cohort_day", "activity_day"], cell_counts
+    )

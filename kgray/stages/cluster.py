@@ -262,3 +262,104 @@ def cluster_surface_forms(
         )
 
     return distinct.map_batches(assign, batch_format="pyarrow")
+
+
+def levenshtein_batch(a, b) -> "np.ndarray":
+    """Exact edit distance for N string pairs at once, vectorized across
+    the pair axis: the DP runs max_len_a × max_len_b VECTOR steps over
+    (N,)-arrays instead of N independent Python DPs — for the short
+    names fuzzy joins block on (≤ ~20 chars) that is ~400 numpy ops
+    total regardless of N.  Unit insert/delete/substitute costs over
+    unicode codepoints, byte-identical to DuckDB's levenshtein()."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.array([len(x) for x in a], dtype=np.int64)
+    lb = np.array([len(x) for x in b], dtype=np.int64)
+    ma, mb = int(la.max()), int(lb.max())
+    A = np.zeros((n, max(ma, 1)), dtype=np.int64)
+    B = np.zeros((n, max(mb, 1)), dtype=np.int64)
+    for i, x in enumerate(a):
+        if x:
+            A[i, : len(x)] = [ord(c) for c in x]
+    for i, x in enumerate(b):
+        if x:
+            B[i, : len(x)] = [ord(c) for c in x]
+    res = np.zeros(n, dtype=np.int64)
+    prev = np.tile(np.arange(mb + 1, dtype=np.int64), (n, 1))
+    done = la == 0
+    res[done] = lb[done]
+    for i in range(1, ma + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, mb + 1):
+            cost = (A[:, i - 1] != B[:, j - 1]).astype(np.int64)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
+            )
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res
+
+
+def fuzzy_name_pairs(
+    ds: "ray.data.Dataset",
+    block_cols,
+    name_col: str,
+    max_dist: int = 2,
+) -> "ray.data.Dataset":
+    """Blocked fuzzy self-join: DISTINCT name pairs (a < b) within each
+    blocking-key group whose edit distance is in [1, max_dist] — the
+    catalog-reconciliation / near-duplicate-title primitive.
+
+    Blocking IS the scale contract: candidate pairs are |block|² within
+    a block and zero across blocks, so the block key must bound group
+    size (here a composite key; at web scale add a length band or a
+    first-character band to the key).  One keyed shuffle on the block
+    key; within each coarse partition the pair generation and the
+    edit-distance kernel (levenshtein_batch) are fully vectorized.
+
+    Output: block_cols + (name_a, name_b, dist).
+    """
+    from ..utils import coarse_grouped_map
+
+    blocks = [block_cols] if isinstance(block_cols, str) else list(block_cols)
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, g in df.groupby(blocks, sort=False):
+            names = np.sort(g[name_col].unique())
+            m = len(names)
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            d = levenshtein_batch(
+                [names[i] for i in ia], [names[j] for j in ib]
+            )
+            keep = (d >= 1) & (d <= max_dist)
+            if not keep.any():
+                continue
+            kf = pd.DataFrame(
+                {
+                    "name_a": names[ia[keep]],
+                    "name_b": names[ib[keep]],
+                    "dist": d[keep],
+                }
+            )
+            kv = key if isinstance(key, tuple) else (key,)
+            for c, v in zip(blocks, kv):
+                kf[c] = v
+            out.append(kf[blocks + ["name_a", "name_b", "dist"]])
+        if not out:
+            empty = df[blocks].iloc[:0].copy()
+            empty["name_a"] = pd.Series([], dtype=str)
+            empty["name_b"] = pd.Series([], dtype=str)
+            empty["dist"] = pd.Series([], dtype=np.int64)
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    return coarse_grouped_map(ds, blocks, pairs_partition,
+                              num_partitions=16)
