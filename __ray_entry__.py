@@ -957,6 +957,24 @@ def _q_customer_running_total(sf_dir: str):
     return customer_running_total(sf_dir)
 
 
+def _q_returned_item_ranking(sf_dir: str):
+    from kgray.pipelines.tpch_more import returned_item_ranking
+
+    return returned_item_ranking(sf_dir)
+
+
+def _q_nation_trade_volume(sf_dir: str):
+    from kgray.pipelines.tpch_more import nation_trade_volume
+
+    return nation_trade_volume(sf_dir)
+
+
+def _q_order_priority_exists(sf_dir: str):
+    from kgray.pipelines.tpch_more import order_priority_exists
+
+    return order_priority_exists(sf_dir)
+
+
 def _q_duplicate_ngrams(sf_dir: str):
     from kgray.stages.filters import duplicate_ngram_stats
 
@@ -1338,6 +1356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "duplicate_ngrams": _q_duplicate_ngrams,
         "large_orders": _q_large_orders,
+        "returned_item_ranking": _q_returned_item_ranking,
+        "nation_trade_volume": _q_nation_trade_volume,
+        "order_priority_exists": _q_order_priority_exists,
         "promo_revenue": _q_promo_revenue,
         "idle_rich_customers": _q_idle_rich_customers,
         "customer_running_total": _q_customer_running_total,
@@ -2107,6 +2128,47 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                                      ORDER BY o_orderdate, o_orderkey)
              * 100.0 + 0.5) / 100.0 AS running_total
 FROM orders
+""",
+        "returned_item_ranking": """
+WITH r AS (
+  SELECT o.o_custkey,
+         sum(l.l_extendedprice * (1.0 - l.l_discount)) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name,
+       floor(r.rev * 100.0 + 0.5) / 100.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+""",
+        "nation_trade_volume": """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS year,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                      + 0.5) AS BIGINT)) / 100.0 AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE year(l.l_shipdate) BETWEEN 1995 AND 1996
+GROUP BY 1, 2, 3
+""",
+        "order_priority_exists": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
 """,
         "duplicate_ngrams": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

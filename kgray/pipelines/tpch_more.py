@@ -1,0 +1,334 @@
+"""More TPC-H-shaped relational composites over the synthetic tables
+(the testdata lacks partsupp / l_commitdate / l_shipmode, so Q4/Q7/Q10
+are adapted to the columns that exist while keeping each query's
+distinctive distributed shape):
+
+- ``returned_item_ranking`` — Q10: revenue of RETURNED items per
+  customer in a date window; two fact-fact repartition joins, a
+  broadcast nation dimension, global top-k.
+- ``nation_trade_volume``   — Q7: supplier-nation x customer-nation
+  revenue matrix per ship year; combiner-first re-aggregation BETWEEN
+  every join hop so each shuffle moves pre-compacted rows.
+- ``order_priority_exists`` — Q4: per-priority count of orders having
+  >= 1 returned lineitem (EXISTS), as a distinct-key semi repartition
+  join — the fact side is never collected.
+
+Scale posture (same as pipelines/tpch_extra): per-batch PARTIAL
+aggregation before every shuffle, utils.repartition_join for
+fact<->fact hops, utils.coarse_grouped_map for keyed reduces,
+broadcasts only for the 25-row nation dimension, top-k as per-block
+head -> driver reduce over <= blocks x k rows.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .relational import _read
+from ..utils import coarse_grouped_map, repartition_join
+
+
+def _nation_lookup(sf_dir: str):
+    """25-row nation dimension as a broadcast-able pandas Series
+    (n_nationkey -> n_name).  Read driver-local with pyarrow — a ray.data
+    read would cost ~1s of task overhead for a KB-sized table."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    return nation.set_index("n_nationkey")["n_name"]
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item customer ranking
+# ---------------------------------------------------------------------------
+
+def returned_item_ranking(
+    sf_dir: str,
+    start: str = "1995-01-01",
+    end: str = "1995-04-01",
+    k: int = 20,
+) -> "ray.data.Dataset":
+    """Top-``k`` customers by revenue of RETURNED lineitems whose order
+    was placed in ``[start, end)``, with nation names.
+
+    Shape (TPC-H Q10): lineitem is filtered to l_returnflag='R' and
+    partially aggregated per order key inside map_batches; the
+    surviving per-order revenue joins the date-windowed orders fact via
+    a repartition join on the order key, is re-aggregated per customer
+    key (combiner + coarse keyed reduce), joins customer via a second
+    repartition join, and picks up n_name from the broadcast 25-row
+    nation dimension.  Top-k runs per block then once on <= blocks x k
+    candidate rows.  Revenue is rounded half-up to 2 decimals
+    (summation order differs between engines).
+    """
+    s, e = pd.Timestamp(start), pd.Timestamp(end)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.l_returnflag == "R"]
+        df["rev"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def o_window(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.loc[(df.o_orderdate >= s) & (df.o_orderdate < e),
+                    ["o_orderkey", "o_custkey"]]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    with_orders = repartition_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders.map_batches(o_window, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "rev": pa.float64()},
+        right_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def cust_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            rev=("rev", "sum")
+        )
+
+    per_cust = coarse_grouped_map(
+        with_orders.map_batches(cust_partial, batch_format="pyarrow"),
+        "o_custkey",
+        cust_reduce,
+    )
+
+    cust = _read(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    named = repartition_join(
+        per_cust,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_types={"o_custkey": pa.int64(), "rev": pa.float64()},
+        right_types={
+            "c_custkey": pa.int64(),
+            "c_name": pa.string(),
+            "c_acctbal": pa.float64(),
+            "c_nationkey": pa.int64(),
+        },
+    )
+
+    n_ref = ray.put(_nation_lookup(sf_dir))
+    sort_cols = ["revenue", "c_custkey"]
+    asc = [False, True]
+
+    def finish_block(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(n_ref)  # 25 rows, zero-copy local get
+        df = df.rename(columns={"o_custkey": "c_custkey"})
+        df["n_name"] = df.c_nationkey.map(lookup)
+        df["revenue"] = np.floor(df.rev.to_numpy() * 100.0 + 0.5) / 100.0
+        df = df[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+        return df.sort_values(sort_cols, ascending=asc).head(k)
+
+    cand = named.map_batches(
+        finish_block, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    t = cand.sort_values(sort_cols, ascending=asc).head(k).reset_index(
+        drop=True
+    )
+    t["c_custkey"] = t["c_custkey"].astype(np.int64)
+    return ray.data.from_pandas(t)
+
+
+# ---------------------------------------------------------------------------
+# Q7: nation trade-volume matrix
+# ---------------------------------------------------------------------------
+
+def nation_trade_volume(
+    sf_dir: str, year_lo: int = 1995, year_hi: int = 1996
+) -> "ray.data.Dataset":
+    """Revenue shipped supplier-nation -> customer-nation per ship year,
+    for ship years in ``[year_lo, year_hi]``.
+
+    Shape (TPC-H Q7, all nation pairs kept): three fact-side hops with a
+    COMBINER between each —
+      1. lineitem ⋈ supplier on l_suppkey (repartition join; supplier
+         scales with sf, never broadcast), supplier nation attached from
+         the broadcast 25-row nation table, then re-aggregated to one
+         row per (l_orderkey, supp_nation, year);
+      2. ⋈ orders on the order key (repartition join), re-aggregated to
+         one row per (o_custkey, supp_nation, year);
+      3. ⋈ customer on the customer key (repartition join), customer
+         nation from the same broadcast, final coarse keyed reduce to
+         the <= 25 x 25 x years matrix.
+    Each shuffle therefore moves rows already compacted by the previous
+    group keys.  Revenue is quantized to integer CENTS per input row
+    (floor(x*100+0.5) — the per-row double is bit-identical in any IEEE
+    engine, and int64 summation is exact and order-independent), so the
+    final volume matches the SQL oracle bit-for-bit with no
+    summation-order slack at all.
+    """
+    n_ref = ray.put(_nation_lookup(sf_dir))
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def li_window(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        yr = df.l_shipdate.dt.year
+        df = df[(yr >= year_lo) & (yr <= year_hi)].copy()
+        df["year"] = df.l_shipdate.dt.year.astype(np.int64)
+        rev = df.l_extendedprice.to_numpy() * (1.0 - df.l_discount.to_numpy())
+        df["rev"] = np.floor(rev * 100.0 + 0.5).astype(np.int64)
+        g = df.groupby(["l_suppkey", "l_orderkey", "year"],
+                       as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    with_supp = repartition_join(
+        li.map_batches(li_window, batch_format="pyarrow"),
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_types={"l_suppkey": pa.int64(), "l_orderkey": pa.int64(),
+                    "year": pa.int64(), "rev": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_nationkey": pa.int64()},
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(n_ref)
+        df = batch.to_pandas()
+        df["supp_nation"] = df.s_nationkey.astype(np.int64).map(lookup)
+        g = df.groupby(["l_orderkey", "supp_nation", "year"],
+                       as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    with_orders = repartition_join(
+        with_supp.map_batches(order_partial, batch_format="pyarrow"),
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "supp_nation": pa.string(),
+                    "year": pa.int64(), "rev": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["o_custkey", "supp_nation", "year"],
+                       as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    with_cust = repartition_join(
+        with_orders.map_batches(cust_partial, batch_format="pyarrow"),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_types={"o_custkey": pa.int64(), "supp_nation": pa.string(),
+                    "year": pa.int64(), "rev": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "c_nationkey": pa.int64()},
+    )
+
+    def matrix_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(n_ref)
+        df = batch.to_pandas()
+        df["cust_nation"] = df.c_nationkey.astype(np.int64).map(lookup)
+        g = df.groupby(["supp_nation", "cust_nation", "year"],
+                       as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def matrix_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["supp_nation", "cust_nation", "year"],
+                       as_index=False).agg(volume=("rev", "sum"))
+        g["volume"] = g.volume.to_numpy().astype(np.float64) / 100.0
+        return g
+
+    return coarse_grouped_map(
+        with_cust.map_batches(matrix_partial, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "year"],
+        matrix_reduce,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4: order-priority EXISTS counts
+# ---------------------------------------------------------------------------
+
+def order_priority_exists(
+    sf_dir: str, start: str = "1995-01-01", end: str = "1995-04-01"
+) -> "ray.data.Dataset":
+    """Per o_orderpriority: count of orders placed in ``[start, end)``
+    that have AT LEAST ONE returned (l_returnflag='R') lineitem.
+
+    Shape (TPC-H Q4's EXISTS): lineitem reduces to per-batch DISTINCT
+    returned order keys (the combiner for a semi join), the date-windowed
+    orders fact semi-joins those keys via utils.repartition_join
+    (how='semi' — multiplicity of orders preserved, keys deduped inside
+    the partition merge), and the priority rollup is one coarse keyed
+    reduce.  Neither fact is ever collected on the driver.
+    """
+    s, e = pd.Timestamp(start), pd.Timestamp(end)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def returned_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = df.loc[df.l_returnflag == "R", ["l_orderkey"]]
+        return pa.Table.from_pandas(
+            keys.drop_duplicates(), preserve_index=False
+        )
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def o_window(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.loc[(df.o_orderdate >= s) & (df.o_orderdate < e),
+                    ["o_orderkey", "o_orderpriority"]]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    matched = repartition_join(
+        orders.map_batches(o_window, batch_format="pyarrow"),
+        li.map_batches(returned_keys, batch_format="pyarrow"),
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        left_types={"o_orderkey": pa.int64(), "o_orderpriority": pa.string()},
+        right_types={"l_orderkey": pa.int64()},
+        how="semi",
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            order_count=("o_orderkey", "size")
+        )
+        g["order_count"] = g["order_count"].astype(np.int64)
+        return g
+
+    return coarse_grouped_map(matched, "o_orderpriority", rollup)
