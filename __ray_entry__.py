@@ -957,6 +957,36 @@ def _q_customer_running_total(sf_dir: str):
     return customer_running_total(sf_dir)
 
 
+def _q_zipf_slope(sf_dir: str):
+    from kgray.stages.corpus_stats import zipf_slope
+
+    return zipf_slope(sf_dir)
+
+
+def _q_trigram_topk(sf_dir: str):
+    from kgray.stages.corpus_stats import trigram_topk
+
+    return trigram_topk(sf_dir)
+
+
+def _q_source_lang_chi2(sf_dir: str):
+    from kgray.stages.corpus_stats import source_lang_chi2
+
+    return source_lang_chi2(sf_dir)
+
+
+def _q_event_transitions(sf_dir: str):
+    from kgray.pipelines.analytics import event_transitions
+
+    return event_transitions(sf_dir)
+
+
+def _q_session_stats(sf_dir: str):
+    from kgray.pipelines.analytics import session_stats
+
+    return session_stats(sf_dir)
+
+
 def _q_returned_item_ranking(sf_dir: str):
     from kgray.pipelines.tpch_more import returned_item_ranking
 
@@ -1357,6 +1387,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngrams": _q_duplicate_ngrams,
         "large_orders": _q_large_orders,
         "returned_item_ranking": _q_returned_item_ranking,
+        "zipf_slope": _q_zipf_slope,
+        "trigram_topk": _q_trigram_topk,
+        "source_lang_chi2": _q_source_lang_chi2,
+        "event_transitions": _q_event_transitions,
+        "session_stats": _q_session_stats,
         "nation_trade_volume": _q_nation_trade_volume,
         "order_priority_exists": _q_order_priority_exists,
         "promo_revenue": _q_promo_revenue,
@@ -2128,6 +2163,81 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                                      ORDER BY o_orderdate, o_orderkey)
              * 100.0 + 0.5) / 100.0 AS running_total
 FROM orders
+""",
+        "zipf_slope": """
+WITH t AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
+c AS (SELECT tok, count(*) cnt FROM t WHERE tok <> '' GROUP BY 1),
+r AS (SELECT cnt, rank() OVER (ORDER BY cnt DESC) rnk FROM c)
+SELECT floor(regr_slope(ln(cnt), ln(rnk)) * 1e6 + 0.5) / 1e6 AS zipf_slope,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(cnt) AS BIGINT) AS total_tokens
+FROM r
+""",
+        "trigram_topk": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
+g AS (SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+      FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+gc AS (SELECT gram, CAST(count(*) AS BIGINT) n FROM g GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, gram) AS BIGINT) AS rnk,
+       gram, n
+FROM gc ORDER BY n DESC, gram LIMIT 20
+""",
+        "source_lang_chi2": """
+WITH cells AS (SELECT source, lang, count(*)::DOUBLE n
+               FROM documents GROUP BY 1, 2),
+tot AS (SELECT sum(n) n FROM cells),
+rows_ AS (SELECT source, sum(n) rn FROM cells GROUP BY 1),
+cols_ AS (SELECT lang, sum(n) cn FROM cells GROUP BY 1),
+grid AS (SELECT r.source, c.lang, r.rn * c.cn / t.n AS exp,
+                coalesce(cells.n, 0.0) AS obs
+         FROM rows_ r CROSS JOIN cols_ c CROSS JOIN tot t
+         LEFT JOIN cells ON cells.source = r.source AND cells.lang = c.lang)
+SELECT floor(sum((obs - exp) * (obs - exp) / exp) * 1e6 + 0.5) / 1e6
+         AS chi2,
+       (SELECT CAST(count(*) AS BIGINT) FROM rows_) AS n_sources,
+       (SELECT CAST(count(*) AS BIGINT) FROM cols_) AS n_langs,
+       (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_docs
+FROM grid
+""",
+        "event_transitions": """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""",
+        "session_stats": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+),
+per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n,
+         epoch(max(ts) - min(ts)) AS dur
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_session_events,
+       floor(avg(dur) * 1e6 + 0.5) / 1e6 AS mean_session_seconds
+FROM per_sess GROUP BY user_id
 """,
         "returned_item_ranking": """
 WITH r AS (

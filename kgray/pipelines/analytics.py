@@ -849,3 +849,100 @@ def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
     return coarse_grouped_map(
         joined, ["cohort_day", "activity_day"], cell_counts
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition counts over per-user event sequences
+# ---------------------------------------------------------------------------
+
+def event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-wide event-type transition matrix: for every consecutive
+    pair in a user's timeline (ordered by ts, event_id), count
+    (from_type -> to_type) occurrences.
+
+    The LAG window runs as ONE user-keyed coarse shuffle; inside a
+    partition the pairing is a vectorized shift guarded by a same-user
+    mask (thousands of whole users per partition, no per-user Python),
+    and the partition emits PRE-COUNTED (from_type, to_type, n) rows —
+    the final reduce over the type-squared matrix moves only
+    dimension-bounded rows.  Ties on ts are broken by event_id, same as
+    the oracle's window ORDER BY.
+    """
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g.user_id.to_numpy()
+        t = g.event_type.to_numpy(object)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "from_type": pd.Series([], dtype=object),
+                    "to_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        same = u[:-1] == u[1:]
+        d = pd.DataFrame({"from_type": t[:-1][same], "to_type": t[1:][same]})
+        out = d.groupby(["from_type", "to_type"], as_index=False).size()
+        out.columns = ["from_type", "to_type", "n"]
+        out["n"] = out.n.astype(np.int64)
+        return out
+
+    partial = coarse_grouped_map(ev, "user_id", pair_counts)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["from_type", "to_type"], as_index=False).agg(
+            n=("n", "sum")
+        )
+        g["n"] = g.n.astype(np.int64)
+        return g
+
+    return coarse_grouped_map(partial, ["from_type", "to_type"], final,
+                              num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# Per-user session-level summary
+# ---------------------------------------------------------------------------
+
+def session_stats(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Per user over their 30-minute-gap sessions: session count, total
+    events, largest session, and mean session duration in seconds.
+
+    Builds on the events_sessions shape — the sessionization AND the
+    per-user rollup happen inside the SAME user-keyed coarse partition
+    (a user's whole timeline is co-located by construction), so the
+    whole operator is one all-to-all.  mean_session_seconds is rounded
+    half-up to 6 decimals (the oracle divides in a different dtype
+    order).
+    """
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g.user_id.ne(g.user_id.shift())
+        sess = (new_user | (g.ts.diff() > gap)).cumsum()
+        s = g.groupby(sess).agg(
+            user_id=("user_id", "first"),
+            start=("ts", "min"),
+            end=("ts", "max"),
+            n=("ts", "size"),
+        )
+        s["dur"] = (s.end - s.start).dt.total_seconds()
+        out = s.groupby("user_id", as_index=False).agg(
+            n_sessions=("n", "size"),
+            n_events=("n", "sum"),
+            max_session_events=("n", "max"),
+            mean_session_seconds=("dur", "mean"),
+        )
+        for c in ["n_sessions", "n_events", "max_session_events"]:
+            out[c] = out[c].astype(np.int64)
+        out["mean_session_seconds"] = (
+            np.floor(out.mean_session_seconds.to_numpy() * 1e6 + 0.5) / 1e6
+        )
+        return out
+
+    return coarse_grouped_map(ev, "user_id", per_user)

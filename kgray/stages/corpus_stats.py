@@ -679,3 +679,189 @@ def source_percent_rank(sf_dir: str) -> "ray.data.Dataset":
 
     return coarse_grouped_map(docs, "source", rank_partition,
                               num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+def zipf_slope(sf_dir: str) -> "ray.data.Dataset":
+    """Least-squares slope of ln(frequency) on ln(rank) over the whole
+    vocabulary (Zipf's law predicts ~ -1), plus exact vocab / token
+    counts.
+
+    Scale shape: exact token counts via per-batch partial counts + one
+    token-keyed coarse reduce (the only all-to-all), then the counts
+    collapse map-side to a FREQUENCY HISTOGRAM (count -> n_tokens).  The
+    histogram is what crosses to the driver: its size is bounded by the
+    number of DISTINCT frequency values, O(sqrt(total_tokens)) for any
+    Zipf-ish corpus (a few thousand rows at petabyte scale), never by
+    the vocabulary.  Ranks use rank()-with-ties = 1 + (# tokens with a
+    strictly higher count) — a pure function of the histogram — so every
+    regression moment has a closed form over histogram rows and the
+    driver never sees a token.  The slope is rounded half-up to 6
+    decimals: DuckDB's regr_slope accumulates per row in scan order, so
+    the last ulps differ by construction.
+    """
+    docs = _read_docs(sf_dir, ["text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        d = d[d.token.notna() & (d.token != "")]
+        g = d.groupby("token", as_index=False).agg(c=("token", "size"))
+        g["c"] = g.c.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = coarse_grouped_map(
+        docs.map_batches(tok_partial, batch_format="pyarrow"),
+        "token",
+        lambda d: d.groupby("token", as_index=False).agg(cnt=("c", "sum")),
+    )
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cnt", as_index=False).size()
+        g.columns = ["cnt", "n"]
+        return g
+
+    hist = (
+        counts.map_batches(hist_partial, batch_format="pandas",
+                           batch_size=None)
+        .to_pandas()
+        .groupby("cnt", as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values("cnt", ascending=False)
+        .reset_index(drop=True)
+    )
+
+    f = hist.cnt.to_numpy(np.float64)
+    w = hist.n.to_numpy(np.float64)
+    # rank() (ties share the min rank) = 1 + cumulative tokens above
+    rank = 1.0 + np.concatenate([[0.0], np.cumsum(w)[:-1]])
+    x, y = np.log(rank), np.log(f)
+    W = w.sum()
+    sx, sy = (w * x).sum(), (w * y).sum()
+    sxx, sxy = (w * x * x).sum(), (w * x * y).sum()
+    slope = (sxy - sx * sy / W) / (sxx - sx * sx / W)
+    slope = math.floor(slope * 1e6 + 0.5) / 1e6
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "zipf_slope": [slope],
+                "vocab_size": np.array([int(W)], np.int64),
+                "total_tokens": np.array([int((hist.cnt * hist.n).sum())],
+                                         np.int64),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k trigrams
+# ---------------------------------------------------------------------------
+
+def trigram_topk(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """The ``k`` most frequent word trigrams corpus-wide (count desc,
+    gram asc).
+
+    Trigram construction is vectorized: each batch's docs explode to a
+    position-indexed token frame, and grams come from numpy shifts
+    guarded by a same-doc mask — no Python loop touches a token.
+    Per-batch partial counts feed one gram-keyed coarse reduce (the only
+    all-to-all, moving pre-aggregated (gram, n) rows), then top-k runs
+    per block and once more on <= blocks x k candidates.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        d = d[d.token.notna() & (d.token != "")]
+        tok = d.token.to_numpy(object)
+        doc = d.doc_id.to_numpy()
+        if len(tok) < 3:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = (doc[:-2] == doc[1:-1]) & (doc[:-2] == doc[2:])
+        gram = tok[:-2] + " " + tok[1:-1] + " " + tok[2:]
+        g = pd.DataFrame({"gram": gram[same]}).groupby(
+            "gram", as_index=False
+        ).size()
+        g.columns = ["gram", "n"]
+        g["n"] = g.n.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def gram_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", as_index=False).agg(n=("n", "sum"))
+        g["n"] = g.n.astype(np.int64)
+        return g.sort_values(["n", "gram"], ascending=[False, True]).head(k)
+
+    cand = coarse_grouped_map(
+        docs.map_batches(gram_partial, batch_format="pyarrow"),
+        "gram",
+        gram_reduce,
+    ).to_pandas()
+    t = cand.sort_values(["n", "gram"], ascending=[False, True]).head(
+        k
+    ).reset_index(drop=True)
+    t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    return ray.data.from_pandas(t[["rnk", "gram", "n"]])
+
+
+# ---------------------------------------------------------------------------
+# Source x language independence (chi-square)
+# ---------------------------------------------------------------------------
+
+def source_lang_chi2(sf_dir: str) -> "ray.data.Dataset":
+    """Pearson chi-square statistic for independence of ``source`` and
+    ``lang`` over documents, with the contingency dimensions.
+
+    The only distributed work is a map-side partial count per
+    (source, lang) — the contingency table is DIMENSION-bounded
+    (sources x languages), so the driver-side closed form is legitimate
+    at any corpus size.  chi2 = sum over cells of (obs - exp)^2 / exp
+    with exp = row_total * col_total / n, rounded half-up to 6 decimals
+    (the oracle sums cells in a different order).
+    """
+    docs = _read_docs(sf_dir, ["source", "lang"])
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["source", "lang"], as_index=False).size()
+        g.columns = ["source", "lang", "n"]
+        g["n"] = g.n.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        docs.map_batches(cell_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["source", "lang"], as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    n = float(cells.n.sum())
+    row = cells.groupby("source").n.sum()
+    col = cells.groupby("lang").n.sum()
+    # full outer grid: absent cells are observed-0 but still contribute
+    grid = (
+        pd.MultiIndex.from_product([row.index, col.index],
+                                   names=["source", "lang"])
+        .to_frame(index=False)
+        .merge(cells, on=["source", "lang"], how="left")
+        .fillna({"n": 0})
+    )
+    exp = (
+        grid.source.map(row).to_numpy(np.float64)
+        * grid.lang.map(col).to_numpy(np.float64)
+        / n
+    )
+    chi2 = (((grid.n.to_numpy(np.float64) - exp) ** 2) / exp).sum()
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "chi2": [math.floor(chi2 * 1e6 + 0.5) / 1e6],
+                "n_sources": np.array([len(row)], np.int64),
+                "n_langs": np.array([len(col)], np.int64),
+                "n_docs": np.array([int(n)], np.int64),
+            }
+        )
+    )

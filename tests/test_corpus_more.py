@@ -1,0 +1,109 @@
+"""Semantics tests for the round-2 corpus/event statistics additions
+(zipf_slope, trigram_topk, source_lang_chi2, event_transitions,
+session_stats).  Exact cross-engine parity is covered by the DuckDB
+oracles in __ray_entry__; these pin the math on sf0.001 against
+hand-rolled pandas/numpy."""
+import collections
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(docs):
+    return [t for txt in docs.text for t in txt.split(" ") if t]
+
+
+def test_zipf_slope_matches_handrolled():
+    from kgray.stages.corpus_stats import zipf_slope
+
+    out = zipf_slope(SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    cnt = collections.Counter(_tokens(docs))
+    assert out.vocab_size.iloc[0] == len(cnt)
+    assert out.total_tokens.iloc[0] == sum(cnt.values())
+
+    # rank()-with-ties over counts desc, then plain OLS of ln f on ln r
+    freqs = np.array(sorted(cnt.values(), reverse=True), dtype=np.float64)
+    rank = np.empty_like(freqs)
+    i = 0
+    while i < len(freqs):
+        j = i
+        while j < len(freqs) and freqs[j] == freqs[i]:
+            j += 1
+        rank[i:j] = i + 1
+        i = j
+    x, y = np.log(rank), np.log(freqs)
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(out.zipf_slope.iloc[0] - slope) < 1e-6
+    assert out.zipf_slope.iloc[0] < 0  # frequency falls with rank
+
+
+def test_trigram_topk_matches_counter():
+    from kgray.stages.corpus_stats import trigram_topk
+
+    out = trigram_topk(SF, k=10).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    c = collections.Counter()
+    for txt in docs.text:
+        w = [t for t in txt.split(" ") if t]
+        c.update(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out.gram, out.n)) == exp
+    assert out.rnk.tolist() == list(range(1, 11))
+
+
+def test_source_lang_chi2_matches_closed_form():
+    from kgray.stages.corpus_stats import source_lang_chi2
+
+    out = source_lang_chi2(SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["source", "lang"])
+    obs = pd.crosstab(docs.source, docs.lang).astype(float)
+    exp = np.outer(obs.sum(1), obs.sum(0)) / obs.to_numpy().sum()
+    chi2 = ((obs.to_numpy() - exp) ** 2 / exp).sum()
+    assert abs(out.chi2.iloc[0] - chi2) < 1e-6
+    assert out.n_sources.iloc[0] == obs.shape[0]
+    assert out.n_langs.iloc[0] == obs.shape[1]
+    assert out.n_docs.iloc[0] == len(docs)
+
+
+def test_event_transitions_matches_pandas():
+    from kgray.pipelines.analytics import event_transitions
+
+    out = event_transitions(SF).to_pandas()
+    ev = pd.read_parquet(SF + "/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    prev = ev.groupby("user_id").event_type.shift()
+    pairs = pd.DataFrame({"from_type": prev, "to_type": ev.event_type})
+    exp = pairs.dropna().groupby(["from_type", "to_type"]).size()
+    got = out.set_index(["from_type", "to_type"]).n
+    assert got.sort_index().to_dict() == exp.sort_index().to_dict()
+    # every event except each user's first contributes exactly one pair
+    assert out.n.sum() == len(ev) - ev.user_id.nunique()
+
+
+def test_session_stats_consistent_with_events_sessions():
+    from kgray.pipelines.analytics import session_stats
+    from kgray.pipelines.relational import events_sessions
+
+    stats = session_stats(SF).to_pandas().set_index("user_id")
+    sess = events_sessions(SF).to_pandas()
+    per_user = sess.groupby("user_id").agg(
+        n_sessions=("n_events", "size"),
+        n_events=("n_events", "sum"),
+        max_session_events=("n_events", "max"),
+    )
+    assert len(stats) == len(per_user)
+    for c in per_user.columns:
+        assert stats[c].sort_index().to_dict() == \
+            per_user[c].sort_index().to_dict()
+    dur = (sess.session_end - sess.session_start).dt.total_seconds()
+    mean_dur = dur.groupby(sess.user_id).mean()
+    assert np.allclose(
+        stats.mean_session_seconds.sort_index(), mean_dur.sort_index(),
+        atol=1e-6,
+    )
