@@ -987,6 +987,24 @@ def _q_session_stats(sf_dir: str):
     return session_stats(sf_dir)
 
 
+def _q_embedding_covariance(sf_dir: str):
+    from kgray.stages.similarity import embedding_covariance
+
+    return embedding_covariance(sf_dir)
+
+
+def _q_pca_spectrum(sf_dir: str):
+    from kgray.stages.similarity import pca_spectrum
+
+    return pca_spectrum(sf_dir)
+
+
+def _q_source_token_entropy(sf_dir: str):
+    from kgray.stages.corpus_stats import source_token_entropy
+
+    return source_token_entropy(sf_dir)
+
+
 def _q_returned_item_ranking(sf_dir: str):
     from kgray.pipelines.tpch_more import returned_item_ranking
 
@@ -1388,6 +1406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": _q_large_orders,
         "returned_item_ranking": _q_returned_item_ranking,
         "zipf_slope": _q_zipf_slope,
+        "embedding_covariance": _q_embedding_covariance,
+        "pca_spectrum": _q_pca_spectrum,
+        "source_token_entropy": _q_source_token_entropy,
         "trigram_topk": _q_trigram_topk,
         "source_lang_chi2": _q_source_lang_chi2,
         "event_transitions": _q_event_transitions,
@@ -2163,6 +2184,27 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                                      ORDER BY o_orderdate, o_orderkey)
              * 100.0 + 0.5) / 100.0 AS running_total
 FROM orders
+""",
+        "embedding_covariance": """
+WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) i,
+                  CAST(unnest(embedding) AS DOUBLE) v
+           FROM embeddings)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       floor(covar_pop(a.v, b.v) * 1e6 + 0.5) / 1e6 AS cov
+FROM u a JOIN u b USING (vec_id)
+GROUP BY a.i, b.i
+""",
+        "source_token_entropy": """
+WITH u AS (SELECT source, unnest(string_split(text, ' ')) tok
+           FROM documents),
+c AS (SELECT source, tok, count(*)::DOUBLE c FROM u
+      WHERE tok <> '' GROUP BY 1, 2),
+a AS (SELECT source, sum(c) n, count(*) vocab, sum(c * ln(c)) clnc
+      FROM c GROUP BY 1)
+SELECT source, CAST(n AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab_size,
+       floor((ln(n) - clnc / n) * 1e6 + 0.5) / 1e6 AS entropy
+FROM a
 """,
         "zipf_slope": """
 WITH t AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),

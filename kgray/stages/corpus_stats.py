@@ -865,3 +865,68 @@ def source_lang_chi2(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the token distribution per source
+# ---------------------------------------------------------------------------
+
+def source_token_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """Per source: token count, vocabulary size, and Shannon entropy
+    (nats) of its token distribution — a standard corpus-diversity
+    metric for mixture weighting.
+
+    Shape: per-batch partial counts per (source, token), one coarse
+    keyed reduce on (source, token) for exact counts, then the entropy
+    folds map-side per source from VOCABULARY-bounded rows: each reduce
+    partition emits per-source partial Σ c·ln(c) and Σ c, and the final
+    per-source closed form H = ln(N) − Σ c·ln(c)/N runs over a
+    source-count-bounded frame.  Entropy is rounded half-up to 6
+    decimals (summation order differs from the oracle).
+    """
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        d = d[d.token.notna() & (d.token != "")]
+        g = d.groupby(["source", "token"], as_index=False).agg(
+            c=("token", "size")
+        )
+        g["c"] = g.c.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def count_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "token"], as_index=False).agg(
+            c=("c", "sum")
+        )
+        # fold this partition's share of each source's moments right here
+        c = g.c.to_numpy(np.float64)
+        g["clnc"] = c * np.log(c)
+        out = g.groupby("source", as_index=False).agg(
+            n=("c", "sum"), vocab=("token", "size"), clnc=("clnc", "sum")
+        )
+        out["n"] = out.n.astype(np.int64)
+        out["vocab"] = out.vocab.astype(np.int64)
+        return out
+
+    partials = coarse_grouped_map(
+        docs.map_batches(tok_partial, batch_format="pyarrow"),
+        ["source", "token"],
+        count_reduce,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            n_tokens=("n", "sum"), vocab_size=("vocab", "sum"),
+            clnc=("clnc", "sum"),
+        )
+        n = g.n_tokens.to_numpy(np.float64)
+        g["entropy"] = np.floor(
+            (np.log(n) - g.clnc.to_numpy() / n) * 1e6 + 0.5
+        ) / 1e6
+        g["n_tokens"] = g.n_tokens.astype(np.int64)
+        g["vocab_size"] = g.vocab_size.astype(np.int64)
+        return g[["source", "n_tokens", "vocab_size", "entropy"]]
+
+    return coarse_grouped_map(partials, "source", final, num_partitions=4)

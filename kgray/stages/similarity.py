@@ -708,3 +708,89 @@ def semantic_dedup(
     return emb.select_columns(["vec_id"]).map_batches(
         assign_rep, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance matrix + PCA spectrum
+# ---------------------------------------------------------------------------
+
+def embedding_covariance(sf_dir: str) -> "ray.data.Dataset":
+    """Population covariance matrix of the embedding columns, as
+    (i, j, cov) rows with 1-based dimension indices.
+
+    One streaming pass: each batch emits its moment sketch (n, Σx,
+    Σx⊗x) — dim + dim² floats regardless of batch size — and the
+    driver folds the per-batch sketches with the closed form
+    cov = E[xy] − E[x]E[y].  Nothing data-sized ever leaves the
+    workers; the result is DIMENSION-bounded (dim² rows).  Float32
+    inputs are widened to float64 before any arithmetic, matching the
+    oracle's per-value DOUBLE cast; cov is rounded half-up to 6
+    decimals (streaming-vs-closed-form accumulation differs in the
+    last ulps).
+    """
+    import os
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tolist()],
+                              pa.list_(pa.float64())),
+                "p": pa.array([(m.T @ m).ravel().tolist()],
+                              pa.list_(pa.float64())),
+            }
+        )
+
+    parts = emb.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    n = float(parts.n.sum())
+    s = np.sum(np.stack(parts.s.to_numpy()), axis=0)
+    p = np.sum(np.stack(parts.p.to_numpy()), axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = p.reshape(d, d) / n - np.outer(mean, mean)
+    ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                         indexing="ij")
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "i": ii.ravel().astype(np.int64),
+                "j": jj.ravel().astype(np.int64),
+                "cov": np.floor(cov.ravel() * 1e6 + 0.5) / 1e6,
+            }
+        )
+    )
+
+
+def pca_spectrum(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
+    """Top-``k`` PCA eigenvalues of the embedding covariance with
+    cumulative explained-variance ratios.
+
+    Reuses embedding_covariance's one-pass distributed moment sketch;
+    the eigendecomposition runs on the driver over the dim x dim
+    matrix — dimension-bounded work, legitimate at any corpus size.
+    (No SQL oracle: eigendecomposition is not expressible in DuckDB;
+    correctness is pinned by pytest against numpy over the raw rows.)
+    """
+    cov_rows = embedding_covariance(sf_dir).to_pandas()
+    d = int(cov_rows.i.max())
+    cov = np.zeros((d, d))
+    cov[cov_rows.i.to_numpy() - 1, cov_rows.j.to_numpy() - 1] = \
+        cov_rows["cov"].to_numpy()  # .cov attribute is the DataFrame method
+    vals = np.linalg.eigvalsh(cov)[::-1]
+    total = vals.sum()
+    top = vals[:k]
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "rnk": np.arange(1, len(top) + 1, dtype=np.int64),
+                "eigenvalue": top,
+                "explained_ratio": top / total,
+                "cum_explained_ratio": np.cumsum(top) / total,
+            }
+        )
+    )
