@@ -1005,6 +1005,24 @@ def _q_source_token_entropy(sf_dir: str):
     return source_token_entropy(sf_dir)
 
 
+def _q_events_wau(sf_dir: str):
+    from kgray.pipelines.relational import events_wau
+
+    return events_wau(sf_dir)
+
+
+def _q_last_event_per_user(sf_dir: str):
+    from kgray.pipelines.relational import last_event_per_user
+
+    return last_event_per_user(sf_dir)
+
+
+def _q_integrity_audit(sf_dir: str):
+    from kgray.pipelines.analytics import integrity_audit
+
+    return integrity_audit(sf_dir)
+
+
 def _q_returned_item_ranking(sf_dir: str):
     from kgray.pipelines.tpch_more import returned_item_ranking
 
@@ -1409,6 +1427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "pca_spectrum": _q_pca_spectrum,
         "source_token_entropy": _q_source_token_entropy,
+        "events_wau": _q_events_wau,
+        "last_event_per_user": _q_last_event_per_user,
+        "integrity_audit": _q_integrity_audit,
         "trigram_topk": _q_trigram_topk,
         "source_lang_chi2": _q_source_lang_chi2,
         "event_transitions": _q_event_transitions,
@@ -1494,6 +1515,31 @@ SELECT doc_id,
                   doc_id) AS BIGINT) AS position
 FROM documents
 """
+
+
+def _integrity_audit_sql() -> str:
+    # one UNION ALL block per FK relationship, mirroring
+    # kgray.pipelines.analytics.integrity_audit's relationship list
+    rels = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    blocks = []
+    for ct, ck, pt, pk in rels:
+        blocks.append(f"""
+SELECT '{ct}.{ck}->{pt}.{pk}' AS relationship,
+       (SELECT CAST(count(DISTINCT {ck}) AS BIGINT) FROM {ct})
+         AS n_child_keys,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT DISTINCT {ck} FROM {ct}) c
+        WHERE NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck}))
+         AS n_orphan_keys""")
+    return "\nUNION ALL\n".join(blocks)
 
 
 def _pii_scrub_sql() -> str:
@@ -2185,6 +2231,61 @@ SELECT o_custkey, o_orderkey, o_orderdate,
              * 100.0 + 0.5) / 100.0 AS running_total
 FROM orders
 """,
+        "lang_id": """
+WITH toks AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[a-zA-Z]+'))) tok
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, count(*) n,
+    sum(CASE WHEN tok IN ('the','and','of','to','a','in','is','it',
+                          'that','for') THEN 1 ELSE 0 END) h_en,
+    sum(CASE WHEN tok IN ('der','die','und','das','ist','nicht','mit',
+                          'ein','zu') THEN 1 ELSE 0 END) h_de,
+    sum(CASE WHEN tok IN ('le','la','et','les','des','est','une','dans',
+                          'que') THEN 1 ELSE 0 END) h_fr,
+    sum(CASE WHEN tok IN ('el','la','de','que','los','una','es','por',
+                          'con') THEN 1 ELSE 0 END) h_es
+  FROM toks GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id,
+         h_en::DOUBLE / greatest(n, 1) s_en,
+         h_de::DOUBLE / greatest(n, 1) s_de,
+         h_fr::DOUBLE / greatest(n, 1) s_fr,
+         h_es::DOUBLE / greatest(n, 1) s_es
+  FROM sc
+)
+SELECT d.doc_id,
+  CASE WHEN regexp_matches(d.text, '[一-鿿]') THEN 'zh'
+       WHEN s.doc_id IS NULL THEN 'en'
+       WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'en'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM documents d LEFT JOIN s USING (doc_id)
+""",
+        "events_wau": """
+WITH p AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+           FROM events),
+days AS (SELECT DISTINCT d FROM p),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) dau FROM p GROUP BY 1),
+wau AS (SELECT days.d, CAST(count(DISTINCT p.user_id) AS BIGINT) wau
+        FROM days JOIN p
+          ON p.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY days.d)
+SELECT dau.d AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.d = wau.d
+""",
+        "last_event_per_user": """
+SELECT user_id, ts, event_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+""",
+        "integrity_audit": _integrity_audit_sql(),
         "embedding_covariance": """
 WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) i,
                   CAST(unnest(embedding) AS DOUBLE) v

@@ -946,3 +946,78 @@ def session_stats(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         return out
 
     return coarse_grouped_map(ev, "user_id", per_user)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit
+# ---------------------------------------------------------------------------
+
+def integrity_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Data-quality audit across the star schema: for each foreign-key
+    relationship, the total child rows and the count whose parent key
+    is MISSING (orphans).
+
+    Each relationship is one anti semi repartition join (child keys vs
+    parent keys, both sides shuffled once on hash(key); the parent side
+    is reduced to per-batch distinct keys first) followed by a count()
+    metadata aggregate — no driver-side key sets, no broadcasts that
+    scale with a fact table.  Rows: one per relationship.
+    """
+
+    def distinct_keys(ds, col):
+        # per-batch distinct bounds the shuffle to one row per
+        # (key, block); the coarse keyed reduce makes it GLOBALLY
+        # distinct (a batch-local pass alone would overcount)
+        def f(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()[[col]].drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return coarse_grouped_map(
+            ds.map_batches(f, batch_format="pyarrow"),
+            col,
+            lambda d: d.drop_duplicates(col),
+            num_partitions=16,
+        )
+
+    def orphan_count(child_distinct, child_key, parent, parent_key):
+        anti = repartition_join(
+            child_distinct,
+            distinct_keys(parent, parent_key),
+            left_on=child_key,
+            right_on=parent_key,
+            left_types={child_key: pa.int64()},
+            right_types={parent_key: pa.int64()},
+            how="anti",
+            num_partitions=16,
+        )
+        return int(anti.count())
+
+    rels = [
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("lineitem.l_partkey", "part.p_partkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey"),
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("customer.c_nationkey", "nation.n_nationkey"),
+        ("supplier.s_nationkey", "nation.n_nationkey"),
+        ("nation.n_regionkey", "region.r_regionkey"),
+    ]
+    rows = []
+    for child_ref, parent_ref in rels:
+        ct, ck = child_ref.split(".")
+        pt, pk = parent_ref.split(".")
+        child = _read(sf_dir, ct, columns=[ck])
+        parent = _read(sf_dir, pt, columns=[pk])
+        # two consumers (count + anti join): materialize the small
+        # distinct-key set once instead of re-running the shuffle
+        child_d = distinct_keys(child, ck).materialize()
+        rows.append(
+            {
+                "relationship": f"{child_ref}->{parent_ref}",
+                "n_child_keys": int(child_d.count()),
+                "n_orphan_keys": orphan_count(child_d, ck, parent, pk),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["n_child_keys"] = df.n_child_keys.astype(np.int64)
+    df["n_orphan_keys"] = df.n_orphan_keys.astype(np.int64)
+    return ray.data.from_pandas(df)

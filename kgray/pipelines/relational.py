@@ -978,3 +978,121 @@ def events_winsorized(
         final,
         num_partitions=8,
     )
+
+
+def events_wau(sf_dir: str) -> "ray.data.Dataset":
+    """Per calendar day: daily active users AND rolling 7-day active
+    users (distinct users over [day-6, day]) — the exact WAU metric.
+
+    Rolling DISTINCT cannot be pre-aggregated like a sum, so the shape
+    is: (1) one shuffle to exact distinct (day, user) pairs — the
+    per-batch partial distinct makes the shuffle move at most one row
+    per (day, user, block); (2) map-side EXPLODE of each pair to the
+    <= 7 window days it serves (window days are validated against the
+    tiny broadcast set of days that actually occur); (3) a second
+    distinct+count shuffle on (window_day, user).  Work is bounded by
+    7x the distinct-pair count, never by raw event volume, and no
+    driver-side state exceeds the day list.
+    """
+    from ..utils import coarse_grouped_map
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df.ts.dt.floor("D")
+        p = df[["day", "user_id"]].drop_duplicates()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    pairs = coarse_grouped_map(
+        ev.map_batches(pair_partial, batch_format="pyarrow"),
+        ["day", "user_id"],
+        lambda d: d.drop_duplicates(["day", "user_id"]),
+    ).materialize()  # two consumers below — avoid re-running the shuffle
+
+    # the calendar-day dimension is tiny (years x 365); broadcast it
+    days = pairs.map_batches(
+        lambda d: d[["day"]].drop_duplicates(), batch_format="pandas"
+    ).to_pandas().day.drop_duplicates()
+    days_ref = ray.put(frozenset(days))
+
+    def explode_windows(df: pd.DataFrame) -> pd.DataFrame:
+        valid = ray.get(days_ref)
+        outs = []
+        for off in range(7):
+            w = df[["day", "user_id"]].copy()
+            w["day"] = w.day + pd.Timedelta(days=off)
+            outs.append(w)
+        out = pd.concat(outs, ignore_index=True)
+        return out[out.day.isin(valid)]
+
+    def wau_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["day", "user_id"]).groupby(
+            "day", as_index=False
+        ).agg(wau=("user_id", "size"))
+        g["wau"] = g.wau.astype(np.int64)
+        return g
+
+    wau = coarse_grouped_map(
+        pairs.map_batches(explode_windows, batch_format="pandas"),
+        "day",
+        wau_reduce,
+        num_partitions=16,
+    )
+
+    def dau_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", as_index=False).agg(dau=("user_id", "size"))
+        g["dau"] = g.dau.astype(np.int64)
+        return g
+
+    dau = coarse_grouped_map(pairs, "day", dau_reduce, num_partitions=16)
+
+    from ..utils import repartition_join
+
+    out = repartition_join(
+        dau,
+        wau,
+        left_on="day",
+        right_on="day",
+        left_types={"day": pa.timestamp("us"), "dau": pa.int64()},
+        right_types={"day": pa.timestamp("us"), "wau": pa.int64()},
+        num_partitions=16,
+    )
+
+    def fix_types(df: pd.DataFrame) -> pd.DataFrame:
+        df["dau"] = df.dau.astype(np.int64)
+        df["wau"] = df.wau.astype(np.int64)
+        return df[["day", "dau", "wau"]]
+
+    return out.map_batches(fix_types, batch_format="pandas")
+
+
+def last_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Each user's latest event (max ts, event_id as tiebreak) — the
+    SCD-style 'current row per key' pattern.
+
+    One user-keyed coarse shuffle; inside the partition the latest row
+    per user falls out of a vectorized sort + drop_duplicates(keep=
+    'last').  At scale a per-batch partial (keep each batch's latest
+    row per user) bounds the shuffle to one row per (user, block)."""
+    from ..utils import coarse_grouped_map
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def batch_latest(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        return pa.Table.from_pandas(
+            df.drop_duplicates("user_id", keep="last"),
+            preserve_index=False,
+        )
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        return df.drop_duplicates("user_id", keep="last")
+
+    return coarse_grouped_map(
+        ev.map_batches(batch_latest, batch_format="pyarrow"),
+        "user_id",
+        latest,
+    )

@@ -1,0 +1,74 @@
+"""Semantics tests for events_wau (rolling 7-day distinct users),
+last_event_per_user (SCD latest-row), and integrity_audit (FK orphan
+counts).  Exact parity is covered by the DuckDB oracles; these pin the
+semantics on sf0.001 with hand-rolled pandas."""
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_events_wau_matches_pandas():
+    from kgray.pipelines.relational import events_wau
+
+    out = events_wau(SF).to_pandas().set_index("day").sort_index()
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["user_id", "ts"])
+    ev["day"] = ev.ts.dt.floor("D")
+    pairs = ev[["day", "user_id"]].drop_duplicates()
+    dau = pairs.groupby("day").user_id.nunique()
+    assert out.dau.to_dict() == dau.to_dict()
+    for d in out.index:
+        lo = d - pd.Timedelta(days=6)
+        w = pairs[(pairs.day >= lo) & (pairs.day <= d)].user_id.nunique()
+        assert out.loc[d, "wau"] == w
+    # WAU dominates DAU; both positive
+    assert (out.wau >= out.dau).all()
+    assert (out.dau > 0).all()
+
+
+def test_last_event_per_user_matches_pandas():
+    from kgray.pipelines.relational import last_event_per_user
+
+    out = last_event_per_user(SF).to_pandas()
+    ev = pd.read_parquet(SF + "/events.parquet")
+    exp = (
+        ev.sort_values(["user_id", "ts", "event_id"])
+        .drop_duplicates("user_id", keep="last")
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = out.sort_values("user_id").reset_index(drop=True)
+    assert len(got) == ev.user_id.nunique()
+    assert got.user_id.tolist() == exp.user_id.tolist()
+    assert got.event_id.tolist() == exp.event_id.tolist()
+    assert got.ts.tolist() == exp.ts.tolist()
+
+
+def test_integrity_audit_counts_and_planted_orphans(tmp_path):
+    from kgray.pipelines.analytics import integrity_audit
+
+    out = integrity_audit(SF).to_pandas().set_index("relationship")
+    li = pd.read_parquet(SF + "/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    assert out.loc["lineitem.l_orderkey->orders.o_orderkey",
+                   "n_child_keys"] == li.l_orderkey.nunique()
+    assert out.loc["lineitem.l_partkey->part.p_partkey",
+                   "n_child_keys"] == li.l_partkey.nunique()
+    # the synthetic star schema is referentially intact
+    assert (out.n_orphan_keys == 0).all()
+    assert len(out) == 7
+
+    # plant orphans: copy the tables, break some lineitem FKs
+    import shutil
+
+    for t in ["lineitem", "orders", "part", "supplier", "customer",
+              "nation", "region"]:
+        shutil.copy(f"{SF}/{t}.parquet", tmp_path / f"{t}.parquet")
+    li2 = pd.read_parquet(tmp_path / "lineitem.parquet")
+    li2.loc[li2.index[:5], "l_orderkey"] = [10**9 + i for i in range(5)]
+    li2.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out2 = integrity_audit(str(tmp_path)).to_pandas().set_index(
+        "relationship"
+    )
+    assert out2.loc["lineitem.l_orderkey->orders.o_orderkey",
+                    "n_orphan_keys"] == 5
