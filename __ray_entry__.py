@@ -1017,6 +1017,18 @@ def _q_last_event_per_user(sf_dir: str):
     return last_event_per_user(sf_dir)
 
 
+def _q_revenue_gini(sf_dir: str):
+    from kgray.pipelines.relational import revenue_gini
+
+    return revenue_gini(sf_dir)
+
+
+def _q_events_gapfill(sf_dir: str):
+    from kgray.pipelines.relational import events_gapfill
+
+    return events_gapfill(sf_dir)
+
+
 def _q_integrity_audit(sf_dir: str):
     from kgray.pipelines.analytics import integrity_audit
 
@@ -1430,6 +1442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wau": _q_events_wau,
         "last_event_per_user": _q_last_event_per_user,
         "integrity_audit": _q_integrity_audit,
+        "revenue_gini": _q_revenue_gini,
+        "events_gapfill": _q_events_gapfill,
         "trigram_topk": _q_trigram_topk,
         "source_lang_chi2": _q_source_lang_chi2,
         "event_transitions": _q_event_transitions,
@@ -2286,6 +2300,33 @@ SELECT user_id, ts, event_id, event_type, value FROM (
 ) WHERE rn = 1
 """,
         "integrity_audit": _integrity_audit_sql(),
+        "revenue_gini": """
+WITH s AS (SELECT o_custkey,
+                  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS cents
+           FROM orders GROUP BY 1),
+r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM s)
+SELECT floor((2.0 * sum(i::DOUBLE * cents::DOUBLE)
+              / (count(*) * sum(cents))
+              - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6 AS gini,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM r
+""",
+        "events_gapfill": """
+WITH c AS (SELECT event_type, date_trunc('day', ts) d,
+                  CAST(count(*) AS BIGINT) n
+           FROM events GROUP BY 1, 2),
+b AS (SELECT min(d) lo, max(d) hi FROM c),
+days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) d FROM b),
+types AS (SELECT DISTINCT event_type FROM c)
+SELECT t.event_type, days.d AS day,
+       coalesce(c.n, 0) AS n_events
+FROM types t CROSS JOIN days
+LEFT JOIN c ON c.event_type = t.event_type AND c.d = days.d
+""",
         "embedding_covariance": """
 WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) i,
                   CAST(unnest(embedding) AS DOUBLE) v

@@ -1096,3 +1096,110 @@ def last_event_per_user(sf_dir: str) -> "ray.data.Dataset":
         "user_id",
         latest,
     )
+
+
+def revenue_gini(sf_dir: str) -> "ray.data.Dataset":
+    """Gini coefficient of per-customer order spend — the standard
+    revenue-concentration metric: G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
+    customers sorted by spend ascending (custkey tiebreak).
+
+    Shape: per-customer spend via one keyed coarse reduce (spend is
+    quantized to integer cents per order, so the per-customer sums are
+    exact in any order); ONE distributed sort on (cents, custkey); a
+    dense global index from utils.zip_with_index (two metadata passes,
+    blocks never leave the workers); then the three regression-style
+    moments (Σi·x, Σx, n) fold map-side to one tiny row per block.
+    The i·x moment accumulates in float64 — matching the oracle's
+    explicit DOUBLE casts — and the final G is rounded half-up to 6
+    decimals (summation order).
+    """
+    from ..utils import coarse_grouped_map, zip_with_index
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def spend_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.floor(
+            df.o_totalprice.to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = df.groupby("o_custkey", as_index=False).agg(
+            cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    spend = coarse_grouped_map(
+        orders.map_batches(spend_partial, batch_format="pyarrow"),
+        "o_custkey",
+        lambda d: d.groupby("o_custkey", as_index=False).agg(
+            cents=("cents", "sum")
+        ),
+    )
+
+    ranked = zip_with_index(
+        spend.sort(["cents", "o_custkey"]), "i", offset=1
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ix = (df.i.to_numpy(np.float64) * df.cents.to_numpy(np.float64))
+        return pa.table(
+            {
+                "six": pa.array([float(ix.sum())], pa.float64()),
+                "sx": pa.array([int(df.cents.sum())], pa.int64()),
+                "n": pa.array([len(df)], pa.int64()),
+            }
+        )
+
+    m = ranked.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = float(m.n.sum())
+    sx = float(m.sx.sum())
+    gini = 2.0 * m.six.sum() / (n * sx) - (n + 1.0) / n
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "gini": [np.floor(gini * 1e6 + 0.5) / 1e6],
+                "n_customers": np.array([int(n)], np.int64),
+                "total_cents": np.array([int(m.sx.sum())], np.int64),
+            }
+        )
+    )
+
+
+def events_gapfill(sf_dir: str) -> "ray.data.Dataset":
+    """Daily event counts per type over a DENSE calendar spine — days
+    with no events appear with n_events = 0 (the gap-filling step every
+    time-series consumer needs before resampling).
+
+    The only fact-scale work is the (type, day) count (per-batch
+    partials + one coarse keyed reduce).  The counted result and the
+    spine are both DIMENSION-bounded (types x days), so the driver-side
+    cross product + left merge is legitimate at any event volume.
+    """
+    from ..utils import coarse_grouped_map
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df.ts.dt.floor("D")
+        g = df.groupby(["event_type", "day"], as_index=False).size()
+        g.columns = ["event_type", "day", "n"]
+        g["n"] = g.n.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        lambda d: d.groupby(["event_type", "day"], as_index=False).agg(
+            n=("n", "sum")
+        ),
+    ).to_pandas()  # types x days rows — dimension-bounded
+
+    days = pd.date_range(counts.day.min(), counts.day.max(), freq="D")
+    types = sorted(counts.event_type.unique())
+    spine = pd.MultiIndex.from_product(
+        [types, days], names=["event_type", "day"]
+    ).to_frame(index=False)
+    out = spine.merge(counts, on=["event_type", "day"], how="left")
+    out["n_events"] = out.n.fillna(0).astype(np.int64)
+    return ray.data.from_pandas(out[["event_type", "day", "n_events"]])

@@ -72,3 +72,46 @@ def test_integrity_audit_counts_and_planted_orphans(tmp_path):
     )
     assert out2.loc["lineitem.l_orderkey->orders.o_orderkey",
                     "n_orphan_keys"] == 5
+
+
+def test_revenue_gini_matches_closed_form():
+    from kgray.pipelines.relational import revenue_gini
+
+    out = revenue_gini(SF).to_pandas()
+    orders = pd.read_parquet(SF + "/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cents = np.floor(orders.o_totalprice * 100.0 + 0.5).astype(np.int64)
+    d = cents.groupby(orders.o_custkey).sum().reset_index()
+    d.columns = ["o_custkey", "cents"]
+    d = d.sort_values(["cents", "o_custkey"]).reset_index(drop=True)
+    i = np.arange(1, len(d) + 1, dtype=np.float64)
+    x = d.cents.to_numpy(np.float64)
+    n = float(len(d))
+    gini = 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n
+    assert abs(out.gini.iloc[0] - gini) < 1e-6
+    assert 0.0 < out.gini.iloc[0] < 1.0
+    assert out.n_customers.iloc[0] == orders.o_custkey.nunique()
+    assert out.total_cents.iloc[0] == cents.sum()
+
+
+def test_events_gapfill_dense_spine():
+    from kgray.pipelines.relational import events_gapfill
+
+    out = events_gapfill(SF).to_pandas()
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["event_type", "ts"])
+    ev["day"] = ev.ts.dt.floor("D")
+    counts = ev.groupby(["event_type", "day"]).size()
+    days = pd.date_range(ev.day.min(), ev.day.max(), freq="D")
+    types = ev.event_type.unique()
+    # dense: every (type, day) cell present exactly once
+    assert len(out) == len(days) * len(types)
+    assert not out.duplicated(["event_type", "day"]).any()
+    got = out.set_index(["event_type", "day"]).n_events
+    for key, n in counts.items():
+        assert got.loc[key] == n
+    # zero-filled cells really had no events
+    zeros = out[out.n_events == 0]
+    for _, r in zeros.head(20).iterrows():
+        assert (r.event_type, r.day) not in counts.index
+    assert out.n_events.sum() == len(ev)
