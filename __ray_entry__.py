@@ -1017,6 +1017,18 @@ def _q_last_event_per_user(sf_dir: str):
     return last_event_per_user(sf_dir)
 
 
+def _q_event_anomalies(sf_dir: str):
+    from kgray.pipelines.analytics import event_anomalies
+
+    return event_anomalies(sf_dir)
+
+
+def _q_repurchase_latency(sf_dir: str):
+    from kgray.pipelines.analytics import repurchase_latency
+
+    return repurchase_latency(sf_dir)
+
+
 def _q_revenue_gini(sf_dir: str):
     from kgray.pipelines.relational import revenue_gini
 
@@ -1443,6 +1455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_event_per_user": _q_last_event_per_user,
         "integrity_audit": _q_integrity_audit,
         "revenue_gini": _q_revenue_gini,
+        "event_anomalies": _q_event_anomalies,
+        "repurchase_latency": _q_repurchase_latency,
         "events_gapfill": _q_events_gapfill,
         "trigram_topk": _q_trigram_topk,
         "source_lang_chi2": _q_source_lang_chi2,
@@ -2300,6 +2314,36 @@ SELECT user_id, ts, event_id, event_type, value FROM (
 ) WHERE rn = 1
 """,
         "integrity_audit": _integrity_audit_sql(),
+        "event_anomalies": """
+WITH m AS (SELECT event_type, count(*)::DOUBLE n, sum(value) s,
+                  sum(value * value) sq
+           FROM events GROUP BY 1),
+p AS (SELECT event_type, s / n AS mu,
+             sqrt(sq / n - (s / n) * (s / n)) AS sd
+      FROM m)
+SELECT e.event_id, e.event_type, e.value,
+       floor((e.value - p.mu) / p.sd * 1e6 + 0.5) / 1e6 AS z
+FROM events e JOIN p USING (event_type)
+WHERE abs((e.value - p.mu) / p.sd) > 3.0
+""",
+        "repurchase_latency": """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders),
+d AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL),
+n AS (SELECT o_custkey, CAST(count(*) AS BIGINT) n_orders
+      FROM orders GROUP BY 1)
+SELECT d.o_custkey, n.n_orders,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       floor(avg(gap::DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_gap_days,
+       CAST(max(gap) AS BIGINT) AS max_gap_days
+FROM d JOIN n USING (o_custkey)
+GROUP BY d.o_custkey, n.n_orders
+""",
         "revenue_gini": """
 WITH s AS (SELECT o_custkey,
                   sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))

@@ -1021,3 +1021,97 @@ def integrity_audit(sf_dir: str) -> "ray.data.Dataset":
     df["n_child_keys"] = df.n_child_keys.astype(np.int64)
     df["n_orphan_keys"] = df.n_orphan_keys.astype(np.int64)
     return ray.data.from_pandas(df)
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly flags per event type
+# ---------------------------------------------------------------------------
+
+def event_anomalies(sf_dir: str, z_thresh: float = 3.0) -> "ray.data.Dataset":
+    """Events whose value is a |z| > ``z_thresh`` outlier within their
+    event type, plus each type's population moments.
+
+    Two passes, both map-shaped: (1) per-type count/sum/sumsq moments
+    fold per batch into type-bounded rows (the classic moment sketch —
+    no shuffle of raw events); (2) the tiny moment table broadcasts
+    back and a pure vectorized map flags outliers.  Output is one row
+    per anomalous event (id, type, value, z), z rounded half-up to 6
+    decimals.
+    """
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v2"] = df.value * df.value
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), s=("value", "sum"), sq=("v2", "sum")
+        )
+        g["n"] = g.n.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = (
+        ev.map_batches(moment_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), s=("s", "sum"), sq=("sq", "sum"))
+    )
+    m["mean"] = m.s / m.n
+    m["std"] = np.sqrt(m.sq / m.n - m["mean"] ** 2)  # population std
+    m_ref = ray.put(m.set_index("event_type")[["mean", "std"]])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        look = ray.get(m_ref)
+        df = batch.to_pandas()
+        mu = df.event_type.map(look["mean"]).to_numpy()
+        sd = df.event_type.map(look["std"]).to_numpy()
+        z = (df.value.to_numpy() - mu) / sd
+        keep = np.abs(z) > z_thresh
+        out = df.loc[keep, ["event_id", "event_type", "value"]].copy()
+        out["z"] = np.floor(z[keep] * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ev.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Repurchase latency: gap between consecutive orders per customer
+# ---------------------------------------------------------------------------
+
+def repurchase_latency(sf_dir: str) -> "ray.data.Dataset":
+    """Per customer with >= 2 orders: number of orders, mean and max gap
+    in days between consecutive orders (date, orderkey tiebreak).
+
+    One customer-keyed coarse shuffle; gaps come from a vectorized diff
+    over the partition-sorted timeline with a same-customer mask.
+    mean_gap_days is rounded half-up to 6 decimals.
+    """
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cust = g.o_custkey.to_numpy()
+        days = g.o_orderdate.to_numpy("datetime64[D]").astype(np.int64)
+        same = cust[:-1] == cust[1:]
+        d = pd.DataFrame(
+            {
+                "o_custkey": cust[1:][same],
+                "gap": (days[1:] - days[:-1])[same].astype(np.float64),
+            }
+        )
+        n_orders = pd.Series(cust).value_counts()
+        out = d.groupby("o_custkey", as_index=False).agg(
+            n_gaps=("gap", "size"),
+            mean_gap_days=("gap", "mean"),
+            max_gap_days=("gap", "max"),
+        )
+        out["n_orders"] = out.o_custkey.map(n_orders).astype(np.int64)
+        out["n_gaps"] = out.n_gaps.astype(np.int64)
+        out["mean_gap_days"] = (
+            np.floor(out.mean_gap_days.to_numpy() * 1e6 + 0.5) / 1e6
+        )
+        out["max_gap_days"] = out.max_gap_days.astype(np.int64)
+        return out[["o_custkey", "n_orders", "n_gaps", "mean_gap_days",
+                    "max_gap_days"]]
+
+    return coarse_grouped_map(orders, "o_custkey", gaps)

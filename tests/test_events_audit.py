@@ -115,3 +115,40 @@ def test_events_gapfill_dense_spine():
     for _, r in zeros.head(20).iterrows():
         assert (r.event_type, r.day) not in counts.index
     assert out.n_events.sum() == len(ev)
+
+
+def test_event_anomalies_flags_planted_outliers():
+    from kgray.pipelines.analytics import event_anomalies
+
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    mu = ev.groupby("event_type").value.transform("mean")
+    sd = ev.groupby("event_type").value.transform(lambda v: v.std(ddof=0))
+    z = (ev.value - mu) / sd
+    exp = set(ev.event_id[np.abs(z) > 3.0])
+
+    out = event_anomalies(SF).to_pandas()
+    assert set(out.event_id) == exp
+    got_z = out.set_index("event_id").z
+    for eid in list(exp)[:25]:
+        assert abs(got_z.loc[eid]
+                   - z[ev.event_id == eid].iloc[0]) < 1e-6
+    assert (np.abs(out.z) > 3.0 - 1e-9).all()
+
+
+def test_repurchase_latency_matches_pandas():
+    from kgray.pipelines.analytics import repurchase_latency
+
+    out = repurchase_latency(SF).to_pandas().set_index("o_custkey")
+    orders = pd.read_parquet(SF + "/orders.parquet")
+    g = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    gaps = g.groupby("o_custkey").o_orderdate.diff().dt.days.dropna()
+    per = gaps.groupby(g.o_custkey).agg(["size", "mean", "max"])
+    n_orders = g.o_custkey.value_counts()
+    multi = per[per["size"] >= 1]
+    assert len(out) == len(multi)
+    for ck, row in multi.head(30).iterrows():
+        assert out.loc[ck, "n_gaps"] == row["size"]
+        assert abs(out.loc[ck, "mean_gap_days"] - row["mean"]) < 1e-6
+        assert out.loc[ck, "max_gap_days"] == row["max"]
+        assert out.loc[ck, "n_orders"] == n_orders[ck]
