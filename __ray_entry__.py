@@ -1029,6 +1029,18 @@ def _q_repurchase_latency(sf_dir: str):
     return repurchase_latency(sf_dir)
 
 
+def _q_bpe_merges(sf_dir: str):
+    from kgray.stages.pack import learn_bpe_merges
+
+    return learn_bpe_merges(sf_dir)
+
+
+def _q_key_skew(sf_dir: str):
+    from kgray.pipelines.analytics import key_skew_profile
+
+    return key_skew_profile(sf_dir)
+
+
 def _q_revenue_gini(sf_dir: str):
     from kgray.pipelines.relational import revenue_gini
 
@@ -1456,6 +1468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integrity_audit": _q_integrity_audit,
         "revenue_gini": _q_revenue_gini,
         "event_anomalies": _q_event_anomalies,
+        "bpe_merges": _q_bpe_merges,
+        "key_skew": _q_key_skew,
         "repurchase_latency": _q_repurchase_latency,
         "events_gapfill": _q_events_gapfill,
         "trigram_topk": _q_trigram_topk,
@@ -2314,6 +2328,19 @@ SELECT user_id, ts, event_id, event_type, value FROM (
 ) WHERE rn = 1
 """,
         "integrity_audit": _integrity_audit_sql(),
+        "key_skew": """
+WITH lc AS (SELECT l_orderkey, count(*) c FROM lineitem GROUP BY 1),
+lh AS (SELECT 'lineitem.l_orderkey' AS table_key,
+              CAST(c AS BIGINT) AS rows_per_key,
+              CAST(count(*) AS BIGINT) AS n_keys
+       FROM lc GROUP BY c),
+ec AS (SELECT user_id, count(*) c FROM events GROUP BY 1),
+eh AS (SELECT 'events.user_id' AS table_key,
+              CAST(c AS BIGINT) AS rows_per_key,
+              CAST(count(*) AS BIGINT) AS n_keys
+       FROM ec GROUP BY c)
+SELECT * FROM lh UNION ALL SELECT * FROM eh
+""",
         "event_anomalies": """
 WITH m AS (SELECT event_type, count(*)::DOUBLE n, sum(value) s,
                   sum(value * value) sq

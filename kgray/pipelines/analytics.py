@@ -1115,3 +1115,60 @@ def repurchase_latency(sf_dir: str) -> "ray.data.Dataset":
                     "max_gap_days"]]
 
     return coarse_grouped_map(orders, "o_custkey", gaps)
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile (shuffle planning diagnostics)
+# ---------------------------------------------------------------------------
+
+def key_skew_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Frequency-of-frequency histogram for the hot join keys
+    (lineitem.l_orderkey, events.user_id): how many keys occur exactly
+    r times.  This is the diagnostic that decides salting / hot-key
+    handling before a 100-TB shuffle.
+
+    Per key: one combiner-first keyed reduce to exact per-key counts,
+    then the counts collapse map-side to the (rows_per_key, n_keys)
+    histogram — O(distinct multiplicities) rows, the same
+    histogram-bounded argument as corpus_stats.zipf_slope.
+    """
+
+    def one(table: str, key: str) -> pd.DataFrame:
+        ds = _read(sf_dir, table, columns=[key])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby(key, as_index=False).size()
+            g.columns = [key, "c"]
+            g["c"] = g.c.astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        counts = coarse_grouped_map(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            key,
+            lambda d: d.groupby(key, as_index=False).agg(c=("c", "sum")),
+            num_partitions=16,
+        )
+
+        def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+            h = df.groupby("c", as_index=False).size()
+            h.columns = ["rows_per_key", "n_keys"]
+            return h
+
+        hist = (
+            counts.map_batches(hist_partial, batch_format="pandas",
+                               batch_size=None)
+            .to_pandas()
+            .groupby("rows_per_key", as_index=False)
+            .agg(n_keys=("n_keys", "sum"))
+        )
+        hist.insert(0, "table_key", f"{table}.{key}")
+        return hist
+
+    out = pd.concat(
+        [one("lineitem", "l_orderkey"), one("events", "user_id")],
+        ignore_index=True,
+    )
+    out["rows_per_key"] = out.rows_per_key.astype(np.int64)
+    out["n_keys"] = out.n_keys.astype(np.int64)
+    return ray.data.from_pandas(out)

@@ -268,3 +268,131 @@ def encode_token_ids(
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         encode, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer induction)
+# ---------------------------------------------------------------------------
+
+def learn_bpe_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """Learn ``n_merges`` byte-pair-encoding merges from the corpus —
+    the tokenizer-induction step of a training-data pipeline.
+
+    Classic BPE (Sennrich et al. 2016) operates on the WORD-FREQUENCY
+    table, not the raw corpus: the only corpus-scale work is one
+    distributed word count (combiner-first keyed reduce), after which
+    every merge iteration is (a) a map_batches pass over the
+    vocabulary Dataset emitting frequency-weighted symbol-pair partial
+    counts, (b) a tiny reduce (pair space is vocabulary-bounded), and
+    (c) one broadcast merge rule applied map-side to the symbol
+    sequences.  The driver only ever sees pair-count tables and the
+    winning rule — never the corpus, never the full vocabulary rows.
+    Ties break on (left, right) lexicographic for determinism.  Words
+    are terminated with '</w>' per the original algorithm.
+
+    Returns the merge table (rank, left, right, pair_count) as pandas
+    (dimension-bounded).  No SQL oracle: the merge loop is iterative
+    with data-dependent rules; correctness is pinned by pytest against
+    a reference in-memory BPE implementation.
+    """
+    docs = _read_docs(sf_dir, ["text"])
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist(), dtype=object)
+        toks = s.str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "word": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    vocab = coarse_grouped_map(
+        docs.map_batches(wc_partial, batch_format="pyarrow"),
+        "word",
+        lambda d: d.groupby("word", as_index=False).agg(n=("n", "sum")),
+        num_partitions=16,
+    )
+
+    def to_symbols(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["syms"] = [list(w) + ["</w>"] for w in df.word]
+        return pa.Table.from_pandas(
+            df[["syms", "n"]], preserve_index=False
+        )
+
+    # vocabulary-bounded working set; the merge loop re-reads it
+    # n_merges times, so keep it materialized in the object store
+    work = vocab.map_batches(to_symbols, batch_format="pyarrow").materialize()
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            rows = {}
+            for syms, n in zip(df.syms, df.n):
+                for a, b in zip(syms[:-1], syms[1:]):
+                    rows[(a, b)] = rows.get((a, b), 0) + int(n)
+            if not rows:
+                return pa.table({"left": pa.array([], pa.string()),
+                                 "right": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            ks = list(rows)
+            return pa.table(
+                {
+                    "left": pa.array([k[0] for k in ks], pa.string()),
+                    "right": pa.array([k[1] for k in ks], pa.string()),
+                    "c": pa.array([rows[k] for k in ks], pa.int64()),
+                }
+            )
+
+        pairs = (
+            work.map_batches(pair_partial, batch_format="pyarrow")
+            .to_pandas()  # symbol-pair space: vocabulary-bounded
+            .groupby(["left", "right"], as_index=False)
+            .agg(c=("c", "sum"))
+        )
+        if pairs.empty:
+            break
+        best = pairs.sort_values(
+            ["c", "left", "right"], ascending=[False, True, True]
+        ).iloc[0]
+        merges.append(
+            {
+                "rank": rank,
+                "left": best.left,
+                "right": best.right,
+                "pair_count": int(best.c),
+            }
+        )
+        la, rb = best.left, best.right
+        fused = la + rb
+
+        def apply_merge(batch: pa.Table, la=la, rb=rb, fused=fused):
+            df = batch.to_pandas()
+            out = []
+            for syms in df.syms:
+                syms = list(syms)
+                res, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == la
+                            and syms[i + 1] == rb):
+                        res.append(fused)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            df["syms"] = out
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        work = work.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    out = pd.DataFrame(merges)
+    out["rank"] = out["rank"].astype(np.int64)
+    out["pair_count"] = out.pair_count.astype(np.int64)
+    return out
