@@ -1374,6 +1374,36 @@ def _q_kg_two_hop(sf_dir: str):
     return two_hop_counts(edges)
 
 
+def _q_forecast_revenue(sf_dir: str):
+    from kgray.pipelines.tpch_final import forecast_revenue
+
+    return forecast_revenue(sf_dir)
+
+
+def _q_customer_order_distribution(sf_dir: str):
+    from kgray.pipelines.tpch_final import customer_order_distribution
+
+    return customer_order_distribution(sf_dir)
+
+
+def _q_top_supplier(sf_dir: str):
+    from kgray.pipelines.tpch_final import top_supplier
+
+    return top_supplier(sf_dir)
+
+
+def _q_small_quantity_revenue(sf_dir: str):
+    from kgray.pipelines.tpch_final import small_quantity_revenue
+
+    return small_quantity_revenue(sf_dir)
+
+
+def _q_disjunctive_brand_revenue(sf_dir: str):
+    from kgray.pipelines.tpch_final import disjunctive_brand_revenue
+
+    return disjunctive_brand_revenue(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline (generic adapter, fully oracle-checked)
@@ -1510,6 +1540,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": _q_lineitem_corr,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
+        # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)
+        "forecast_revenue": _q_forecast_revenue,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "top_supplier": _q_top_supplier,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "disjunctive_brand_revenue": _q_disjunctive_brand_revenue,
     }
 
 
@@ -2534,6 +2570,59 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "forecast_revenue": """
+SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100.0
+                               + 0.5) AS BIGINT)), 0) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+        "customer_order_distribution": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+""",
+        "top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                        + 0.5) AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, rev.cents / 100.0 AS total_revenue
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.cents = (SELECT max(cents) FROM rev)
+""",
+        "small_quantity_revenue": """
+WITH b AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#2'),
+a AS (SELECT l_partkey, sum(l_quantity) AS qsum,
+             CAST(count(*) AS BIGINT) AS qcnt
+      FROM b GROUP BY l_partkey)
+SELECT coalesce(sum(CAST(floor(b.l_extendedprice * 100.0 + 0.5)
+                         AS BIGINT)), 0) / 100.0 / 7.0 AS avg_yearly
+FROM b JOIN a USING (l_partkey)
+WHERE b.l_quantity < 0.2 * (a.qsum / a.qcnt)
+""",
+        "disjunctive_brand_revenue": """
+SELECT coalesce(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 100.0 + 0.5) AS BIGINT)), 0) / 100.0
+         AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
 """,
         "duplicate_ngrams": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

@@ -1,0 +1,384 @@
+"""Final TPC-H-shaped relational composites — the remaining distinctive
+distributed query shapes the suite did not yet cover (adapted to the
+synthetic tables, which lack partsupp / l_commitdate / l_shipmode /
+p_container; each op keeps its TPC-H twin's SHAPE, cited per function):
+
+- ``forecast_revenue``            — Q6: pure scan-filter scalar aggregate
+  (no shuffle at all — the degenerate case every engine must not
+  over-plan).
+- ``customer_order_distribution`` — Q13: LEFT join + double aggregation
+  (count per customer including zero-order customers, then the
+  distribution of those counts).
+- ``top_supplier``                — Q15: windowed per-supplier revenue,
+  keep every supplier tied at the global maximum (scalar-subquery-on-
+  aggregate shape).
+- ``small_quantity_revenue``      — Q17: per-key correlated average
+  threshold applied to the key's own rows, one grouped partition pass.
+- ``disjunctive_brand_revenue``   — Q19: join with a DISJUNCTION of
+  multi-column conjuncts (predicate cannot be pushed to one side; the
+  join must carry both sides' columns into the filter).
+
+Scale posture identical to pipelines/tpch_more: per-batch PARTIAL
+aggregation before every shuffle, utils.repartition_join for fact↔fact
+hops (both sides move exactly once, hash-partitioned on the key),
+utils.coarse_grouped_map for keyed reduces (vectorized per-partition
+pandas, no per-group Python), money quantized to integer CENTS per
+input row (floor(x*100+0.5) — bit-identical in any IEEE engine; int64
+sums are exact and order-independent) so every oracle comparison is
+bit-for-bit with zero summation-order slack.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .relational import _read
+from ..utils import coarse_grouped_map, repartition_join
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecast revenue change — scan-filter scalar aggregate
+# ---------------------------------------------------------------------------
+
+def forecast_revenue(
+    sf_dir: str,
+    start: str = "1995-01-01",
+    end: str = "1996-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> "ray.data.Dataset":
+    """One-row ``revenue = sum(l_extendedprice * l_discount)`` over the
+    ship-date window with discount in [disc_lo, disc_hi] and quantity
+    below ``max_qty`` (TPC-H Q6, reference shape: main.py has no
+    relational ops — this is the beyond-reference suite).
+
+    Shape: column-pruned read → vectorized filter + per-batch partial
+    cents sum → one tiny global sum.  NO shuffle: the only all-to-all
+    a naive engine would add here (a groupby on a constant key) is
+    exactly what this op exists to avoid.
+    """
+    s, e = pd.Timestamp(start), pd.Timestamp(end)
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = (
+            (df.l_shipdate >= s) & (df.l_shipdate < e)
+            & (df.l_discount >= disc_lo) & (df.l_discount <= disc_hi)
+            & (df.l_quantity < max_qty)
+        )
+        sel = df.loc[m]
+        cents = _cents(
+            (sel.l_extendedprice * sel.l_discount).to_numpy()
+        ).sum() if len(sel) else 0
+        return pa.table({"cents": pa.array([int(cents)], pa.int64())})
+
+    total = li.map_batches(partial, batch_format="pyarrow").sum("cents")
+    return ray.data.from_arrow(
+        pa.table({"revenue": pa.array([(total or 0) / 100.0], pa.float64())})
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution — LEFT join + double aggregation
+# ---------------------------------------------------------------------------
+
+def customer_order_distribution(
+    sf_dir: str, exclude_priority: str = "1-URGENT"
+) -> "ray.data.Dataset":
+    """(c_count, custdist): how many customers placed exactly ``c_count``
+    qualifying orders — INCLUDING the zero-order customers a plain inner
+    join would silently drop (TPC-H Q13; the comment-pattern exclusion is
+    adapted to an order-priority exclusion, the only free-text-ish orders
+    column the synthetic table has).
+
+    Shape: orders partially counted per custkey inside map_batches,
+    coarse-reduced to one row per customer, then customer LEFT-joins the
+    counts via utils.repartition_join (zero-order customers surface as
+    nulls → 0), and the count-of-counts rollup is a second keyed reduce.
+    Both aggregations move pre-compacted rows only.
+    """
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.o_orderpriority != exclude_priority]
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n=("o_orderpriority", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = coarse_grouped_map(
+        orders.map_batches(o_partial, batch_format="pyarrow"),
+        "o_custkey",
+        lambda df: df.groupby("o_custkey", as_index=False).agg(n=("n", "sum")),
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    joined = repartition_join(
+        cust,
+        per_cust,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        left_types={"c_custkey": pa.int64()},
+        right_types={"o_custkey": pa.int64(), "n": pa.int64()},
+        how="left",
+    )
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        c = df.n.fillna(0).astype(np.int64)
+        g = c.value_counts().rename_axis("c_count").reset_index(
+            name="custdist"
+        )
+        g["custdist"] = g.custdist.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return coarse_grouped_map(
+        joined.map_batches(dist_partial, batch_format="pyarrow"),
+        "c_count",
+        lambda df: df.groupby("c_count", as_index=False).agg(
+            custdist=("custdist", "sum")
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier — scalar-subquery-on-aggregate with ties
+# ---------------------------------------------------------------------------
+
+def top_supplier(
+    sf_dir: str, start: str = "1995-01-01", end: str = "1995-04-01"
+) -> "ray.data.Dataset":
+    """Supplier(s) whose revenue in the ship-date window equals the
+    GLOBAL maximum per-supplier revenue — all ties kept, never top-1
+    (TPC-H Q15's revenue view + scalar max subquery).
+
+    Shape: windowed lineitem partially aggregated per suppkey →
+    coarse keyed reduce (cents-exact) → global max is a scalar
+    ``Dataset.max`` (tiny, per-supplier table) → filter == max →
+    repartition join against the supplier dimension for names (supplier
+    scales with sf — never broadcast).  Ties are exact because revenue
+    is compared in integer cents.
+    """
+    s, e = pd.Timestamp(start), pd.Timestamp(end)
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df.l_shipdate >= s) & (df.l_shipdate < e)].copy()
+        df["cents"] = _cents(
+            (df.l_extendedprice * (1.0 - df.l_discount)).to_numpy()
+        )
+        g = df.groupby("l_suppkey", as_index=False).agg(
+            cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_supp = coarse_grouped_map(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "l_suppkey",
+        lambda df: df.groupby("l_suppkey", as_index=False).agg(
+            cents=("cents", "sum")
+        ),
+    ).materialize()  # consumed twice (max + filter); per-supplier-sized
+
+    best = per_supp.max("cents")
+
+    def keep_max(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("cents"), best))
+
+    winners = per_supp.map_batches(keep_max, batch_format="pyarrow")
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    named = repartition_join(
+        winners,
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_types={"l_suppkey": pa.int64(), "cents": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_name": pa.string()},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": df.l_suppkey.astype(np.int64),
+                "s_name": df.s_name,
+                "total_revenue": df.cents.astype(np.int64) / 100.0,
+            }
+        )
+
+    return named.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue — correlated per-key average
+# ---------------------------------------------------------------------------
+
+def small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#2", frac: float = 0.2
+) -> "ray.data.Dataset":
+    """One-row ``avg_yearly``: sum(l_extendedprice)/7 over lineitems of
+    ``brand`` parts whose quantity is below ``frac`` x that PART'S OWN
+    average quantity (TPC-H Q17's correlated scalar subquery; the
+    p_container filter is dropped — the synthetic part table has no
+    container column).
+
+    Shape: part is filtered to the brand and semi-filters lineitem via
+    ONE repartition join on the part key; because the join lands every
+    row of a part key in one partition, the correlated average, the
+    per-row threshold filter, and the partial revenue sum all happen in
+    the SAME grouped partition pass — no second shuffle, no broadcast
+    of a per-key threshold table.  Quantities are integral in this
+    corpus, so the mean is computed from exact int64 sums and the
+    threshold comparison is bit-identical to the SQL oracle's
+    ``sum::DOUBLE / count`` form.
+    """
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def brand_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.loc[df.p_brand == brand, ["p_partkey"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    branded = repartition_join(
+        li,
+        part.map_batches(brand_keys, batch_format="pyarrow"),
+        left_on="l_partkey",
+        right_on="p_partkey",
+        left_types={"l_partkey": pa.int64(), "l_quantity": pa.float64(),
+                    "l_extendedprice": pa.float64()},
+        right_types={"p_partkey": pa.int64()},
+        how="semi",
+    )
+
+    def per_part_filter_sum(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a part key are in this partition by construction:
+        # correlated avg + threshold filter + partial sum in one pass
+        qty = df.l_quantity.to_numpy()
+        qsum = df.groupby("l_partkey").l_quantity.transform("sum").to_numpy()
+        qcnt = df.groupby("l_partkey").l_quantity.transform("size").to_numpy()
+        thr = frac * (qsum / qcnt)
+        sel = df.loc[qty < thr]
+        cents = _cents(sel.l_extendedprice.to_numpy()).sum() if len(sel) else 0
+        return pd.DataFrame({"cents": [int(cents)]})
+
+    partials = coarse_grouped_map(branded, "l_partkey", per_part_filter_sum)
+    total = partials.sum("cents")
+    return ray.data.from_arrow(
+        pa.table(
+            {"avg_yearly": pa.array([((total or 0) / 100.0) / 7.0],
+                                    pa.float64())}
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19: disjunctive multi-column join predicate
+# ---------------------------------------------------------------------------
+
+DEFAULT_CLAUSES = (
+    ("Brand#2", 1, 15, 1.0, 11.0),
+    ("Brand#17", 1, 25, 10.0, 20.0),
+    ("Brand#4", 1, 35, 20.0, 30.0),
+)
+
+
+def disjunctive_brand_revenue(
+    sf_dir: str, clauses=DEFAULT_CLAUSES
+) -> "ray.data.Dataset":
+    """One-row ``revenue`` over lineitem⋈part rows matching ANY
+    (brand, size-range, quantity-range) conjunct (TPC-H Q19's OR-of-ANDs
+    — the predicate spans BOTH sides, so it can only run after the join;
+    each side is still pre-pruned to the union of its own clause ranges
+    before the shuffle).
+
+    Shape: part pre-filtered to the brands/sizes any clause could match
+    (attaching p_brand/p_size), lineitem pre-filtered to the quantity
+    hull, ONE repartition join on the part key, then the vectorized
+    disjunction + per-batch partial cents sum → scalar total.
+    """
+    brands = {c[0] for c in clauses}
+    size_hull = (min(c[1] for c in clauses), max(c[2] for c in clauses))
+    qty_hull = (min(c[3] for c in clauses), max(c[4] for c in clauses))
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    def part_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[
+            df.p_brand.isin(brands)
+            & (df.p_size >= size_hull[0]) & (df.p_size <= size_hull[1])
+        ]
+        df = df.copy()
+        df["p_size"] = df.p_size.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df.l_quantity >= qty_hull[0]) & (df.l_quantity <= qty_hull[1])]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    joined = repartition_join(
+        li.map_batches(li_prune, batch_format="pyarrow"),
+        part.map_batches(part_prune, batch_format="pyarrow"),
+        left_on="l_partkey",
+        right_on="p_partkey",
+        left_types={"l_partkey": pa.int64(), "l_quantity": pa.float64(),
+                    "l_extendedprice": pa.float64(),
+                    "l_discount": pa.float64()},
+        right_types={"p_partkey": pa.int64(), "p_brand": pa.string(),
+                     "p_size": pa.int64()},
+    )
+
+    def disjunct_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"cents": [0]})
+        keep = np.zeros(len(df), dtype=bool)
+        for brand, slo, shi, qlo, qhi in clauses:
+            keep |= (
+                (df.p_brand == brand).to_numpy()
+                & (df.p_size >= slo).to_numpy() & (df.p_size <= shi).to_numpy()
+                & (df.l_quantity >= qlo).to_numpy()
+                & (df.l_quantity <= qhi).to_numpy()
+            )
+        sel = df.loc[keep]
+        cents = _cents(
+            (sel.l_extendedprice * (1.0 - sel.l_discount)).to_numpy()
+        ).sum() if len(sel) else 0
+        return pd.DataFrame({"cents": [int(cents)]})
+
+    total = joined.map_batches(
+        disjunct_sum, batch_format="pandas"
+    ).sum("cents")
+    return ray.data.from_arrow(
+        pa.table({"revenue": pa.array([(total or 0) / 100.0], pa.float64())})
+    )
