@@ -1404,6 +1404,36 @@ def _q_disjunctive_brand_revenue(sf_dir: str):
     return disjunctive_brand_revenue(sf_dir)
 
 
+def _q_cheapest_supplier(sf_dir: str):
+    from kgray.pipelines.tpch_final import cheapest_supplier_per_part
+
+    return cheapest_supplier_per_part(sf_dir)
+
+
+def _q_nation_market_share(sf_dir: str):
+    from kgray.pipelines.tpch_final import nation_market_share
+
+    return nation_market_share(sf_dir)
+
+
+def _q_product_profit(sf_dir: str):
+    from kgray.pipelines.tpch_final import product_profit
+
+    return product_profit(sf_dir)
+
+
+def _q_important_parts(sf_dir: str):
+    from kgray.pipelines.tpch_final import important_parts
+
+    return important_parts(sf_dir)
+
+
+def _q_supplier_count_by_part(sf_dir: str):
+    from kgray.pipelines.tpch_final import supplier_count_by_part
+
+    return supplier_count_by_part(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline (generic adapter, fully oracle-checked)
@@ -1546,6 +1576,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": _q_top_supplier,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "disjunctive_brand_revenue": _q_disjunctive_brand_revenue,
+        "cheapest_supplier": _q_cheapest_supplier,
+        "nation_market_share": _q_nation_market_share,
+        "product_profit": _q_product_profit,
+        "important_parts": _q_important_parts,
+        "supplier_count_by_part": _q_supplier_count_by_part,
     }
 
 
@@ -2623,6 +2658,78 @@ WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 10 AND 20)
    OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
        AND l.l_quantity BETWEEN 20 AND 30)
+""",
+        "cheapest_supplier": """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * 100.0 / l_quantity + 0.5) AS BIGINT)
+           AS unit_cents
+  FROM lineitem),
+win AS (
+  SELECT l_partkey, l_suppkey, unit_cents,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cents, l_suppkey) AS rn
+  FROM unit)
+SELECT p.p_partkey, p.p_name, w.l_suppkey AS s_suppkey, s.s_name,
+       n.n_name, w.unit_cents / 100.0 AS min_unit_price
+FROM win w
+JOIN part p ON p.p_partkey = w.l_partkey AND p.p_type = 'SMALL'
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE w.rn = 1
+""",
+        "nation_market_share": """
+WITH rows_ AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                    + 0.5) AS BIGINT) AS cents,
+         CASE WHEN ns.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_target
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  WHERE r.r_name = 'AMERICA')
+SELECT o_year,
+       sum(is_target * cents)::DOUBLE / sum(cents)::DOUBLE AS mkt_share
+FROM rows_ GROUP BY o_year
+""",
+        "product_profit": """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                      + 0.5) AS BIGINT)
+           - CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
+             * CAST(l.l_quantity AS BIGINT)) / 100.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+        "important_parts": """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                        + 0.5) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, cents / 100.0 AS value
+FROM per_part
+WHERE cents * 1600 > (SELECT sum(cents) FROM per_part)
+""",
+        "supplier_count_by_part": """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#2'
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey
+                    AND s.s_acctbal < 1000.0)
+GROUP BY 1, 2, 3
 """,
         "duplicate_ngrams": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

@@ -300,6 +300,515 @@ def small_quantity_revenue(
 # Q19: disjunctive multi-column join predicate
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Q2: cheapest supplier per part — grouped argmin + dimension joins
+# ---------------------------------------------------------------------------
+
+def cheapest_supplier_per_part(
+    sf_dir: str, p_type: str = "SMALL"
+) -> "ray.data.Dataset":
+    """For every part of ``p_type``, the supplier offering the minimum
+    observed unit price (cents of l_extendedprice/l_quantity), ties
+    broken by the smaller suppkey (TPC-H Q2's correlated min-cost
+    subquery; partsupp does not exist in the synthetic tables, so the
+    supply relation is DERIVED from the lineitem fact — "cheapest
+    supplier this part was ever bought from").
+
+    Shape: lineitem partially ARGMIN-reduced per partkey inside each
+    batch (carrying the winning suppkey with the min), coarse keyed
+    reduce finishes the argmin, then one repartition semi/inner hop per
+    dimension: part (type filter + name) and supplier (name + nation),
+    nation from the 25-row broadcast.  The fact moves once; everything
+    after is per-part-sized.
+    """
+    from .tpch_more import _nation_lookup
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def argmin_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["unit_cents"] = np.floor(
+            df.l_extendedprice.to_numpy() * 100.0
+            / df.l_quantity.to_numpy() + 0.5
+        ).astype(np.int64)
+        df = df.sort_values(["l_partkey", "unit_cents", "l_suppkey"])
+        g = df.drop_duplicates("l_partkey", keep="first")
+        return pa.Table.from_pandas(
+            g[["l_partkey", "l_suppkey", "unit_cents"]], preserve_index=False
+        )
+
+    def argmin_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_partkey", "unit_cents", "l_suppkey"])
+        return df.drop_duplicates("l_partkey", keep="first")
+
+    per_part = coarse_grouped_map(
+        li.map_batches(argmin_partial, batch_format="pyarrow"),
+        "l_partkey",
+        argmin_reduce,
+    )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_type"])
+
+    def type_filter(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.loc[df.p_type == p_type, ["p_partkey", "p_name"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    with_part = repartition_join(
+        per_part,
+        part.map_batches(type_filter, batch_format="pyarrow"),
+        left_on="l_partkey",
+        right_on="p_partkey",
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "unit_cents": pa.int64()},
+        right_types={"p_partkey": pa.int64(), "p_name": pa.string()},
+    )
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name",
+                                              "s_nationkey"])
+    named = repartition_join(
+        with_part,
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_types={"l_suppkey": pa.int64(), "l_partkey": pa.int64(),
+                    "unit_cents": pa.int64(), "p_name": pa.string()},
+        right_types={"s_suppkey": pa.int64(), "s_name": pa.string(),
+                     "s_nationkey": pa.int64()},
+    )
+
+    n_ref = ray.put(_nation_lookup(sf_dir))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(n_ref)
+        return pd.DataFrame(
+            {
+                "p_partkey": df.l_partkey.astype(np.int64),
+                "p_name": df.p_name,
+                "s_suppkey": df.l_suppkey.astype(np.int64),
+                "s_name": df.s_name,
+                "n_name": df.s_nationkey.astype(np.int64).map(lookup),
+                "min_unit_price": df.unit_cents.astype(np.int64) / 100.0,
+            }
+        )
+
+    return named.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Q8: nation market share — conditional aggregation over a 3-fact join
+# ---------------------------------------------------------------------------
+
+def nation_market_share(
+    sf_dir: str, supp_nation: str = "NATION_3", region: str = "AMERICA"
+) -> "ray.data.Dataset":
+    """Per order year: the share of revenue (orders placed by customers
+    in ``region``) supplied by ``supp_nation`` (TPC-H Q8).
+
+    Shape: lineitem ⋈ supplier (repartition; supplier scales with sf)
+    tags each row is_target via the broadcast nation table, combiner
+    compacts to (l_orderkey, year-agnostic cents, target cents) rows,
+    ⋈ orders attaches the order year and customer key, ⋈ customer +
+    broadcast nation→region prunes to the region, and the final keyed
+    reduce emits one row per year with ``mkt_share`` as a ratio of two
+    exact int64 cents sums (deterministic double).
+    """
+    import os
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet")
+    ).to_pandas()
+    regiont = pq.read_table(
+        os.path.join(sf_dir, "region.parquet")
+    ).to_pandas()
+    rkey = regiont.set_index("r_name").r_regionkey[region]
+    region_nations = set(
+        nation.loc[nation.n_regionkey == rkey, "n_nationkey"]
+    )
+    target_nations = set(
+        nation.loc[nation.n_name == supp_nation, "n_nationkey"]
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = _cents(
+            (df.l_extendedprice * (1.0 - df.l_discount)).to_numpy()
+        )
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    with_supp = repartition_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_types={"l_suppkey": pa.int64(), "l_orderkey": pa.int64(),
+                    "cents": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_nationkey": pa.int64()},
+    )
+
+    tgt = target_nations
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        is_t = df.s_nationkey.astype(np.int64).isin(tgt)
+        df["target_cents"] = np.where(is_t, df.cents, 0).astype(np.int64)
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            cents=("cents", "sum"), target_cents=("target_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {
+                "o_orderkey": df.o_orderkey,
+                "o_custkey": df.o_custkey,
+                "o_year": df.o_orderdate.dt.year.astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    with_orders = repartition_join(
+        with_supp.map_batches(order_partial, batch_format="pyarrow"),
+        orders.map_batches(o_proj, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "cents": pa.int64(),
+                    "target_cents": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                     "o_year": pa.int64()},
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["o_custkey", "o_year"], as_index=False).agg(
+            cents=("cents", "sum"), target_cents=("target_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    with_cust = repartition_join(
+        with_orders.map_batches(cust_partial, batch_format="pyarrow"),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_types={"o_custkey": pa.int64(), "o_year": pa.int64(),
+                    "cents": pa.int64(), "target_cents": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "c_nationkey": pa.int64()},
+    )
+
+    rn = region_nations
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.c_nationkey.astype(np.int64).isin(rn)]
+        g = df.groupby("o_year", as_index=False).agg(
+            cents=("cents", "sum"), target_cents=("target_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def year_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_year", as_index=False).agg(
+            cents=("cents", "sum"), target_cents=("target_cents", "sum")
+        )
+        g["mkt_share"] = (
+            g.target_cents.to_numpy().astype(np.float64)
+            / g.cents.to_numpy().astype(np.float64)
+        )
+        return g[["o_year", "mkt_share"]]
+
+    return coarse_grouped_map(
+        with_cust.map_batches(year_partial, batch_format="pyarrow"),
+        "o_year",
+        year_reduce,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9: product-line profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+def product_profit(
+    sf_dir: str, name_like: str = "red"
+) -> "ray.data.Dataset":
+    """Profit per (supplier nation, order year) over lineitems of parts
+    whose name contains ``name_like`` (TPC-H Q9; with no partsupp table
+    the supply cost is proxied by p_retailprice x quantity, keeping the
+    two-sided amount arithmetic that makes Q9's join tree distinctive).
+
+    amount_cents = cents(l_extendedprice x (1-l_discount))
+                 - cents(p_retailprice) x qty   — all-int64, exact.
+
+    Shape: part name-filter → repartition join attaches retail cents to
+    the fact, supplier join attaches the nation, orders join attaches
+    the year; a combiner compacts between every hop, final keyed reduce
+    emits the <= nations x years matrix.
+    """
+    from .tpch_more import _nation_lookup
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name",
+                                          "p_retailprice"])
+    needle = name_like
+
+    def name_filter(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.p_name.str.contains(needle, regex=False)].copy()
+        df["retail_cents"] = _cents(df.p_retailprice.to_numpy())
+        return pa.Table.from_pandas(
+            df[["p_partkey", "retail_cents"]], preserve_index=False
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    with_part = repartition_join(
+        li,
+        part.map_batches(name_filter, batch_format="pyarrow"),
+        left_on="l_partkey",
+        right_on="p_partkey",
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "l_orderkey": pa.int64(), "l_quantity": pa.float64(),
+                    "l_extendedprice": pa.float64(),
+                    "l_discount": pa.float64()},
+        right_types={"p_partkey": pa.int64(), "retail_cents": pa.int64()},
+    )
+
+    def amount_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rev = _cents((df.l_extendedprice * (1.0 - df.l_discount)).to_numpy())
+        cost = df.retail_cents.to_numpy().astype(np.int64) * (
+            df.l_quantity.to_numpy().astype(np.int64)
+        )
+        df["amount_cents"] = rev - cost
+        g = df.groupby(["l_suppkey", "l_orderkey"], as_index=False).agg(
+            amount_cents=("amount_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    with_supp = repartition_join(
+        with_part.map_batches(amount_partial, batch_format="pyarrow"),
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_types={"l_suppkey": pa.int64(), "l_orderkey": pa.int64(),
+                    "amount_cents": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_nationkey": pa.int64()},
+    )
+
+    n_ref = ray.put(_nation_lookup(sf_dir))
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(n_ref)
+        df = batch.to_pandas()
+        df["nation"] = df.s_nationkey.astype(np.int64).map(lookup)
+        g = df.groupby(["l_orderkey", "nation"], as_index=False).agg(
+            amount_cents=("amount_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {
+                "o_orderkey": df.o_orderkey,
+                "o_year": df.o_orderdate.dt.year.astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    with_orders = repartition_join(
+        with_supp.map_batches(order_partial, batch_format="pyarrow"),
+        orders.map_batches(o_proj, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "nation": pa.string(),
+                    "amount_cents": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "o_year": pa.int64()},
+    )
+
+    def final_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["nation", "o_year"], as_index=False).agg(
+            amount_cents=("amount_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["nation", "o_year"], as_index=False).agg(
+            amount_cents=("amount_cents", "sum")
+        )
+        g["sum_profit"] = g.amount_cents.to_numpy().astype(np.float64) / 100.0
+        return g[["nation", "o_year", "sum_profit"]]
+
+    return coarse_grouped_map(
+        with_orders.map_batches(final_partial, batch_format="pyarrow"),
+        ["nation", "o_year"],
+        final_reduce,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11: important parts — group aggregate vs a global-scalar threshold
+# ---------------------------------------------------------------------------
+
+def important_parts(
+    sf_dir: str, fraction: float = 1.0 / 1600.0
+) -> "ray.data.Dataset":
+    """Parts whose total observed purchase value exceeds ``fraction`` of
+    the GLOBAL purchase value (TPC-H Q11's group-sum vs scalar-subquery
+    threshold; the partsupp inventory value is proxied by lineitem
+    purchase value).
+
+    Shape: per-partkey cents sum (combiner + coarse keyed reduce),
+    materialized once because it is consumed twice — the global total is
+    a scalar ``sum`` over the SAME per-part table (no second fact scan),
+    then a vectorized filter keeps the heavy parts.  Threshold compare
+    is ``value_cents x 1/fraction > total_cents`` in exact int64 when
+    1/fraction is integral (the default), so no FP boundary exists.
+    """
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = _cents(
+            (df.l_extendedprice * (1.0 - df.l_discount)).to_numpy()
+        )
+        g = df.groupby("l_partkey", as_index=False).agg(cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_part = coarse_grouped_map(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "l_partkey",
+        lambda df: df.groupby("l_partkey", as_index=False).agg(
+            cents=("cents", "sum")
+        ),
+    ).materialize()
+
+    total = per_part.sum("cents") or 0
+    inv = round(1.0 / fraction)
+
+    def keep_heavy(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.cents.to_numpy().astype(np.int64) * inv > total].copy()
+        df["value"] = df.cents.astype(np.int64) / 100.0
+        return pa.Table.from_pandas(
+            df[["l_partkey", "value"]], preserve_index=False
+        )
+
+    return per_part.map_batches(keep_heavy, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q16: supplier count by part attributes, with supplier exclusion
+# ---------------------------------------------------------------------------
+
+def supplier_count_by_part(
+    sf_dir: str,
+    exclude_brand: str = "Brand#2",
+    min_acctbal: float = 1000.0,
+) -> "ray.data.Dataset":
+    """(p_brand, p_type, p_size, supplier_cnt): distinct suppliers that
+    ever supplied each part-attribute combination — excluding parts of
+    ``exclude_brand`` and suppliers with account balance below
+    ``min_acctbal`` (TPC-H Q16; the comment-pattern supplier exclusion
+    is adapted to an acctbal threshold, and the supply relation is
+    derived from lineitem).
+
+    Shape: lineitem compacts to DISTINCT (partkey, suppkey) pairs
+    per batch, the excluded-supplier set anti-semi-joins the pairs via
+    utils.repartition_join (suppliers scale with sf — never broadcast),
+    a second repartition join attaches part attributes (brand filtered),
+    then one keyed reduce counts distinct suppliers per attribute cell.
+    """
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def excluded(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.loc[df.s_acctbal < min_acctbal, ["s_suppkey"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = repartition_join(
+        li.map_batches(pair_partial, batch_format="pyarrow"),
+        supp.map_batches(excluded, batch_format="pyarrow"),
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_types={"l_suppkey": pa.int64(), "l_partkey": pa.int64()},
+        right_types={"s_suppkey": pa.int64()},
+        how="anti",
+    )
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    exb = exclude_brand
+
+    def brand_filter(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.p_brand != exb].copy()
+        df["p_size"] = df.p_size.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    with_part = repartition_join(
+        pairs,
+        part.map_batches(brand_filter, batch_format="pyarrow"),
+        left_on="l_partkey",
+        right_on="p_partkey",
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64()},
+        right_types={"p_partkey": pa.int64(), "p_brand": pa.string(),
+                     "p_type": pa.string(), "p_size": pa.int64()},
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        )
+        return pa.Table.from_pandas(
+            df[["p_brand", "p_type", "p_size", "l_suppkey"]],
+            preserve_index=False,
+        )
+
+    def count_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p_brand", "p_type", "p_size"], as_index=False).agg(
+            supplier_cnt=("l_suppkey", "nunique")
+        )
+        g["supplier_cnt"] = g.supplier_cnt.astype(np.int64)
+        return g
+
+    return coarse_grouped_map(
+        with_part.map_batches(count_partial, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size"],
+        count_reduce,
+    )
+
+
 DEFAULT_CLAUSES = (
     ("Brand#2", 1, 15, 1.0, 11.0),
     ("Brand#17", 1, 25, 10.0, 20.0),

@@ -121,3 +121,125 @@ def test_disjunctive_clauses_not_pushable_to_one_side():
             & j.l_quantity.between(qlo, qhi)
         ).to_numpy()
     assert (hull & ~clause).any()
+
+
+def test_cheapest_supplier_argmin_with_ties():
+    from kgray.pipelines.tpch_final import cheapest_supplier_per_part
+
+    out = cheapest_supplier_per_part(SF).to_pandas()
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    part = pd.read_parquet(SF + "/part.parquet")
+    li = li.copy()
+    li["unit_cents"] = np.floor(
+        li.l_extendedprice * 100.0 / li.l_quantity + 0.5
+    ).astype(np.int64)
+    win = (
+        li.sort_values(["l_partkey", "unit_cents", "l_suppkey"])
+        .drop_duplicates("l_partkey", keep="first")
+    )
+    keys = set(part.loc[part.p_type == "SMALL", "p_partkey"])
+    exp = win[win.l_partkey.isin(keys)]
+    got = out.set_index("p_partkey")
+    assert set(got.index) == set(exp.l_partkey)
+    e = exp.set_index("l_partkey")
+    assert got.s_suppkey.to_dict() == e.l_suppkey.to_dict()
+    assert np.allclose(
+        got.min_unit_price.sort_index(),
+        (e.unit_cents / 100.0).sort_index(),
+    )
+
+
+def test_nation_market_share_ratio_of_exact_cents():
+    from kgray.pipelines.tpch_final import nation_market_share
+
+    out = nation_market_share(SF).to_pandas()
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    supp = pd.read_parquet(SF + "/supplier.parquet")
+    orders = pd.read_parquet(SF + "/orders.parquet")
+    cust = pd.read_parquet(SF + "/customer.parquet")
+    nation = pd.read_parquet(SF + "/nation.parquet")
+    region = pd.read_parquet(SF + "/region.parquet")
+
+    rkey = region.set_index("r_name").r_regionkey["AMERICA"]
+    rn = set(nation.loc[nation.n_regionkey == rkey, "n_nationkey"])
+    tn = set(nation.loc[nation.n_name == "NATION_3", "n_nationkey"])
+
+    j = (
+        li.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+    )
+    j = j[j.c_nationkey.isin(rn)].copy()
+    j["cents"] = _cents(j.l_extendedprice * (1.0 - j.l_discount))
+    j["o_year"] = j.o_orderdate.dt.year
+    j["tc"] = np.where(j.s_nationkey.isin(tn), j.cents, 0)
+    exp = j.groupby("o_year").apply(
+        lambda g: g.tc.sum() / g.cents.sum(), include_groups=False
+    )
+    got = out.set_index("o_year").mkt_share.sort_index()
+    assert np.allclose(got, exp.sort_index())
+    assert ((out.mkt_share >= 0) & (out.mkt_share <= 1)).all()
+
+
+def test_product_profit_two_sided_amount():
+    from kgray.pipelines.tpch_final import product_profit
+
+    out = product_profit(SF).to_pandas()
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    part = pd.read_parquet(SF + "/part.parquet")
+    supp = pd.read_parquet(SF + "/supplier.parquet")
+    orders = pd.read_parquet(SF + "/orders.parquet")
+    nation = pd.read_parquet(SF + "/nation.parquet")
+
+    p = part[part.p_name.str.contains("red", regex=False)]
+    j = (
+        li.merge(p, left_on="l_partkey", right_on="p_partkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    )
+    amount = (
+        _cents(j.l_extendedprice * (1.0 - j.l_discount))
+        - _cents(j.p_retailprice) * j.l_quantity.astype(np.int64)
+    )
+    j = j.assign(amount=amount, o_year=j.o_orderdate.dt.year)
+    exp = j.groupby(["n_name", "o_year"]).amount.sum() / 100.0
+    got = out.set_index(["nation", "o_year"]).sum_profit
+    assert len(got) == len(exp)
+    assert np.allclose(got.sort_index(), exp.sort_index())
+
+
+def test_important_parts_threshold_is_exact():
+    from kgray.pipelines.tpch_final import important_parts
+
+    out = important_parts(SF).to_pandas()
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    cents = pd.Series(
+        _cents(li.l_extendedprice * (1.0 - li.l_discount)), index=li.index
+    )
+    per = cents.groupby(li.l_partkey).sum()
+    total = per.sum()
+    exp = per[per * 1600 > total]
+    assert set(out.l_partkey) == set(exp.index)
+    assert np.allclose(
+        out.set_index("l_partkey").value.sort_index(),
+        (exp / 100.0).sort_index(),
+    )
+
+
+def test_supplier_count_excludes_low_balance_suppliers():
+    from kgray.pipelines.tpch_final import supplier_count_by_part
+
+    out = supplier_count_by_part(SF).to_pandas()
+    li = pd.read_parquet(SF + "/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"]).drop_duplicates()
+    part = pd.read_parquet(SF + "/part.parquet")
+    supp = pd.read_parquet(SF + "/supplier.parquet")
+    bad = set(supp.loc[supp.s_acctbal < 1000.0, "s_suppkey"])
+    li = li[~li.l_suppkey.isin(bad)]
+    j = li.merge(part[part.p_brand != "Brand#2"],
+                 left_on="l_partkey", right_on="p_partkey")
+    exp = j.groupby(["p_brand", "p_type", "p_size"]).l_suppkey.nunique()
+    got = out.set_index(["p_brand", "p_type", "p_size"]).supplier_cnt
+    assert len(got) == len(exp)
+    assert got.sort_index().to_dict() == exp.sort_index().to_dict()
