@@ -1374,6 +1374,75 @@ def _q_kg_two_hop(sf_dir: str):
     return two_hop_counts(edges)
 
 
+def _kg_edge_graph(sf_dir: str):
+    """KG (subj→obj) edge Dataset as (src, dst) — shared adapter for the
+    graph-algorithm queries (same edge set the oracle's _KG_CTE derives)."""
+    import pyarrow as pa
+
+    return _kg_result(sf_dir).edges.map_batches(
+        lambda b: pa.table(
+            {"src": b.column("subj"), "dst": b.column("obj")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_kg_degrees(sf_dir: str):
+    from kgray.stages.graph_algos import degree_stats
+
+    return degree_stats(_kg_edge_graph(sf_dir))
+
+
+def _q_kg_clustering(sf_dir: str):
+    from kgray.stages.graph_algos import local_clustering
+
+    return local_clustering(_kg_edge_graph(sf_dir))
+
+
+def _q_kg_bfs(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.graph_algos import bfs_distances
+
+    edges = _kg_edge_graph(sf_dir).materialize()
+    # deterministic seed: the lexicographically smallest source node
+    # (scalar reduce: one min row per block, tiny driver finish)
+    mins = edges.map_batches(
+        lambda df: pd.DataFrame({"m": [df.src.min()]})
+        if len(df) else pd.DataFrame({"m": pd.Series([], dtype="object")}),
+        batch_format="pandas",
+        batch_size=None,
+    ).to_pandas()
+    seed = mins.m.min()
+    seeds = ray.data.from_pandas(pd.DataFrame({"node": [seed]}))
+    return bfs_distances(edges, seeds, max_depth=3)
+
+
+def _q_kg_neighbor_jaccard(sf_dir: str):
+    from kgray.stages.graph_algos import neighbor_jaccard
+
+    return neighbor_jaccard(_kg_edge_graph(sf_dir))
+
+
+def _q_copurchase_kcore(sf_dir: str):
+    import pyarrow as pa
+
+    from kgray.pipelines.analytics import part_copurchase_pairs
+    from kgray.stages.graph_algos import k_core
+
+    pairs = part_copurchase_pairs(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"doc_a": b.column("part_a"), "doc_b": b.column("part_b")}
+        ),
+        batch_format="pyarrow",
+    )
+    # the sf co-purchase graph is dense (min raw degree ≈ 40 at sf0.01);
+    # k=80 sits where the peel actually cascades (drops ~7% of nodes over
+    # several rounds) while leaving a nonempty core
+    return k_core(pairs, k=80)
+
+
 def _q_forecast_revenue(sf_dir: str):
     from kgray.pipelines.tpch_final import forecast_revenue
 
@@ -1581,6 +1650,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "important_parts": _q_important_parts,
         "supplier_count_by_part": _q_supplier_count_by_part,
+        # graph-algorithm suite over the KG / co-purchase graphs
+        "kg_degrees": _q_kg_degrees,
+        "kg_clustering": _q_kg_clustering,
+        "kg_bfs": _q_kg_bfs,
+        "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
+        "copurchase_kcore": _q_copurchase_kcore,
     }
 
 
@@ -2853,6 +2928,61 @@ SELECT doc_id, n_chars,
 FROM documents
 """,
         "kg_pagerank": _pagerank_sql(),
+        "kg_degrees": _KG_CTE + """
+, eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,
+                         'w(X:' || tb || ')' AS dst FROM pairs)
+SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
+       CAST(sum(i) AS BIGINT) AS in_deg
+FROM (SELECT src AS node, 1 AS o, 0 AS i FROM eg
+      UNION ALL SELECT dst, 0, 1 FROM eg)
+GROUP BY node
+""",
+        "kg_clustering": _KG_CTE + """
+, eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,
+                         'w(X:' || tb || ')' AS dst FROM pairs),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM eg WHERE src <> dst),
+adj AS (SELECT u AS node, v AS nbr FROM und
+        UNION ALL SELECT v, u FROM und),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM adj GROUP BY node),
+wed AS (SELECT a.node, a.nbr AS x, b.nbr AS y
+        FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr),
+tri AS (SELECT w.node, count(*) AS t
+        FROM wed w JOIN und e ON e.u = w.x AND e.v = w.y
+        GROUP BY w.node)
+SELECT d.node, d.degree, CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN floor(2.0 * coalesce(t.t, 0)
+                       / (d.degree * (d.degree - 1)) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tri t USING (node)
+""",
+        "kg_bfs": _KG_CTE + """
+, eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,
+                         'w(X:' || tb || ')' AS dst FROM pairs),
+n0 AS (SELECT min(src) AS node FROM eg),
+r1 AS (SELECT DISTINCT e.dst AS node FROM eg e JOIN n0 n ON e.src = n.node),
+r2 AS (SELECT DISTINCT e.dst AS node FROM eg e JOIN r1 n ON e.src = n.node),
+r3 AS (SELECT DISTINCT e.dst AS node FROM eg e JOIN r2 n ON e.src = n.node),
+lv AS (SELECT node, 0 AS d FROM n0
+       UNION ALL SELECT node, 1 FROM r1
+       UNION ALL SELECT node, 2 FROM r2
+       UNION ALL SELECT node, 3 FROM r3)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM lv GROUP BY node
+""",
+        "kg_neighbor_jaccard": _KG_CTE + """
+, eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,
+                         'w(X:' || tb || ')' AS dst FROM pairs),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM eg GROUP BY src),
+p AS (SELECT a.src AS na, b.src AS nb, CAST(count(*) AS BIGINT) AS c
+      FROM eg a JOIN eg b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2)
+SELECT p.na AS node_a, p.nb AS node_b,
+       floor(p.c / (da.d + db.d - p.c) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM p JOIN deg da ON da.node = p.na JOIN deg db ON db.node = p.nb
+""",
         "kg_two_hop": _KG_CTE + """
 , eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,
                          'w(X:' || tb || ')' AS dst FROM pairs),

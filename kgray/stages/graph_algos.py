@@ -361,6 +361,467 @@ def count_triangles(
     )
 
 
+def degree_stats(
+    edges: "ray.data.Dataset", num_partitions: int = 8
+) -> "ray.data.Dataset":
+    """Per node: out-degree and in-degree over the DISTINCT directed
+    edge set → (node, out_deg, in_deg).
+
+    Tag-union shape: each edge contributes one (node=src, out=1, in=0)
+    and one (node=dst, out=0, in=1) row inside the same map, partially
+    summed per batch, then ONE keyed reduce — no join, no second pass
+    over the edge table.
+    """
+    e = _distinct_edges(edges)
+
+    def halves(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        df = pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [
+                        batch.column("src").to_numpy(zero_copy_only=False),
+                        batch.column("dst").to_numpy(zero_copy_only=False),
+                    ]
+                ),
+                "out_deg": np.concatenate(
+                    [np.ones(n, np.int64), np.zeros(n, np.int64)]
+                ),
+                "in_deg": np.concatenate(
+                    [np.zeros(n, np.int64), np.ones(n, np.int64)]
+                ),
+            }
+        )
+        g = df.groupby("node", as_index=False).agg(
+            out_deg=("out_deg", "sum"), in_deg=("in_deg", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return coarse_grouped_map(
+        e.map_batches(halves, batch_format="pyarrow"),
+        "node",
+        lambda df: df.groupby("node", as_index=False).agg(
+            out_deg=("out_deg", "sum"), in_deg=("in_deg", "sum")
+        ),
+        num_partitions=num_partitions,
+    )
+
+
+def _undirected_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """DISTINCT undirected (u < v) pairs from a directed edge Dataset,
+    self-loops dropped (combiner-first before the pair-keyed reduce)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"u": np.minimum(s, d), "v": np.maximum(s, d)}
+        )
+        df = df[df.u != df.v].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return coarse_grouped_map(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(["u", "v"]),
+        num_partitions=8,
+    )
+
+
+def local_clustering(
+    edges: "ray.data.Dataset", num_partitions: int = 8
+) -> "ray.data.Dataset":
+    """Local clustering coefficient per node over the UNDIRECTED simple
+    graph underlying a directed edge Dataset → (node, degree,
+    n_triangles, clustering), coefficient rounded half-up to 6 decimals.
+
+    Plan: undirected distinct edges → adjacency (both directions) →
+    wedges centered at each node via ONE coarse keyed self-merge (all of
+    a node's neighbors land in one partition, so wedge generation is a
+    vectorized in-partition merge, the shard_pairs pattern) → closure
+    via a composite-key semi repartition join against the undirected
+    edge set → per-node closed-wedge counts left-joined back onto the
+    degree table.  Skew note: wedge fan-out is deg² — a web-scale run
+    caps or splits heavy-hitter adjacency before the wedge stage, the
+    same mitigation count_triangles documents.
+    """
+    und = _undirected_edges(edges).materialize()
+
+    def adj(batch: pa.Table) -> pa.Table:
+        u = batch.column("u")
+        v = batch.column("v")
+        return pa.table(
+            {
+                "node": pa.chunked_array(u.chunks + v.chunks),
+                "nbr": pa.chunked_array(v.chunks + u.chunks),
+            }
+        )
+
+    adjacency = und.map_batches(adj, batch_format="pyarrow")
+
+    deg = coarse_grouped_map(
+        adjacency,
+        "node",
+        lambda df: df.groupby("node", as_index=False).agg(
+            degree=("nbr", "size")
+        ),
+        num_partitions=num_partitions,
+    )
+
+    SEP = "\x1f"
+
+    def wedge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="node")
+        m = m[m.nbr_x < m.nbr_y]
+        if m.empty:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=df.node.dtype),
+                 "k": pd.Series([], dtype="object")}
+            )
+        return pd.DataFrame(
+            {"node": m.node, "k": m.nbr_x + SEP + m.nbr_y}
+        )
+
+    wedges = coarse_grouped_map(
+        adjacency, "node", wedge_partition, num_partitions=num_partitions
+    )
+
+    def edge_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "k": pc.binary_join_element_wise(
+                    batch.column("u"), batch.column("v"), SEP
+                )
+            }
+        )
+
+    closed = repartition_join(
+        wedges,
+        und.map_batches(edge_key, batch_format="pyarrow"),
+        "k",
+        "k",
+        {"k": pa.string(), "node": pa.string()},
+        {"k": pa.string()},
+        num_partitions=num_partitions,
+        how="semi",
+    )
+
+    tri = coarse_grouped_map(
+        closed.map_batches(
+            lambda df: df.groupby("node", as_index=False).agg(
+                t=("k", "size")
+            ),
+            batch_format="pandas",
+        ),
+        "node",
+        lambda df: df.groupby("node", as_index=False).agg(t=("t", "sum")),
+        num_partitions=num_partitions,
+    )
+
+    joined = repartition_join(
+        deg,
+        tri,
+        "node",
+        "node",
+        {"node": pa.string(), "degree": pa.int64()},
+        {"node": pa.string(), "t": pa.int64()},
+        num_partitions=num_partitions,
+        how="left",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.degree.to_numpy().astype(np.int64)
+        t = df.t.fillna(0).to_numpy().astype(np.int64)
+        denom = d * (d - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(d >= 2, 2.0 * t / denom, 0.0)
+        return pd.DataFrame(
+            {
+                "node": df.node,
+                "degree": d,
+                "n_triangles": t,
+                "clustering": np.floor(c * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def bfs_distances(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    max_depth: int = 3,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Minimum DIRECTED hop distance from a seed node set, bounded by
+    ``max_depth`` → (node, dist) for every reached node (seeds at 0;
+    unreachable nodes absent).
+
+    Iterative frontier expansion, each round fully distributed: the
+    current frontier repartition-joins the edge table on src (the edge
+    table never broadcasts), newly reached nodes are those not already
+    labeled (one anti join), and the loop stops early when a frontier
+    empties.  Rounds = min(max_depth, eccentricity) — the standard
+    BSP/Pregel BFS shape expressed as Dataset joins.
+    """
+    e = _distinct_edges(edges).materialize()
+
+    visited = seeds.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"),
+             "dist": pa.array(np.zeros(b.num_rows, np.int64), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    frontier = visited.select_columns(["node"]).materialize()
+
+    for depth in range(1, max_depth + 1):
+        if frontier.count() == 0:
+            break
+        reached = repartition_join(
+            e,
+            frontier,
+            "src",
+            "node",
+            {"src": pa.string(), "dst": pa.string()},
+            {"node": pa.string()},
+            num_partitions=num_partitions,
+            how="semi",
+        )
+        nxt = coarse_grouped_map(
+            reached.map_batches(
+                lambda b: pa.table({"node": b.column("dst")}),
+                batch_format="pyarrow",
+            ),
+            "node",
+            lambda df: df.drop_duplicates("node"),
+            num_partitions=num_partitions,
+        )
+        fresh = repartition_join(
+            nxt,
+            visited.select_columns(["node"]),
+            "node",
+            "node",
+            {"node": pa.string()},
+            {"node": pa.string()},
+            num_partitions=num_partitions,
+            how="anti",
+        ).map_batches(
+            lambda b, _d=depth: b.append_column(
+                "dist", pa.array(np.full(b.num_rows, _d, np.int64))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        visited = visited.union(fresh).materialize()
+        frontier = fresh.select_columns(["node"]).materialize()
+
+    from ..utils import schema_floor
+
+    return schema_floor(
+        visited,
+        pa.schema([("node", pa.string()), ("dist", pa.int64())]),
+    )
+
+
+def neighbor_jaccard(
+    edges: "ray.data.Dataset",
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Out-neighbor Jaccard similarity for every node pair sharing at
+    least one out-neighbor → (node_a < node_b, jaccard rounded half-up
+    to 6 decimals).
+
+    The set-similarity join over adjacency: distinct directed edges
+    group by the SHARED neighbor (coarse keyed reduce) so each neighbor
+    emits its co-citing pairs with one in-partition vectorized
+    self-merge, pair rows reduce to intersection counts, and the two
+    degree lookups are repartition joins (never a broadcast of the
+    degree table).  Same skew posture as the exact Jaccard text join:
+    a hot shared neighbor emits deg² pair rows — inherent to the exact
+    semantics; cap or LSH when a stop-hub exists.
+    """
+    e = _distinct_edges(edges).materialize()
+
+    deg = coarse_grouped_map(
+        e,
+        "src",
+        lambda df: df.groupby("src", as_index=False).agg(d=("dst", "size")),
+        num_partitions=num_partitions,
+    )
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="dst")
+        m = m[m.src_x < m.src_y]
+        if m.empty:
+            return pd.DataFrame(
+                {"node_a": pd.Series([], dtype="object"),
+                 "node_b": pd.Series([], dtype="object"),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        g = m.groupby(["src_x", "src_y"], as_index=False).agg(
+            c=("dst", "size")
+        )
+        g.columns = ["node_a", "node_b", "c"]
+        return g
+
+    pairs = coarse_grouped_map(
+        e, "dst", pair_partition, num_partitions=num_partitions
+    )
+
+    summed = coarse_grouped_map(
+        pairs,
+        ["node_a", "node_b"],
+        lambda df: df.groupby(["node_a", "node_b"], as_index=False).agg(
+            c=("c", "sum")
+        ),
+        num_partitions=num_partitions,
+    )
+
+    with_da = repartition_join(
+        summed,
+        deg.map_batches(
+            lambda b: pa.table({"na": b.column("src"), "da": b.column("d")}),
+            batch_format="pyarrow",
+        ),
+        "node_a",
+        "na",
+        {"node_a": pa.string(), "node_b": pa.string(), "c": pa.int64()},
+        {"na": pa.string(), "da": pa.int64()},
+        num_partitions=num_partitions,
+    )
+    with_db = repartition_join(
+        with_da,
+        deg.map_batches(
+            lambda b: pa.table({"nb": b.column("src"), "db": b.column("d")}),
+            batch_format="pyarrow",
+        ),
+        "node_b",
+        "nb",
+        {"node_b": pa.string(), "node_a": pa.string(), "c": pa.int64(),
+         "da": pa.int64()},
+        {"nb": pa.string(), "db": pa.int64()},
+        num_partitions=num_partitions,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.c.to_numpy().astype(np.float64)
+        union = (
+            df.da.to_numpy().astype(np.float64)
+            + df.db.to_numpy().astype(np.float64) - c
+        )
+        return pd.DataFrame(
+            {
+                "node_a": df.node_a,
+                "node_b": df.node_b,
+                "jaccard": np.floor(c / union * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return with_db.map_batches(finish, batch_format="pandas")
+
+
+def k_core(
+    pairs: "ray.data.Dataset",
+    k: int = 2,
+    max_iters: int = 100,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """The k-core of an undirected pair graph (doc_a, doc_b): the
+    maximal subgraph where every node has degree ≥ ``k`` → (node,
+    core_degree) with each survivor's degree INSIDE the core.
+
+    Iterative peeling, each round distributed: degrees via one keyed
+    reduce, the under-k nodes are removed by semi-filtering the edge
+    set on BOTH endpoints (two repartition semi joins against the
+    surviving-node table), and the loop stops when no node was dropped
+    (scalar count compare).  Rounds needed = the graph's degeneracy
+    ordering depth — typically small; the peel is the textbook
+    distributed formulation (no driver-side graph)."""
+    def to_und(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"u": np.minimum(a, b), "v": np.maximum(a, b)}
+        )
+        df = df[df.u != df.v].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = coarse_grouped_map(
+        pairs.map_batches(to_und, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(["u", "v"]),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    n_nodes = None
+    deg = None
+    for _ in range(max_iters):
+        def halves(batch: pa.Table) -> pa.Table:
+            u = batch.column("u")
+            v = batch.column("v")
+            return pa.table(
+                {"node": pa.chunked_array(u.chunks + v.chunks)}
+            )
+
+        deg = coarse_grouped_map(
+            edges.map_batches(halves, batch_format="pyarrow"),
+            "node",
+            lambda df: df.groupby("node", as_index=False).agg(
+                core_degree=("node", "size")
+            ),
+            num_partitions=num_partitions,
+        ).materialize()
+
+        keep = deg.map_batches(
+            lambda b, _k=k: b.filter(
+                pa.compute.greater_equal(b.column("core_degree"), _k)
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        n_keep = keep.count()
+        if n_nodes is not None and n_keep == n_nodes:
+            break
+        n_nodes = n_keep
+        if n_keep == 0:
+            break
+        survivors = keep.select_columns(["node"])
+        edges = repartition_join(
+            edges,
+            survivors,
+            "u",
+            "node",
+            {"u": pa.int64(), "v": pa.int64()},
+            {"node": pa.int64()},
+            num_partitions=num_partitions,
+            how="semi",
+        )
+        edges = repartition_join(
+            edges,
+            survivors,
+            "v",
+            "node",
+            {"v": pa.int64(), "u": pa.int64()},
+            {"node": pa.int64()},
+            num_partitions=num_partitions,
+            how="semi",
+        ).materialize()
+
+    from ..utils import schema_floor
+
+    out = deg.map_batches(
+        lambda b, _k=k: b.filter(
+            pa.compute.greater_equal(b.column("core_degree"), _k)
+        ),
+        batch_format="pyarrow",
+    )
+    return schema_floor(
+        out,
+        pa.schema([("node", pa.int64()), ("core_degree", pa.int64())]),
+    )
+
+
 def two_hop_counts(
     edges: "ray.data.Dataset", num_partitions: int = 8
 ) -> "ray.data.Dataset":
