@@ -1443,6 +1443,36 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_ttr_hapax(sf_dir: str):
+    from kgray.stages.corpus_stats import ttr_hapax
+
+    return ttr_hapax(sf_dir)
+
+
+def _q_window_cooccurrence(sf_dir: str):
+    from kgray.stages.corpus_stats import window_cooccurrence
+
+    return window_cooccurrence(sf_dir)
+
+
+def _q_char_trigrams_by_lang(sf_dir: str):
+    from kgray.stages.corpus_stats import char_trigrams_by_lang
+
+    return char_trigrams_by_lang(sf_dir)
+
+
+def _q_cdc_chunks(sf_dir: str):
+    from kgray.stages.corpus_stats import cdc_chunks
+
+    return cdc_chunks(sf_dir)
+
+
+def _q_top_tokens_by_lang(sf_dir: str):
+    from kgray.stages.corpus_stats import top_tokens_by_lang
+
+    return top_tokens_by_lang(sf_dir)
+
+
 def _q_forecast_revenue(sf_dir: str):
     from kgray.pipelines.tpch_final import forecast_revenue
 
@@ -1650,6 +1680,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "important_parts": _q_important_parts,
         "supplier_count_by_part": _q_supplier_count_by_part,
+        # lexical / chunking text-analysis suite
+        "ttr_hapax": _q_ttr_hapax,
+        "window_cooccurrence": _q_window_cooccurrence,
+        "char_trigrams_by_lang": _q_char_trigrams_by_lang,
+        "cdc_chunks": _q_cdc_chunks,
+        "top_tokens_by_lang": _q_top_tokens_by_lang,
         # graph-algorithm suite over the KG / co-purchase graphs
         "kg_degrees": _q_kg_degrees,
         "kg_clustering": _q_kg_clustering,
@@ -2680,6 +2716,81 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "ttr_hapax": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok FROM t),
+ne AS (SELECT doc_id, tok FROM u WHERE tok <> ''),
+per AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) c
+        FROM ne GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       floor(count(*)::DOUBLE / sum(c)::DOUBLE * 1e6 + 0.5) / 1e6 AS ttr,
+       floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS hapax_frac
+FROM per GROUP BY doc_id
+""",
+        "window_cooccurrence": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok, generate_subscripts(w, 1) i FROM t),
+ne AS (SELECT doc_id, tok,
+              row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+       FROM u WHERE tok <> ''),
+p AS (SELECT least(a.tok, b.tok) AS ta, greatest(a.tok, b.tok) AS tb
+      FROM ne a JOIN ne b
+        ON a.doc_id = b.doc_id AND b.j BETWEEN a.j + 1 AND a.j + 3),
+c AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, ta, tb) AS BIGINT) AS rnk,
+       ta, tb, n
+FROM c ORDER BY n DESC, ta, tb LIMIT 30
+""",
+        "char_trigrams_by_lang": """
+WITH s AS (
+  SELECT lang, text,
+         generate_series(1, greatest(length(text) - 2, 0)) AS idxs
+  FROM documents),
+g AS (SELECT lang,
+             substring(text, CAST(unnest(idxs) AS INT), 3) AS gram
+      FROM s),
+c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY 1, 2),
+r AS (SELECT lang, gram, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, gram) AS BIGINT) AS rnk
+      FROM c)
+SELECT lang, rnk, gram, n FROM r WHERE rnk <= 10
+""",
+        "cdc_chunks": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok, generate_subscripts(w, 1) i FROM t),
+f AS (SELECT doc_id, tok, i,
+             CASE WHEN (ascii(substring(tok, 1, 1)) * 31 + length(tok))
+                       % 8 = 0 THEN 1 ELSE 0 END AS flag
+      FROM u),
+c AS (SELECT doc_id, tok, i,
+             coalesce(sum(flag) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_seq
+      FROM f)
+SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY i) AS chunk_text
+FROM c GROUP BY doc_id, chunk_seq
+""",
+        "top_tokens_by_lang": """
+WITH t AS (SELECT lang, string_split(text, ' ') w FROM documents),
+u AS (SELECT lang, unnest(w) tok FROM t),
+ne AS (SELECT lang, tok FROM u WHERE tok <> ''),
+c AS (SELECT lang, tok AS token, CAST(count(*) AS BIGINT) AS n
+      FROM ne GROUP BY 1, 2),
+r AS (SELECT lang, token, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, token) AS BIGINT)
+               AS rnk
+      FROM c)
+SELECT lang, rnk, token, n FROM r WHERE rnk <= 10
 """,
         "forecast_revenue": """
 SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100.0

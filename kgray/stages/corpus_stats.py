@@ -930,3 +930,290 @@ def source_token_entropy(sf_dir: str) -> "ray.data.Dataset":
         return g[["source", "n_tokens", "vocab_size", "entropy"]]
 
     return coarse_grouped_map(partials, "source", final, num_partitions=4)
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: type/token ratio and hapax fraction per document
+# ---------------------------------------------------------------------------
+
+def ttr_hapax(sf_dir: str) -> "ray.data.Dataset":
+    """Per document: token count, distinct-type count, type/token ratio
+    and hapax fraction (share of TYPES occurring exactly once) — the
+    lexical-diversity signals corpus curation filters on (repetitive
+    boilerplate has low TTR and a thin hapax tail).
+
+    Pure map, no shuffle: a document's text lives in one row, so each
+    batch computes its docs' statistics with one exploded value_counts.
+    Ratios use the exact ``BIGINT::DOUBLE / BIGINT::DOUBLE`` expression
+    of the SQL oracle, rounded half-up to 6 decimals.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        d = d[d.token.notna() & (d.token != "")]
+        per = d.groupby(["doc_id", "token"]).size().rename("c").reset_index()
+        g = per.groupby("doc_id").agg(
+            n_types=("token", "size"),
+            n_tokens=("c", "sum"),
+            n_hapax=("c", lambda s: int((s == 1).sum())),
+        ).reset_index()
+        n_tok = g.n_tokens.to_numpy().astype(np.float64)
+        n_typ = g.n_types.to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(g.doc_id.astype(np.int64)),
+                "n_tokens": pa.array(g.n_tokens.astype(np.int64)),
+                "n_types": pa.array(g.n_types.astype(np.int64)),
+                "ttr": pa.array(_round6(n_typ / n_tok)),
+                "hapax_frac": pa.array(
+                    _round6(g.n_hapax.to_numpy().astype(np.float64) / n_typ)
+                ),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Windowed co-occurrence (skip-gram counts)
+# ---------------------------------------------------------------------------
+
+def window_cooccurrence(
+    sf_dir: str, window: int = 3, k: int = 30
+) -> "ray.data.Dataset":
+    """Global top-``k`` unordered token pairs co-occurring within
+    ``window`` positions (the skip-gram counting pass of word-vector /
+    collocation training), ranked by count desc then pair asc.
+
+    Map side builds each batch's pair counts with numpy shifts (offset
+    1..window, pair normalized to (min,max)); one pair-keyed coarse
+    reduce sums globally; per-block top-k then a driver finish over
+    ≤ blocks×k survivor rows — the top_tokens shape on a composite key.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        frames = []
+        for t in texts:
+            toks = np.array(
+                [w for w in (t or "").split(" ") if w != ""], dtype=object
+            )
+            n = len(toks)
+            for off in range(1, window + 1):
+                if n <= off:
+                    break
+                a, b = toks[:-off], toks[off:]
+                frames.append(
+                    pd.DataFrame(
+                        {"ta": np.minimum(a, b), "tb": np.maximum(a, b)}
+                    )
+                )
+        if not frames:
+            return pa.table(
+                {
+                    "ta": pa.array([], pa.string()),
+                    "tb": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        allp = pd.concat(frames, ignore_index=True)
+        g = allp.groupby(["ta", "tb"], as_index=False).size()
+        g.columns = ["ta", "tb", "n"]
+        return pa.Table.from_pandas(
+            g.astype({"n": "int64"}), preserve_index=False
+        )
+
+    counts = coarse_grouped_map(
+        docs.map_batches(pair_counts, batch_format="pyarrow"),
+        ["ta", "tb"],
+        lambda df: df.groupby(["ta", "tb"], as_index=False).agg(
+            n=("n", "sum")
+        ),
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "ta", "tb"], ascending=[False, True, True]
+        ).head(k)
+
+    cand = counts.map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    t = cand.sort_values(
+        ["n", "ta", "tb"], ascending=[False, True, True]
+    ).head(k).reset_index(drop=True)
+    t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    return ray.data.from_pandas(t[["rnk", "ta", "tb", "n"]])
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram profile per language
+# ---------------------------------------------------------------------------
+
+def char_trigrams_by_lang(
+    sf_dir: str, k: int = 10
+) -> "ray.data.Dataset":
+    """Top-``k`` character trigrams per language (the character-profile
+    table a language-ID model trains on), rank by count desc then gram
+    asc within each language.
+
+    Map side: one numpy sliding-window over each batch's concatenated
+    character array produces all trigram counts per (lang, gram) — no
+    Python loop over positions; (lang, gram)-keyed coarse reduce, then
+    per-lang top-k over the compacted count table (languages are a
+    dimension, so the final rank is a tiny keyed reduce).
+    """
+    docs = _read_docs(sf_dir, ["lang", "text"])
+
+    def gram_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        frames = []
+        for lang, sub in df.groupby("lang"):
+            chars = np.frombuffer(
+                ("\x00\x00".join(sub.text.tolist())).encode("utf-32-le"),
+                dtype=np.uint32,
+            )
+            if len(chars) < 3:
+                continue
+            # windows crossing the \x00\x00 doc separator contain a NUL
+            # and are dropped — exactly the per-doc trigram set remains
+            w = np.lib.stride_tricks.sliding_window_view(chars, 3)
+            keep = (w != 0).all(axis=1)
+            w = w[keep]
+            if not len(w):
+                continue
+            view = w.astype("<u4").tobytes()
+            grams = np.array(
+                [
+                    view[i : i + 12].decode("utf-32-le")
+                    for i in range(0, len(view), 12)
+                ],
+                dtype=object,
+            )
+            vc = pd.Series(grams).value_counts()
+            frames.append(
+                pd.DataFrame(
+                    {"lang": lang, "gram": vc.index, "n": vc.to_numpy()}
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "gram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True).astype({"n": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = coarse_grouped_map(
+        docs.map_batches(gram_counts, batch_format="pyarrow"),
+        ["lang", "gram"],
+        lambda df: df.groupby(["lang", "gram"], as_index=False).agg(
+            n=("n", "sum")
+        ),
+    )
+
+    def lang_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["lang", "n", "gram"], ascending=[True, False, True]
+        )
+        df = df.groupby("lang", as_index=False).head(k)
+        df["rnk"] = df.groupby("lang").cumcount() + 1
+        return df[["lang", "rnk", "gram", "n"]]
+
+    return coarse_grouped_map(counts, "lang", lang_topk, num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(sf_dir: str, modulus: int = 8) -> "ray.data.Dataset":
+    """Content-defined chunk boundaries (the dedup-friendly splitting
+    CDC storage and long-document pipelines use): a token CLOSES its
+    chunk iff ``(ascii(first_char) * 31 + len(token)) % modulus == 0``
+    — a pure function of the token, so identical text always splits
+    identically regardless of position, the property that makes chunk
+    hashes stable under edits.  → (doc_id, chunk_seq, n_tokens,
+    chunk_text), single-space join.
+
+    Pure map (boundary flags + shifted cumsum + one groupby per batch);
+    no shuffle.  Empty tokens participate (split(' ') semantics) so the
+    oracle's string_split positions line up exactly.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    m = modulus
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        d = d[d.token.notna()]
+        first = d.token.str.slice(0, 1)
+        code = np.where(
+            first == "", 0,
+            [ord(c) if c else 0 for c in first]
+        ).astype(np.int64)
+        flag = ((code * 31 + d.token.str.len().to_numpy()) % m == 0)
+        # chunk id = boundaries strictly BEFORE this token (shifted cumsum)
+        cs = pd.Series(flag, index=d.index).groupby(d.doc_id).transform(
+            lambda s: s.cumsum().shift(fill_value=0)
+        )
+        d = d.assign(chunk_seq=cs.astype(np.int64))
+        g = d.groupby(["doc_id", "chunk_seq"], as_index=False).agg(
+            n_tokens=("token", "size"),
+            chunk_text=("token", lambda s: " ".join(s)),
+        )
+        return pa.Table.from_pandas(
+            g.astype({"doc_id": "int64", "chunk_seq": "int64",
+                      "n_tokens": "int64"}),
+            preserve_index=False,
+        )
+
+    return docs.map_batches(chunk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-language token top-k
+# ---------------------------------------------------------------------------
+
+def top_tokens_by_lang(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Top-``k`` tokens per language with in-language rank — the
+    per-group variant of ``top_tokens`` on a high-cardinality composite
+    key: (lang, token) partial counts map-side, one keyed reduce, then
+    the rank runs over the COMPACTED count table grouped by the tiny
+    lang dimension (never the raw corpus)."""
+    docs = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        d = d[d.token.notna() & (d.token != "")]
+        g = d.groupby(["lang", "token"], as_index=False).size()
+        g.columns = ["lang", "token", "n"]
+        return pa.Table.from_pandas(
+            g.astype({"n": "int64"}), preserve_index=False
+        )
+
+    counts = coarse_grouped_map(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        ["lang", "token"],
+        lambda df: df.groupby(["lang", "token"], as_index=False).agg(
+            n=("n", "sum")
+        ),
+    )
+
+    def lang_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["lang", "n", "token"], ascending=[True, False, True]
+        )
+        df = df.groupby("lang", as_index=False).head(k)
+        df["rnk"] = df.groupby("lang").cumcount() + 1
+        df["rnk"] = df.rnk.astype(np.int64)
+        return df[["lang", "rnk", "token", "n"]]
+
+    return coarse_grouped_map(counts, "lang", lang_topk, num_partitions=8)

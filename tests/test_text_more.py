@@ -1,0 +1,115 @@
+"""Semantics tests for the round-2 text-analysis additions (ttr/hapax,
+window co-occurrence, char trigrams per lang, content-defined chunking,
+per-lang token top-k) against hand-rolled references on sf0.001."""
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _r6(v):
+    return np.floor(np.asarray(v, dtype=float) * 1e6 + 0.5) / 1e6
+
+
+def test_ttr_hapax_matches_counter():
+    from collections import Counter
+
+    from kgray.stages.corpus_stats import ttr_hapax
+
+    out = ttr_hapax(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    for _, row in docs.head(20).iterrows():
+        toks = [w for w in row.text.split(" ") if w]
+        c = Counter(toks)
+        got = out.loc[row.doc_id]
+        assert got.n_tokens == len(toks)
+        assert got.n_types == len(c)
+        assert got.ttr == _r6(len(c) / len(toks))
+        assert got.hapax_frac == _r6(
+            sum(1 for v in c.values() if v == 1) / len(c)
+        )
+    assert len(out) == len(docs)
+
+
+def test_window_cooccurrence_matches_bruteforce():
+    from collections import Counter
+
+    from kgray.stages.corpus_stats import window_cooccurrence
+
+    out = window_cooccurrence(SF, window=3, k=30).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    cnt = Counter()
+    for t in docs.text:
+        toks = [w for w in t.split(" ") if w]
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + 4, len(toks))):
+                a, b = sorted((toks[i], toks[j]))
+                cnt[(a, b)] += 1
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = list(zip(zip(out.ta, out.tb), out.n))
+    assert got == exp
+    assert out.rnk.tolist() == list(range(1, len(out) + 1))
+
+
+def test_char_trigrams_by_lang_per_doc_windows():
+    from collections import Counter
+
+    from kgray.stages.corpus_stats import char_trigrams_by_lang
+
+    out = char_trigrams_by_lang(SF, k=10).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    for lang, sub in docs.groupby("lang"):
+        cnt = Counter()
+        for t in sub.text:
+            for i in range(len(t) - 2):
+                cnt[t[i : i + 3]] += 1
+        exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = out[out.lang == lang].sort_values("rnk")
+        assert list(zip(g.gram, g.n)) == exp
+
+
+def test_cdc_chunks_deterministic_boundaries():
+    from kgray.stages.corpus_stats import cdc_chunks
+
+    out = cdc_chunks(SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet")
+
+    def ref_chunks(text):
+        toks = text.split(" ")
+        chunks, cur = [], []
+        for t in toks:
+            cur.append(t)
+            code = ord(t[0]) if t else 0
+            if (code * 31 + len(t)) % 8 == 0:
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        return chunks
+
+    for _, row in docs.head(15).iterrows():
+        exp = ref_chunks(row.text)
+        g = out[out.doc_id == row.doc_id].sort_values("chunk_seq")
+        assert len(g) == len(exp)
+        assert g.chunk_text.tolist() == [" ".join(c) for c in exp]
+        assert g.n_tokens.tolist() == [len(c) for c in exp]
+        # chunking is content-defined: re-splitting the reassembled text
+        # must reproduce the same boundaries
+        assert " ".join(g.chunk_text) == row.text
+
+
+def test_top_tokens_by_lang_rank_and_counts():
+    from collections import Counter
+
+    from kgray.stages.corpus_stats import top_tokens_by_lang
+
+    out = top_tokens_by_lang(SF, k=10).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    for lang, sub in docs.groupby("lang"):
+        cnt = Counter(
+            w for t in sub.text for w in t.split(" ") if w
+        )
+        exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = out[out.lang == lang].sort_values("rnk")
+        assert list(zip(g.token, g.n)) == exp
+        assert g.rnk.tolist() == list(range(1, len(g) + 1))
