@@ -1443,6 +1443,42 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_mips_topk(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.similarity import mips_topk
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    qm, qids = _load_queries(sf_dir)
+    return mips_topk(emb, qm, qids, k=5)
+
+
+def _q_embedding_quantize(sf_dir: str):
+    from kgray.stages.similarity import quantize_int8
+
+    return quantize_int8(sf_dir)
+
+
+def _q_knn_pq(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from kgray.stages.similarity import knn_pq
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    qm, qids = _load_queries(sf_dir)
+    return knn_pq(emb, qm, qids, k=5)
+
+
 def _q_ttr_hapax(sf_dir: str):
     from kgray.stages.corpus_stats import ttr_hapax
 
@@ -1680,6 +1716,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "important_parts": _q_important_parts,
         "supplier_count_by_part": _q_supplier_count_by_part,
+        # embedding retrieval / compression suite
+        "mips_topk": _q_mips_topk,
+        "embedding_quantize": _q_embedding_quantize,
+        "knn_pq": _q_knn_pq,
         # lexical / chunking text-analysis suite
         "ttr_hapax": _q_ttr_hapax,
         "window_cooccurrence": _q_window_cooccurrence,
@@ -2716,6 +2756,38 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "mips_topk": """
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       CAST(row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_inner_product(q.embedding, e.embedding) DESC,
+                  e.vec_id ASC) AS BIGINT) AS rank
+FROM embeddings q, embeddings e
+WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+QUALIFY rank <= 5
+""",
+        "embedding_quantize": """
+WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS d
+           FROM embeddings),
+s AS (SELECT d, max(abs(x)) / 127.0 AS scale FROM u GROUP BY d),
+q AS (SELECT vec_id,
+             x,
+             scale,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE greatest(-127.0, least(127.0,
+                       floor(x / scale + 0.5))) END AS qv,
+             CASE WHEN scale <> 0
+                   AND abs(floor(x / scale + 0.5)) > 127
+                  THEN 1 ELSE 0 END AS clip
+      FROM u JOIN s USING (d)),
+e AS (SELECT vec_id, clip,
+             CAST(floor((x - qv * scale) * 1e9 + 0.5) AS BIGINT) AS efp
+      FROM q)
+SELECT vec_id, CAST(sum(clip) AS BIGINT) AS n_clipped,
+       CAST(sum(efp * efp) AS BIGINT) AS qerr_sq
+FROM e GROUP BY vec_id
 """,
         "ttr_hapax": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

@@ -794,3 +794,274 @@ def pca_spectrum(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum inner product search (un-normalized retrieval)
+# ---------------------------------------------------------------------------
+
+def mips_topk(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Global top-k by raw INNER PRODUCT per query (MIPS — the retrieval
+    kernel for un-normalized embedding spaces, where magnitude carries
+    signal and cosine's normalization is wrong).  Same two-stage shape
+    as ``knn_cosine``: broadcast query matrix, per-batch matmul +
+    argpartition, tiny per-query reduce; ties by ascending neighbor_id.
+    """
+    qm = np.asarray(queries, dtype=np.float64)
+    q_ref = ray.put((qm, np.asarray(query_ids)))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm_, qids_ = ray.get(q_ref)
+        vm = _to_matrix(batch.column("embedding")).astype(np.float64)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = qm_ @ vm.T
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            for j in idx:
+                if exclude_self and vids[j] == qids_[qi]:
+                    continue
+                out_q.append(qids_[qi])
+                out_n.append(vids[j])
+                out_s.append(row[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    from ..utils import coarse_grouped_map
+
+    return coarse_grouped_map(
+        embeddings.map_batches(batch_topk, batch_format="pyarrow"),
+        "query_id",
+        lambda df: df.groupby("query_id", group_keys=False)[
+            ["query_id", "neighbor_id", "sim"]
+        ].apply(reduce_topk),
+        num_partitions=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8 quantization with exact error accounting
+# ---------------------------------------------------------------------------
+
+def quantize_int8(sf_dir: str) -> "ray.data.Dataset":
+    """Per-vector int8-quantization error audit → (vec_id, n_clipped,
+    qerr_sq): symmetric per-DIMENSION scales (global max|x_d| / 127),
+    round-half-up quantization clipped to [-127, 127], and the
+    reconstruction error reported as an EXACT integer —
+    sum_d floor(err_d·1e9 + 0.5)² — so the oracle comparison has zero
+    FP-summation-order slack (the audit a serving stack runs before
+    shipping a quantized index).
+
+    Two passes: (1) per-batch per-dimension |max| partials (one dim²-free
+    numpy max per batch; driver reduces blocks×64 floats) broadcast via
+    ray.put; (2) pure map quantizes and integerizes the error.  No
+    shuffle at all.
+    """
+    import os
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        m = np.abs(_to_matrix(batch.column("embedding"))).max(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(len(m), dtype=np.int64)),
+                "mx": pa.array(m.astype(np.float64)),
+            }
+        )
+
+    mx = emb.map_batches(
+        max_partial, batch_format="pyarrow"
+    ).to_pandas()
+    scale = (
+        mx.groupby("dim").mx.max().sort_index().to_numpy() / 127.0
+    )
+    s_ref = ray.put(scale)
+
+    def quant(batch: pa.Table) -> pa.Table:
+        s = ray.get(s_ref)
+        x = _to_matrix(batch.column("embedding")).astype(np.float64)
+        safe = np.where(s == 0.0, 1.0, s)
+        q = np.clip(np.floor(x / safe + 0.5), -127, 127)
+        q = np.where(s == 0.0, 0.0, q)
+        err = x - q * s
+        err_fp = np.floor(err * 1e9 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "n_clipped": pa.array(
+                    (np.abs(np.floor(x / safe + 0.5)) > 127).sum(axis=1)
+                    .astype(np.int64)
+                ),
+                "qerr_sq": pa.array((err_fp * err_fp).sum(axis=1)),
+            }
+        )
+
+    return emb.map_batches(quant, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    embeddings: "ray.data.Dataset",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 8,
+    sample_cap: int = 4096,
+    seed: int = 13,
+) -> np.ndarray:
+    """PQ codebooks (n_subspaces, n_codes, sub_dim): per-subspace k-means
+    on a deterministic bounded sample (hash-ordered first ``sample_cap``
+    vectors — same bounded-sample posture as train_ivf_centroids).
+    Lloyd iterations are numpy on the driver over the CAPPED sample;
+    the expensive part (encoding the corpus) stays distributed."""
+    cap = embeddings.limit(sample_cap).to_pandas()
+    m = np.asarray(cap.embedding.tolist(), dtype=np.float64)
+    n, d = m.shape
+    sub = d // n_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.zeros((n_subspaces, n_codes, sub))
+    for s in range(n_subspaces):
+        x = m[:, s * sub : (s + 1) * sub]
+        idx = rng.choice(n, size=min(n_codes, n), replace=False)
+        c = x[idx].copy()
+        for _ in range(iters):
+            dist = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = dist.argmin(axis=1)
+            for j in range(len(c)):
+                pts = x[a == j]
+                if len(pts):
+                    c[j] = pts.mean(axis=0)
+        books[s, : len(c)] = c
+    return books
+
+
+def knn_pq(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+) -> "ray.data.Dataset":
+    """Approximate top-k by PQ asymmetric distance (ADC): vectors are
+    encoded to one uint8 code per subspace against broadcast codebooks;
+    each query precomputes a (n_subspaces × n_codes) lookup table of
+    partial squared distances, so scoring a vector is ``sub`` table
+    lookups instead of a d-dim dot product — the memory-bound regime
+    ANN serving actually runs in.  ADC prunes each block to an
+    ``8·k`` shortlist which is then EXACTLY re-ranked against the raw
+    vectors still in the batch (the standard PQ + re-rank serving
+    design: compressed-domain scan, exact math only on the shortlist).
+    Same broadcast + per-batch top-k + keyed reduce shape as
+    knn_cosine; approximate by construction — recall is bounded by
+    whether the true neighbours survive the ADC pruning, pinned by the
+    pytest rather than an oracle.
+    """
+    books = train_pq_codebooks(
+        embeddings, n_subspaces=n_subspaces, n_codes=n_codes
+    )
+    qm = np.asarray(queries, dtype=np.float64)
+    sub = books.shape[2]
+    # per-query LUT: lut[q, s, c] = ||query_sub - codeword||²
+    lut = np.zeros((len(qm), n_subspaces, books.shape[1]))
+    for s in range(n_subspaces):
+        qs = qm[:, s * sub : (s + 1) * sub]
+        diff = qs[:, None, :] - books[s][None, :, :]
+        lut[:, s, :] = (diff ** 2).sum(axis=2)
+    state = ray.put((books, lut, qm, np.asarray(query_ids)))
+    shortlist = 8 * k
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        books_, lut_, qm_, qids_ = ray.get(state)
+        x = _to_matrix(batch.column("embedding")).astype(np.float64)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        ns, nc, sd = books_.shape
+        codes = np.zeros((len(x), ns), dtype=np.int64)
+        for s in range(ns):
+            xs = x[:, s * sd : (s + 1) * sd]
+            dist = (
+                (xs ** 2).sum(axis=1)[:, None]
+                - 2.0 * xs @ books_[s].T
+                + (books_[s] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, s] = dist.argmin(axis=1)
+        # ADC: gather per-subspace partials from each query's LUT, prune
+        # to a shortlist, then exact re-rank the shortlist only
+        n_q = lut_.shape[0]
+        out = []
+        for qi in range(n_q):
+            d = lut_[qi][np.arange(ns)[None, :], codes].sum(axis=1)
+            kk = min(shortlist + 1, len(d))
+            idx = np.argpartition(d, kk - 1)[:kk]
+            exact = ((x[idx] - qm_[qi]) ** 2).sum(axis=1)
+            top = np.argsort(exact)[: k + 1]
+            for t in top:
+                j = idx[t]
+                if vids[j] == qids_[qi]:
+                    continue
+                out.append((qids_[qi], vids[j], exact[t]))
+        if not out:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.float64())}
+            )
+        q, nb, dd = zip(*out)
+        return pa.table(
+            {
+                "query_id": pa.array(list(q), pa.int64()),
+                "neighbor_id": pa.array(list(nb), pa.int64()),
+                "dist": pa.array(list(dd), pa.float64()),
+            }
+        )
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in df.groupby("query_id"):
+            g = g.sort_values(
+                ["dist", "neighbor_id"], ascending=[True, True]
+            ).head(k)
+            g = g.copy()
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            out.append(g[["query_id", "neighbor_id", "rank"]])
+        return pd.concat(out) if out else pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+
+    from ..utils import coarse_grouped_map
+
+    return coarse_grouped_map(
+        embeddings.map_batches(batch_topk, batch_format="pyarrow"),
+        "query_id",
+        reduce_topk,
+        num_partitions=8,
+    )
