@@ -1443,6 +1443,36 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_events_hopping(sf_dir: str):
+    from kgray.pipelines.analytics import events_hopping_counts
+
+    return events_hopping_counts(sf_dir)
+
+
+def _q_events_window_topk(sf_dir: str):
+    from kgray.pipelines.analytics import events_window_topk_types
+
+    return events_window_topk_types(sf_dir)
+
+
+def _q_event_dedup_tolerance(sf_dir: str):
+    from kgray.pipelines.analytics import event_dedup_tolerance
+
+    return event_dedup_tolerance(sf_dir)
+
+
+def _q_user_hour_throttle(sf_dir: str):
+    from kgray.pipelines.analytics import user_hour_throttle
+
+    return user_hour_throttle(sf_dir)
+
+
+def _q_weighted_sample(sf_dir: str):
+    from kgray.pipelines.analytics import weighted_sample
+
+    return weighted_sample(sf_dir)
+
+
 def _q_mips_topk(sf_dir: str):
     import os
 
@@ -1716,6 +1746,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "important_parts": _q_important_parts,
         "supplier_count_by_part": _q_supplier_count_by_part,
+        # streaming-window / ingestion-hygiene suite
+        "events_hopping": _q_events_hopping,
+        "events_window_topk": _q_events_window_topk,
+        "event_dedup_tolerance": _q_event_dedup_tolerance,
+        "user_hour_throttle": _q_user_hour_throttle,
+        "weighted_sample": _q_weighted_sample,
         # embedding retrieval / compression suite
         "mips_topk": _q_mips_topk,
         "embedding_quantize": _q_embedding_quantize,
@@ -2756,6 +2792,58 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "events_hopping": """
+WITH e AS (SELECT epoch_us(ts) AS tsu, event_type FROM events),
+w AS (SELECT (tsu // 900000000) * 900000000
+             - CAST(unnest(generate_series(0, 3)) AS BIGINT) * 900000000
+               AS ws,
+             event_type
+      FROM e)
+SELECT make_timestamp(ws) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY 1, 2
+""",
+        "events_window_topk": """
+WITH c AS (SELECT make_timestamp((epoch_us(ts) // 3600000000)
+                                 * 3600000000) AS hour,
+                  event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT hour, event_type, n,
+             CAST(row_number() OVER (PARTITION BY hour
+                                     ORDER BY n DESC, event_type)
+                  AS BIGINT) AS rnk
+      FROM c)
+SELECT hour, rnk, event_type, n FROM r WHERE rnk <= 3
+""",
+        "event_dedup_tolerance": """
+WITH o AS (SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT event_id, user_id, event_type, ts
+FROM o WHERE prev IS NULL OR tsu - prev > 3600000000
+""",
+        "user_hour_throttle": """
+WITH o AS (SELECT event_id, user_id, ts,
+                  row_number() OVER (
+                    PARTITION BY user_id, epoch_us(ts) // 3600000000
+                    ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT event_id, user_id, ts FROM o WHERE rn <= 3
+""",
+        "weighted_sample": f"""
+WITH kk AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(CAST((CAST(doc_id AS HUGEINT) * {11400714819323198485})
+                  % 18446744073709551616 AS UBIGINT) AS DOUBLE) + 1.0)
+            / 18446744073709551616.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+         AS rnk,
+       doc_id, n_chars
+FROM kk ORDER BY key DESC, doc_id LIMIT 100
 """,
         "mips_topk": """
 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

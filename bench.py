@@ -212,6 +212,13 @@ def run_bench() -> dict:
         "large_orders",
         "customer_running_total",
         "cohort_retention",
+        "ttr_hapax",
+        "cdc_chunks",
+        "top_tokens_by_lang",
+        "mips_topk",
+        "knn_pq",
+        "customer_order_distribution",
+        "supplier_count_by_part",
     ]:
         best = None
         for _ in range(repeats):

@@ -1172,3 +1172,223 @@ def key_skew_profile(sf_dir: str) -> "ray.data.Dataset":
     out["rows_per_key"] = out.rows_per_key.astype(np.int64)
     out["n_keys"] = out.n_keys.astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window counts
+# ---------------------------------------------------------------------------
+
+def events_hopping_counts(
+    sf_dir: str, window_min: int = 60, hop_min: int = 15
+) -> "ray.data.Dataset":
+    """Per (window_start, event_type): event count for HOPPING windows of
+    ``window_min`` minutes advancing every ``hop_min`` — each event lands
+    in window/hop overlapping windows (the streaming-aggregation shape
+    tumbling ``events_hourly`` cannot express).
+
+    Map side explodes each event into its window/hop (window_start,
+    type) memberships with one numpy tile — already partially counted
+    per batch — then ONE keyed reduce.  Window starts are exact int64
+    epoch-µs multiples of the hop, so the oracle comparison has no
+    timestamp-rounding slack.
+    """
+    hop_us = hop_min * 60_000_000
+    win_us = window_min * 60_000_000
+    n_win = win_us // hop_us
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        base = (ts_us // hop_us) * hop_us
+        starts = (
+            base[:, None]
+            - np.arange(n_win, dtype=np.int64)[None, :] * hop_us
+        ).ravel()
+        types = np.repeat(batch.event_type.to_numpy(), n_win)
+        df = pd.DataFrame({"window_start_us": starts, "event_type": types})
+        g = df.groupby(["window_start_us", "event_type"],
+                       as_index=False).size()
+        g.columns = ["window_start_us", "event_type", "n"]
+        return g.astype({"n": "int64"})
+
+    counts = coarse_grouped_map(
+        ev.map_batches(explode, batch_format="pandas"),
+        ["window_start_us", "event_type"],
+        lambda df: df.groupby(["window_start_us", "event_type"],
+                              as_index=False).agg(n=("n", "sum")),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": pd.to_datetime(
+                    df.window_start_us, unit="us"
+                ).astype("datetime64[us]"),
+                "event_type": df.event_type,
+                "n": df.n.astype(np.int64),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Per-window top-k event types
+# ---------------------------------------------------------------------------
+
+def events_window_topk_types(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Top-``k`` event types per hour bucket with in-window rank (count
+    desc, type asc) — the per-window grouped rank of a streaming
+    leaderboard.  Counts compact map-side per (hour, type); the rank
+    runs over the compacted table grouped by hour."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (
+            df.ts.astype("datetime64[us]").astype("int64")
+            // 3_600_000_000
+        ) * 3_600_000_000
+        g = pd.DataFrame({"hour_us": hour, "event_type": df.event_type})
+        g = g.groupby(["hour_us", "event_type"], as_index=False).size()
+        g.columns = ["hour_us", "event_type", "n"]
+        return g.astype({"n": "int64"})
+
+    counts = coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["hour_us", "event_type"],
+        lambda df: df.groupby(["hour_us", "event_type"],
+                              as_index=False).agg(n=("n", "sum")),
+    )
+
+    def hour_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["hour_us", "n", "event_type"], ascending=[True, False, True]
+        )
+        df = df.groupby("hour_us", as_index=False).head(k)
+        df["rnk"] = df.groupby("hour_us").cumcount() + 1
+        out = pd.DataFrame(
+            {
+                "hour": pd.to_datetime(df.hour_us, unit="us").astype(
+                    "datetime64[us]"
+                ),
+                "rnk": df.rnk.astype(np.int64),
+                "event_type": df.event_type,
+                "n": df.n.astype(np.int64),
+            }
+        )
+        return out
+
+    return coarse_grouped_map(counts, "hour_us", hour_topk)
+
+
+# ---------------------------------------------------------------------------
+# Delivery dedup within a time tolerance
+# ---------------------------------------------------------------------------
+
+def event_dedup_tolerance(sf_dir: str, tol_s: int = 3600) -> "ray.data.Dataset":
+    """At-least-once delivery dedup: drop an event when the PREVIOUS
+    event of the same (user_id, event_type) — ordered by (ts, event_id)
+    — is within ``tol_s`` seconds (default 1h on the sparse synthetic
+    stream; the lag-based dedup rule — note this
+    is the SQL-window semantics, NOT the sequential kept-state variant:
+    three events 3s apart keep #1 and #3 here, while a stateful
+    deduper would keep only #1).  → surviving (event_id, user_id,
+    event_type, ts).
+
+    One user-keyed coarse partition; inside, a vectorized sort + shift
+    per (user, type).  Gap math is int64 µs — zero FP slack vs oracle.
+    """
+    tol_us = tol_s * 1_000_000
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        ts_us = df.ts.astype("datetime64[us]").astype("int64")
+        prev = ts_us.groupby(
+            [df.user_id, df.event_type], sort=False
+        ).shift()
+        keep = prev.isna() | ((ts_us - prev) > tol_us)
+        out = df.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        return out
+
+    return coarse_grouped_map(ev, "user_id", dedup_partition)
+
+
+# ---------------------------------------------------------------------------
+# Per-user-per-hour throttle
+# ---------------------------------------------------------------------------
+
+def user_hour_throttle(sf_dir: str, cap: int = 3) -> "ray.data.Dataset":
+    """Rate-limit materialization: keep only the first ``cap`` events of
+    each (user, hour) by (ts, event_id) — the ingestion throttle a
+    pipeline applies against event spam before anything downstream pays
+    for the flood.  → (event_id, user_id, ts).
+
+    One user-keyed coarse partition (a user's hours all co-locate);
+    inside, sort + cumcount < cap, fully vectorized.
+    """
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def throttle(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        hour = (
+            df.ts.astype("datetime64[us]").astype("int64") // 3_600_000_000
+        )
+        pos = df.groupby([df.user_id, hour], sort=False).cumcount()
+        return df.loc[pos < cap, ["event_id", "user_id", "ts"]]
+
+    return coarse_grouped_map(ev, "user_id", throttle)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (deterministic A-ES)
+# ---------------------------------------------------------------------------
+
+def weighted_sample(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
+    """Deterministic weighted sampling WITHOUT replacement over
+    documents, weight = n_chars (Efraimidis-Spirakis A-ES: key =
+    ln(u)/w with u ∈ (0,1] derived from the engine-stable multiplicative
+    hash of doc_id; the k LARGEST keys are the sample — equivalent to
+    u^(1/w) ranking, inclusion probability ∝ weight).
+
+    Pure map (key computation) + per-block top-k + driver finish over
+    ≤ blocks×k rows — the deterministic twin of reservoir sampling, and
+    exactly reproducible in SQL because u is a hash, not an RNG.
+    """
+    from .curate import SPLIT_MULT
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(SPLIT_MULT)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        key = np.log(u) / w.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "key": pa.array(key, pa.float64()),
+            }
+        )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["key", "doc_id"],
+                              ascending=[False, True]).head(k)
+
+    cand = (
+        docs.map_batches(keys, batch_format="pyarrow")
+        .map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    t = cand.sort_values(["key", "doc_id"], ascending=[False, True]).head(
+        k
+    ).reset_index(drop=True)
+    t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    return ray.data.from_pandas(t[["rnk", "doc_id", "n_chars"]])
