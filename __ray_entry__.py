@@ -1443,6 +1443,12 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_pretrain_corpus(sf_dir: str):
+    from kgray.pipelines.curate import pretrain_corpus
+
+    return pretrain_corpus(sf_dir)
+
+
 def _q_events_hopping(sf_dir: str):
     from kgray.pipelines.analytics import events_hopping_counts
 
@@ -1746,6 +1752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "important_parts": _q_important_parts,
         "supplier_count_by_part": _q_supplier_count_by_part,
+        "pretrain_corpus": _q_pretrain_corpus,
         # streaming-window / ingestion-hygiene suite
         "events_hopping": _q_events_hopping,
         "events_window_topk": _q_events_window_topk,
@@ -2792,6 +2799,59 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "pretrain_corpus": """
+WITH RECURSIVE
+t AS (SELECT doc_id, text, lang, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok FROM t),
+ag AS (SELECT doc_id, count(*) n, count(DISTINCT tok) nd,
+              sum(length(tok)) ch,
+              sum(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) hits
+       FROM u GROUP BY 1),
+adm AS (SELECT t.doc_id, t.text, CAST(ag.n AS BIGINT) AS n_tokens
+        FROM t JOIN ag USING (doc_id)
+        WHERE t.lang = 'en'
+          AND ag.n BETWEEN 15 AND 90
+          AND ag.ch::DOUBLE / ag.n::DOUBLE >= 3.0
+          AND ag.ch::DOUBLE / ag.n::DOUBLE <= 4.5
+          AND ag.nd::DOUBLE / ag.n::DOUBLE >= 0.35
+          AND ag.hits >= 1),
+uu AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
+shall AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+          FROM uu a JOIN uu b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                    JOIN uu c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+bench AS (SELECT DISTINCT shingle FROM shall WHERE doc_id % 97 = 0),
+cont AS (SELECT DISTINCT s.doc_id FROM shall s JOIN bench USING (shingle)
+         WHERE s.doc_id % 97 <> 0),
+clean AS (SELECT * FROM adm
+          WHERE doc_id % 97 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM cont)),
+ded AS (SELECT min(doc_id) AS doc_id, text FROM clean GROUP BY text),
+ds AS (SELECT DISTINCT s.doc_id, s.shingle
+       FROM shall s JOIN ded USING (doc_id)),
+s AS (SELECT doc_id, count(*) n FROM ds GROUP BY doc_id),
+inter AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+          FROM ds x JOIN ds y USING (shingle)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT a AS doc_a, b AS doc_b
+  FROM inter JOIN s sa ON sa.doc_id = inter.a
+             JOIN s sb ON sb.doc_id = inter.b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+),
+e AS (SELECT doc_a a, doc_b b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a WHERE e.b <> r.src
+),
+rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+        FROM reach GROUP BY src)
+SELECT d.doc_id, a.n_tokens
+FROM ded d JOIN clean a USING (doc_id)
+LEFT JOIN rep r ON r.doc_id = d.doc_id
+WHERE coalesce(r.rep_id, d.doc_id) = d.doc_id
 """,
         "events_hopping": """
 WITH e AS (SELECT epoch_us(ts) AS tsu, event_type FROM events),

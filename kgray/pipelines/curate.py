@@ -261,3 +261,153 @@ def quality_percentile_filter(
     return docs.filter(
         expr=f"n_chars >= {t}"
     )
+
+
+def pretrain_corpus(
+    sf_dir: str,
+    lang: str = "en",
+    bench_mod: int = 97,
+    near_dup_threshold: float = 0.5,
+    min_words: int = 15,
+    max_words: int = 90,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 4.5,
+    min_distinct_frac: float = 0.35,
+    min_stopword_hits: int = 1,
+) -> "ray.data.Dataset":
+    """The FULL pretraining-data curation chain in stage order, every
+    stage consuming the previous stage's survivors:
+
+        documents
+          → Gopher-rule quality admission + language filter (pure map)
+          → benchmark n-gram decontamination  (broadcast bench shingles,
+            pure-map probe — eval suites are KBs against a 100 TB crawl)
+          → exact dedup                        (min doc_id per text)
+          → near-dup keep-one                  (MinHash-LSH pairs +
+                                                components, keep reps)
+          → (doc_id, n_tokens)
+
+    vs ``curate_corpus``: adds the quality-signal admission and the
+    decontamination pass — the two stages a real pretraining run cannot
+    ship without — and keeps ONE exact recursive-CTE oracle over the
+    whole composition, so the stage ORDERING (each filter shrinking the
+    shuffle after it) is itself oracle-checked.  Gopher thresholds,
+    shingle convention, and closure semantics mirror the standalone
+    operators (stages/filters.quality_filter, corpus_stats.decontaminate,
+    dedup) expression-for-expression.
+    """
+    import pandas as pd
+
+    from ..stages.filters import STOPWORDS
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    stop = set(STOPWORDS)
+
+    def admit(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().reset_index(drop=True)
+        df = df[df.lang == lang]
+        if df.empty:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        g = d.groupby("doc_id")
+        n = g.token.size()
+        nd = g.token.nunique()
+        chars = d.assign(wl=d.token.str.len()).groupby("doc_id").wl.sum()
+        hits = d[d.token.isin(stop)].groupby("doc_id").token.size()
+        ids = df.doc_id
+        n_ = n.reindex(ids, fill_value=0).to_numpy(np.int64)
+        nd_ = nd.reindex(ids, fill_value=0).to_numpy(np.int64)
+        ch_ = chars.reindex(ids, fill_value=0).to_numpy(np.int64)
+        h_ = hits.reindex(ids, fill_value=0).to_numpy(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mwl = np.where(n_ > 0, ch_ / n_, 0.0)
+            dfrac = np.where(n_ > 0, nd_ / n_, 0.0)
+        keep = (
+            (n_ >= min_words) & (n_ <= max_words)
+            & (mwl >= min_mean_len) & (mwl <= max_mean_len)
+            & (dfrac >= min_distinct_frac)
+            & (h_ >= min_stopword_hits)
+        )
+        out = df.loc[keep, ["doc_id", "text"]].copy()
+        out["n_tokens"] = n_[keep]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    admitted = docs.map_batches(admit, batch_format="pyarrow")
+
+    # --- decontamination: bench shingles from the RAW corpus ------------
+    def shingle_frame(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        nxt1 = d.groupby(level=0).token.shift(-1)
+        nxt2 = d.groupby(level=0).token.shift(-2)
+        ok = nxt2.notna()
+        return pd.DataFrame(
+            {
+                "doc_id": d.doc_id[ok].to_numpy(np.int64),
+                "shingle": d.token[ok] + " " + nxt1[ok] + " " + nxt2[ok],
+            }
+        )
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().reset_index(drop=True)
+        s = shingle_frame(df[df.doc_id % bench_mod == 0])
+        return pa.table(
+            {"shingle": pa.array(s.shingle.unique(), pa.string())}
+        )
+
+    bench_shingles = set(
+        docs.map_batches(bench_partial, batch_format="pyarrow")
+        .to_pandas()
+        .shingle
+    )
+    bench_ref = ray.put(bench_shingles)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        df = batch.to_pandas().reset_index(drop=True)
+        df = df[df.doc_id % bench_mod != 0]
+        if df.empty:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+        s = shingle_frame(df)
+        hit = s.doc_id[s.shingle.isin(bench)].unique()
+        out = df[~df.doc_id.isin(hit)]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    clean = admitted.map_batches(probe, batch_format="pyarrow")
+
+    # token counts survive on the side of the dedup (dedup keys on text,
+    # and identical text ⇒ identical n_tokens, so re-counting after the
+    # dedup would be redundant — carry the count through instead)
+    deduped = exact_dedup(
+        clean.select_columns(["doc_id", "text"])
+    ).materialize()
+
+    pairs = minhash_lsh_pairs(deduped, threshold=near_dup_threshold)
+    rep = pair_components(pairs)
+    rep_ref = ray.put(rep)
+
+    def keep_reps(batch: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        ids = batch.column("doc_id").to_pylist()
+        keep = pa.array([m.get(i, i) == i for i in ids], pa.bool_())
+        out = batch.filter(keep)
+        df = out.to_pandas()
+        n_tok = df.text.str.split(" ").str.len().to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df.doc_id.to_numpy(np.int64)),
+                "n_tokens": pa.array(n_tok),
+            }
+        )
+
+    return deduped.map_batches(keep_reps, batch_format="pyarrow")

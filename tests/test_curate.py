@@ -96,3 +96,83 @@ def test_train_val_split_stable_and_sized(ray_session, tmp_path):
     assert (s.split == b.loc[s.index].split).all()
     frac = (b.split == "val").mean()
     assert abs(frac - 0.2) < 0.02
+
+
+def test_pretrain_corpus_matches_pandas_reference():
+    """Full-chain reference: Gopher admission → decontamination → exact
+    dedup → exact-Jaccard near-dup components → keep reps."""
+    import numpy as np
+    import pandas as pd
+
+    from kgray.pipelines.curate import pretrain_corpus
+
+    SF = "/root/testdata/sf0.001"
+    out = pretrain_corpus(SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet")
+
+    def shingles(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    # 1. admission
+    adm = []
+    for _, r in docs.iterrows():
+        toks = r.text.split(" ")
+        n = len(toks)
+        nd = len(set(toks))
+        ch = sum(len(t) for t in toks)
+        hits = sum(1 for t in toks if t in ("the", "a"))
+        if (
+            r.lang == "en" and 15 <= n <= 90
+            and 3.0 <= ch / n <= 4.5 and nd / n >= 0.35 and hits >= 1
+        ):
+            adm.append((r.doc_id, r.text, n))
+    adm = pd.DataFrame(adm, columns=["doc_id", "text", "n"])
+
+    # 2. decontamination (bench = raw-corpus docs with id % 97 == 0)
+    bench = set()
+    for _, r in docs[docs.doc_id % 97 == 0].iterrows():
+        bench |= shingles(r.text)
+    keep = []
+    for _, r in adm.iterrows():
+        if r.doc_id % 97 == 0:
+            continue
+        if shingles(r.text) & bench:
+            continue
+        keep.append(r)
+    clean = pd.DataFrame(keep, columns=adm.columns)
+
+    # 3. exact dedup
+    ded = clean.sort_values("doc_id").drop_duplicates("text", keep="first")
+
+    # 4. exact near-dup components at J >= 0.5
+    sh = {r.doc_id: shingles(r.text) for _, r in ded.iterrows()}
+    parent = {d: d for d in sh}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= 0.5:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    reps = {d for d in ids if find(d) == d}
+
+    exp = ded[ded.doc_id.isin(reps)]
+    assert set(out.doc_id) == set(exp.doc_id)
+    got_n = out.set_index("doc_id").n_tokens
+    exp_n = exp.set_index("doc_id").n
+    assert got_n.sort_index().to_dict() == exp_n.sort_index().to_dict()
+    # the chain is non-degenerate on this corpus: something survives AND
+    # something is filtered at every scale
+    assert 0 < len(out) < len(docs)
