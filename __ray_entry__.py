@@ -1443,6 +1443,61 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_media_dedup(sf_dir: str):
+    """Content-identity dedup over the synthetic corpus's media spans
+    (rows-only: content keys are crc hashes, not SQL-derivable)."""
+    import ray.data
+
+    from kgray.corpus import generate_documents
+    from kgray.stages.chunk import explode_spans
+    from kgray.stages.multimodal import media_dedup
+
+    docs, _, _ = generate_documents(80, seed=42)
+    chunks = ray.data.from_arrow(docs).map_batches(
+        explode_spans, batch_format="pyarrow"
+    )
+    return media_dedup(chunks)
+
+
+def _q_kg_incremental(sf_dir: str):
+    """Id-stable incremental KG merge: even-doc_id shard builds the base
+    graph, odd shard merges in (rows-only; id assignment is engine
+    lineage, not SQL)."""
+    import pyarrow.compute as pc
+
+    from kgray.pipelines.kg import incremental_update, run_kg_pipeline
+    from kgray.sources.generic import (
+        generic_documents_dataset,
+        generic_kg_config,
+    )
+
+    docs = generic_documents_dataset(sf_dir)
+
+    def parity(batch, even: bool):
+        # doc_id is a string; split on last-char parity for determinism
+        import pyarrow as pa
+
+        last = pc.utf8_slice_codeunits(
+            batch.column("doc_id"), start=-1, stop=2_000_000_000
+        )
+        is_even = pc.is_in(
+            last, value_set=pa.array(["0", "2", "4", "6", "8"])
+        )
+        return batch.filter(is_even if even else pc.invert(is_even))
+
+    base_docs = docs.map_batches(
+        lambda b: parity(b, True), batch_format="pyarrow"
+    )
+    delta_docs = docs.map_batches(
+        lambda b: parity(b, False), batch_format="pyarrow"
+    )
+    base = run_kg_pipeline(base_docs, generic_kg_config())
+    merged = incremental_update(
+        base.nodes, delta_docs, generic_kg_config()
+    )
+    return merged.nodes
+
+
 def _q_pretrain_corpus(sf_dir: str):
     from kgray.pipelines.curate import pretrain_corpus
 
@@ -1753,6 +1808,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": _q_important_parts,
         "supplier_count_by_part": _q_supplier_count_by_part,
         "pretrain_corpus": _q_pretrain_corpus,
+        "media_dedup": _q_media_dedup,
+        "kg_incremental": _q_kg_incremental,
         # streaming-window / ingestion-hygiene suite
         "events_hopping": _q_events_hopping,
         "events_window_topk": _q_events_window_topk,

@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -158,3 +159,106 @@ def run_kg_pipeline(
 ) -> KGResult:
     extractions = run_extractions(documents, cfg)
     return run_graph_stages(extractions)
+
+
+def incremental_update(
+    existing_nodes: "ray.data.Dataset",
+    new_docs: "ray.data.Dataset",
+    cfg: Optional[KGConfig] = None,
+) -> KGResult:
+    """Merge a NEW document shard into an existing graph WITHOUT
+    re-invoking the LLM on old documents and WITHOUT renumbering: every
+    existing node keeps its node_id verbatim; only surface forms never
+    seen before get fresh dense ids after the existing maximum — the
+    id-stability contract that lets daily ingest append to node/edge
+    tables other systems already reference.
+
+    Plan: the new shard runs the normal extraction prefix; its canonical
+    mention names ANTI-join the existing node names (utils.smart_join —
+    the node table is the compact entity vocabulary, broadcast when
+    small, shuffled when not), the survivors take ids
+    ``max(existing)+1 …`` in first-seen order, and the returned
+    ``nodes`` is existing ∪ new.  Edges/extractions in the result are
+    the NEW shard's only — the caller appends them to its stores.
+    """
+    from ..stages.nodes import (
+        build_url_map,
+        edge_node_mentions,
+        unary_node_mentions,
+    )
+    from ..functions.bel import term_label, term_type
+    from ..utils import coarse_grouped_map, smart_join, zip_with_index
+
+    extractions = run_extractions(new_docs, cfg).materialize()
+    edges = extractions.map_batches(
+        edge_stage.extractions_to_edges, batch_format="pyarrow"
+    ).materialize()
+    unary = extractions.map_batches(
+        edge_stage.extractions_to_unary_nodes, batch_format="pyarrow"
+    )
+    ann_urls = extractions.map_batches(
+        edge_stage.extractions_to_annotation_urls, batch_format="pyarrow"
+    )
+    url_map = build_url_map(ann_urls)
+    url_ref = ray.put(url_map)
+
+    mentions = edges.map_batches(
+        edge_node_mentions, batch_format="pyarrow"
+    ).union(unary.map_batches(unary_node_mentions, batch_format="pyarrow"))
+    canonical = coarse_grouped_map(
+        mentions.repartition(8),
+        "name",
+        lambda df: df.groupby("name", as_index=False).agg(
+            first_key=("first_key", "min")
+        ),
+        num_partitions=8,
+        coalesce_blocks=None,
+    )
+
+    existing_nodes = existing_nodes.materialize()
+    fresh = smart_join(
+        canonical,
+        existing_nodes.select_columns(["name"]),
+        "name",
+        "name",
+        {"name": pa.string(), "first_key": pa.string()},
+        {"name": pa.string()},
+        how="anti",
+    ).repartition(4).sort("first_key")
+
+    n_existing = existing_nodes.count()
+    next_id = (
+        (existing_nodes.max("node_id") + 1) if n_existing else 0
+    )
+    with_ids = zip_with_index(fresh, "node_id", offset=int(next_id))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        urls_map = ray.get(url_ref)
+        names = batch.column("name").to_pylist()
+        labels = [term_label(n) for n in names]
+        types = [term_type(n) for n in names]
+        urls = [
+            urls_map.get(n, urls_map.get(l)) for n, l in zip(names, labels)
+        ]
+        return pa.table(
+            {
+                "name": pa.array(names, pa.string()),
+                "label": pa.array(labels, pa.string()),
+                "type": pa.array(types, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "node_id": batch.column("node_id"),
+            }
+        )
+
+    new_nodes = with_ids.map_batches(finalize, batch_format="pyarrow")
+    merged = existing_nodes.union(new_nodes)
+
+    return KGResult(
+        chunks=None,
+        extractions=extractions,
+        edges=edges,
+        unary_nodes=unary,
+        annotation_urls=ann_urls,
+        nodes=merged,
+        url_map=url_map,
+    )

@@ -307,3 +307,75 @@ def sample_video_frames(chunks, interval_ms: int = 1000,
             "interval_ms": interval_ms, "max_frames": max_frames,
         },
     )
+
+
+def media_content_key(refs, payloads) -> "np.ndarray":
+    """Deterministic content-identity key for media items: crc32 of the
+    payload when present (content-addressed), else of the ref URI —
+    the key a real pipeline would take from a strong digest; crc32 keeps
+    the fake path dependency-free with identical plumbing."""
+    out = np.zeros(len(refs), dtype=np.int64)
+    for i, (r, p) in enumerate(zip(refs, payloads)):
+        out[i] = (
+            zlib.crc32(p) if p else zlib.crc32((r or "").encode())
+        )
+    return out
+
+
+def media_dedup(chunks) -> "ray.data.Dataset":
+    """Content-identity dedup over MEDIA spans: one row per distinct
+    media content key → (content_key, doc_id, span_seq, media_ref,
+    n_copies), keeping the first occurrence by (doc_id, span_seq) —
+    the asset-level dedup a multimodal corpus runs so the expensive
+    decode/embed stages touch each asset once, not once per reuse.
+
+    Shape: key computation is a pure map; the keep-first + copy-count is
+    a combiner-first keyed reduce (exact_dedup's shape on the content
+    key).  The payload bytes themselves never shuffle — only keys and
+    span coordinates move.
+    """
+    import pandas as pd
+
+    from ..utils import coarse_grouped_map
+
+    media = media_chunks(chunks)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = (
+            batch.column("payload").to_pylist()
+            if "payload" in batch.schema.names
+            else [None] * len(refs)
+        )
+        df = pa.table(
+            {
+                "content_key": pa.array(
+                    media_content_key(refs, payloads), pa.int64()
+                ),
+                "doc_id": batch.column("doc_id"),
+                "span_seq": batch.column("span_seq"),
+                "media_ref": batch.column("media_ref"),
+            }
+        ).to_pandas()
+        g = df.sort_values(["content_key", "doc_id", "span_seq"])
+        first = g.drop_duplicates("content_key", keep="first")
+        n = g.groupby("content_key").size().rename("n_copies")
+        out = first.merge(n, on="content_key")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_first(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["content_key", "doc_id", "span_seq"])
+        first = df.drop_duplicates("content_key", keep="first")
+        n = df.groupby("content_key").n_copies.sum()
+        out = first.drop(columns=["n_copies"]).merge(
+            n, on="content_key"
+        )
+        out["n_copies"] = out.n_copies.astype("int64")
+        return out
+
+    return coarse_grouped_map(
+        media.map_batches(keyed, batch_format="pyarrow"),
+        "content_key",
+        reduce_first,
+        num_partitions=8,
+    )

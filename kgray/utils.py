@@ -314,3 +314,83 @@ def schema_floor(ds: "ray.data.Dataset", schema: pa.Schema):
     if m.count() == 0:
         return ray.data.from_arrow(schema.empty_table())
     return m
+
+
+def smart_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    left_types: dict,
+    right_types: dict,
+    num_partitions: int = 64,
+    how: str = "inner",
+    broadcast_threshold: int = 100_000,
+):
+    """Adaptive join: broadcast the right side when it is small, shuffle
+    both sides otherwise — the one planning decision a distributed engine
+    must make per join, made here from an O(metadata) row count.
+
+    - right rows ≤ ``broadcast_threshold``: the right table is collected
+      ONCE, ``ray.put`` into the object store (zero-copy shared-memory
+      read per task), and the join is a pure map over the left side —
+      no shuffle at all, the fact table never moves.
+    - otherwise: ``repartition_join`` (both sides hash-partitioned once).
+
+    Same output contract as ``repartition_join`` for how ∈ {inner, left,
+    semi, anti}: columns [left_on] + left non-keys (+ right non-keys for
+    inner/left).  "outer" always shuffles — an outer join's unmatched
+    RIGHT rows can't be emitted from a map over the left side without
+    duplicating them per block.
+
+    The threshold is rows, not bytes, deliberately: the caller knows the
+    row width; at 100 TB set it to whatever fits the task heap (the
+    default ≈ a few MB for typical dimension rows).
+    """
+    if how == "outer":
+        return repartition_join(
+            left, right, left_on, right_on, left_types, right_types,
+            num_partitions=num_partitions, how=how,
+        )
+    # materialize once: the count would otherwise execute the right plan
+    # and to_pandas()/the shuffle would re-execute it (lazy lineage).  A
+    # big right side lands in the object store and spills — same cost the
+    # shuffle was about to pay reading it.
+    right = right.materialize()
+    n_right = right.count()
+    if n_right > broadcast_threshold:
+        return repartition_join(
+            left, right, left_on, right_on, left_types, right_types,
+            num_partitions=num_partitions, how=how,
+        )
+
+    import pandas as pd
+
+    rcols = [c for c in right_types if c != right_on]
+    small = right.to_pandas()
+    if len(small) == 0:
+        small = pd.DataFrame({c: pd.Series([], dtype="object")
+                              for c in [right_on] + rcols})
+    small = small.rename(columns={right_on: left_on})
+    if how in ("semi", "anti"):
+        keys = set(small[left_on])
+    r_ref = ray.put(small if how in ("inner", "left") else keys)
+    lcols = [c for c in left_types if c != left_on]
+    out_cols = (
+        [left_on] + lcols if how in ("semi", "anti")
+        else [left_on] + lcols + rcols
+    )
+
+    def probe(df: "pd.DataFrame") -> "pd.DataFrame":
+        rhs = ray.get(r_ref)
+        if how == "semi":
+            m = df[df[left_on].isin(rhs)]
+        elif how == "anti":
+            m = df[~df[left_on].isin(rhs)]
+        else:
+            m = df.merge(rhs, on=left_on, how=how)
+        if m.empty:
+            return pd.DataFrame()
+        return m[out_cols]
+
+    return left.map_batches(probe, batch_format="pandas")
