@@ -1443,6 +1443,30 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_ks_statistic(sf_dir: str):
+    from kgray.pipelines.analytics import ks_statistic
+
+    return ks_statistic(sf_dir)
+
+
+def _q_benford_digits(sf_dir: str):
+    from kgray.pipelines.analytics import benford_digits
+
+    return benford_digits(sf_dir)
+
+
+def _q_running_distinct_users(sf_dir: str):
+    from kgray.pipelines.analytics import running_distinct_users
+
+    return running_distinct_users(sf_dir)
+
+
+def _q_events_mad(sf_dir: str):
+    from kgray.pipelines.analytics import events_mad
+
+    return events_mad(sf_dir)
+
+
 def _q_media_dedup(sf_dir: str):
     """Content-identity dedup over the synthetic corpus's media spans
     (rows-only: content keys are crc hashes, not SQL-derivable)."""
@@ -1810,6 +1834,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_corpus": _q_pretrain_corpus,
         "media_dedup": _q_media_dedup,
         "kg_incremental": _q_kg_incremental,
+        # distribution statistics
+        "ks_statistic": _q_ks_statistic,
+        "benford_digits": _q_benford_digits,
+        "running_distinct_users": _q_running_distinct_users,
+        "events_mad": _q_events_mad,
         # streaming-window / ingestion-hygiene suite
         "events_hopping": _q_events_hopping,
         "events_window_topk": _q_events_window_topk,
@@ -2856,6 +2885,50 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "ks_statistic": """
+WITH u AS (SELECT value,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END a,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END b
+           FROM events WHERE event_type IN ('purchase', 'view')),
+c AS (SELECT value, sum(a) ca, sum(b) cb FROM u GROUP BY value),
+s AS (SELECT value, sum(ca) OVER (ORDER BY value) fa,
+             sum(cb) OVER (ORDER BY value) fb
+      FROM c),
+n AS (SELECT sum(ca) na, sum(cb) nb FROM c)
+SELECT floor(max(abs(fa::DOUBLE / na::DOUBLE
+                     - fb::DOUBLE / nb::DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM s, n GROUP BY na, nb
+""",
+        "benford_digits": """
+WITH c AS (SELECT CAST(substring(
+             CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                  AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM lineitem),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit)
+SELECT digit, n, n::DOUBLE / (SELECT sum(n) FROM g)::DOUBLE AS frac FROM g
+""",
+        "running_distinct_users": """
+WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS d
+           FROM events GROUP BY 1),
+c AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY d)
+SELECT strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+       new_users,
+       CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM c
+""",
+        "events_mad": """
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1),
+d AS (SELECT e.event_type, abs(e.value - m.med) AS av
+      FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_cont(av, 0.5) AS mad
+       FROM d GROUP BY 1)
+SELECT m.event_type,
+       floor(m.med * 1e4 + 0.5) / 1e4 AS median_value,
+       floor(md.mad * 1e4 + 0.5) / 1e4 AS mad
+FROM m JOIN md USING (event_type)
 """,
         "pretrain_corpus": """
 WITH RECURSIVE

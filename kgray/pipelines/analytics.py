@@ -1392,3 +1392,232 @@ def weighted_sample(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
     ).reset_index(drop=True)
     t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
     return ray.data.from_pandas(t[["rnk", "doc_id", "n_chars"]])
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic (distribution drift)
+# ---------------------------------------------------------------------------
+
+def ks_statistic(
+    sf_dir: str,
+    type_a: str = "purchase",
+    type_b: str = "view",
+    n_ranges: int = 64,
+) -> "ray.data.Dataset":
+    """One-row exact two-sample KS statistic between the value
+    distributions of two event types: max |F_a(x) - F_b(x)| over all
+    observed values — the drift test a pipeline runs between data
+    vintages before trusting a new batch.
+
+    Fully distributed ECDF: per-batch (value, a_cnt, b_cnt) partials,
+    value-keyed reduce (distinct values compacted), then a distributed
+    prefix sum in value order — values are RANGE-partitioned by a
+    linear bucket of the parquet min/max stats (order-preserving), each
+    range's totals go to the driver (n_ranges rows, the only driver
+    state), offsets broadcast back, local cumsum per range, per-range
+    max |·|, scalar max.  Same shape as stages/pack.pack_sequences'
+    prefix sum.  Result rounded half-up to 6 decimals.
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    idx = pf.schema_arrow.get_field_index("value")
+    lo, hi = np.inf, -np.inf
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        lo, hi = min(lo, st.min), max(hi, st.max)
+    width = (hi - lo) / n_ranges or 1.0
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[batch.event_type.isin([type_a, type_b])]
+        if df.empty:
+            return pd.DataFrame(
+                {"value": pd.Series([], dtype="float64"),
+                 "r": pd.Series([], dtype="int64"),
+                 "ca": pd.Series([], dtype="int64"),
+                 "cb": pd.Series([], dtype="int64")}
+            )
+        g = df.groupby("value").event_type.agg(
+            ca=lambda s: int((s == type_a).sum()),
+            cb=lambda s: int((s == type_b).sum()),
+        ).reset_index()
+        r = np.clip(
+            ((g.value - lo) / width).astype(np.int64), 0, n_ranges - 1
+        )
+        return pd.DataFrame(
+            {"value": g.value, "r": r,
+             "ca": g.ca.astype(np.int64), "cb": g.cb.astype(np.int64)}
+        )
+
+    compacted = coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pandas"),
+        "value",
+        lambda df: df.groupby(["value", "r"], as_index=False).agg(
+            ca=("ca", "sum"), cb=("cb", "sum")
+        ),
+    ).materialize()  # feeds range totals AND the per-range cumsum pass
+
+    totals = (
+        coarse_grouped_map(
+            compacted,
+            "r",
+            lambda d: d.groupby("r", as_index=False).agg(
+                ta=("ca", "sum"), tb=("cb", "sum")
+            ),
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("r")
+    )
+    na, nb = int(totals.ta.sum()), int(totals.tb.sum())
+    off_a = dict(zip(totals.r, np.concatenate([[0], np.cumsum(totals.ta)[:-1]])))
+    off_b = dict(zip(totals.r, np.concatenate([[0], np.cumsum(totals.tb)[:-1]])))
+    off_ref = ray.put((off_a, off_b))
+
+    def range_max(df: pd.DataFrame) -> pd.DataFrame:
+        oa, ob = ray.get(off_ref)
+        out = []
+        for r, g in df.groupby("r", sort=False):
+            g = g.sort_values("value")
+            fa = (g.ca.cumsum() + oa[r]).to_numpy(np.float64) / float(na)
+            fb = (g.cb.cumsum() + ob[r]).to_numpy(np.float64) / float(nb)
+            out.append(np.abs(fa - fb).max())
+        return pd.DataFrame({"m": out})
+
+    best = coarse_grouped_map(
+        compacted, "r", range_max, num_partitions=8
+    ).max("m")
+    ks = np.floor((best or 0.0) * 1e6 + 0.5) / 1e6
+    return ray.data.from_pandas(
+        pd.DataFrame({"ks": [ks], "n_a": [np.int64(na)],
+                      "n_b": [np.int64(nb)]})
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile
+# ---------------------------------------------------------------------------
+
+def benford_digits(sf_dir: str) -> "ray.data.Dataset":
+    """First-significant-digit distribution of lineitem extended prices
+    (the fraud/synthetic-data smell test): (digit, n, frac).  Prices are
+    quantized to integer cents and the digit read from the exact decimal
+    rendering of that integer — no float log10 boundary risk, identical
+    in any engine.  Pure map + one 9-row keyed reduce.
+    """
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch.l_extendedprice.to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        digits = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        g = digits.value_counts().rename_axis("digit").reset_index(name="n")
+        return g.astype({"n": "int64"})
+
+    counts = coarse_grouped_map(
+        li.map_batches(partial, batch_format="pandas"),
+        "digit",
+        lambda df: df.groupby("digit", as_index=False).agg(n=("n", "sum")),
+        num_partitions=8,
+    ).materialize()
+
+    total = counts.sum("n") or 1
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "digit": df.digit.astype(np.int64),
+                "n": df.n.astype(np.int64),
+                "frac": df.n.to_numpy(np.float64) / float(total),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Running cumulative distinct users per day
+# ---------------------------------------------------------------------------
+
+def running_distinct_users(sf_dir: str) -> "ray.data.Dataset":
+    """(day, new_users, cum_users): how many users were EVER seen up to
+    each calendar day — the growth curve a naive per-window COUNT
+    DISTINCT cannot produce without rescanning history.
+
+    Distinct-user state collapses to first-seen day (one keyed reduce
+    over users); per-day new-user counts are day-keyed partials, and the
+    running total is a driver cumsum over the DAY table (calendar days
+    are dimension-bounded — the documented small side).  Day rendered
+    as 'YYYY-MM-DD' text so both engines hash identical strings.
+    """
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def first_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch.ts.astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        g = pd.DataFrame({"user_id": batch.user_id, "d": day}).groupby(
+            "user_id", as_index=False
+        ).agg(d=("d", "min"))
+        return g
+
+    firsts = coarse_grouped_map(
+        ev.map_batches(first_partial, batch_format="pandas"),
+        "user_id",
+        lambda df: df.groupby("user_id", as_index=False).agg(d=("d", "min")),
+    )
+
+    per_day = coarse_grouped_map(
+        firsts,
+        "d",
+        lambda df: df.groupby("d", as_index=False).agg(
+            new_users=("user_id", "size")
+        ),
+        num_partitions=8,
+    ).to_pandas().sort_values("d")  # calendar-bounded
+
+    per_day["cum_users"] = per_day.new_users.cumsum()
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(
+                per_day.d * 86_400_000_000, unit="us"
+            ).dt.strftime("%Y-%m-%d"),
+            "new_users": per_day.new_users.astype(np.int64),
+            "cum_users": per_day.cum_users.astype(np.int64),
+        }
+    )
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation per event type
+# ---------------------------------------------------------------------------
+
+def events_mad(sf_dir: str) -> "ray.data.Dataset":
+    """Robust per-type location/scale: (event_type, median_value, mad)
+    with MAD = median(|value - median|), both medians linear-interpolated
+    (quantile_cont convention, the one events_value_quantiles already
+    oracle-matches).  One type-keyed partition carries both passes —
+    the correlated second median needs the first, and all of a type's
+    values are already co-located.  Rounded half-up to 4 decimals.
+    """
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def mad_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"event_type": [], "median_value": [], "mad": []}
+        for t, gd in g.groupby("event_type", sort=False):
+            med = gd.value.quantile(0.5, interpolation="linear")
+            mad = (gd.value - med).abs().quantile(
+                0.5, interpolation="linear"
+            )
+            rows["event_type"].append(t)
+            rows["median_value"].append(np.floor(med * 1e4 + 0.5) / 1e4)
+            rows["mad"].append(np.floor(mad * 1e4 + 0.5) / 1e4)
+        return pd.DataFrame(rows)
+
+    return coarse_grouped_map(ev, "event_type", mad_partition,
+                              num_partitions=8)

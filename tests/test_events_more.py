@@ -110,3 +110,74 @@ def test_weighted_sample_aes_ordering_and_determinism():
     # deterministic: rerun is identical
     out2 = weighted_sample(SF, k=50).to_pandas()
     assert out.doc_id.tolist() == out2.doc_id.tolist()
+
+
+def test_ks_statistic_matches_scipy_style_reference():
+    from kgray.pipelines.analytics import ks_statistic
+
+    out = ks_statistic(SF).to_pandas()
+    ev = _ev()
+    a = np.sort(ev.loc[ev.event_type == "purchase", "value"].to_numpy())
+    b = np.sort(ev.loc[ev.event_type == "view", "value"].to_numpy())
+    pts = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, pts, side="right") / len(a)
+    fb = np.searchsorted(b, pts, side="right") / len(b)
+    exp = np.floor(np.abs(fa - fb).max() * 1e6 + 0.5) / 1e6
+    assert out.ks.iloc[0] == exp
+    assert out.n_a.iloc[0] == len(a) and out.n_b.iloc[0] == len(b)
+    assert 0.0 <= out.ks.iloc[0] <= 1.0
+
+
+def test_ks_statistic_zero_on_identical_distribution():
+    from kgray.pipelines.analytics import ks_statistic
+
+    out = ks_statistic(SF, type_a="view", type_b="view").to_pandas()
+    assert out.ks.iloc[0] == 0.0
+
+
+def test_benford_digits_conservation_and_reference():
+    from kgray.pipelines.analytics import benford_digits
+
+    out = benford_digits(SF).to_pandas()
+    li = pd.read_parquet(SF + "/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    cents = np.floor(li.l_extendedprice.to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    exp = pd.Series(cents).astype(str).str[0].astype(int).value_counts()
+    got = out.set_index("digit").n
+    assert got.sort_index().to_dict() == exp.sort_index().to_dict()
+    assert out.n.sum() == len(li)
+    assert abs(out.frac.sum() - 1.0) < 1e-9
+
+
+def test_running_distinct_users_monotone_and_total():
+    from kgray.pipelines.analytics import running_distinct_users
+
+    out = running_distinct_users(SF).to_pandas().sort_values("day")
+    ev = _ev()
+    assert out.cum_users.iloc[-1] == ev.user_id.nunique()
+    assert (out.cum_users.diff().dropna() > 0).all()
+    assert (out.new_users.to_numpy() == out.cum_users.diff()
+            .fillna(out.cum_users.iloc[0]).to_numpy()).all()
+    first_day = (
+        _us(ev.ts).groupby(ev.user_id).min() // 86_400_000_000
+    )
+    exp = first_day.value_counts().sort_index()
+    got_days = pd.to_datetime(out.day).astype("datetime64[us]").astype(
+        "int64"
+    ) // 86_400_000_000
+    assert got_days.tolist() == list(exp.index)
+    assert out.new_users.tolist() == exp.tolist()
+
+
+def test_events_mad_matches_numpy_quantiles():
+    from kgray.pipelines.analytics import events_mad
+
+    out = events_mad(SF).to_pandas().set_index("event_type")
+    ev = _ev()
+    for t, g in ev.groupby("event_type"):
+        med = g.value.quantile(0.5, interpolation="linear")
+        mad = (g.value - med).abs().quantile(0.5, interpolation="linear")
+        assert out.loc[t, "median_value"] == np.floor(med * 1e4 + 0.5) / 1e4
+        assert out.loc[t, "mad"] == np.floor(mad * 1e4 + 0.5) / 1e4
