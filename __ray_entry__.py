@@ -1443,6 +1443,12 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_tfidf_similar_docs(sf_dir: str):
+    from kgray.stages.corpus_stats import tfidf_similar_docs
+
+    return tfidf_similar_docs(sf_dir)
+
+
 def _q_ks_statistic(sf_dir: str):
     from kgray.pipelines.analytics import ks_statistic
 
@@ -1834,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_corpus": _q_pretrain_corpus,
         "media_dedup": _q_media_dedup,
         "kg_incremental": _q_kg_incremental,
+        "tfidf_similar_docs": _q_tfidf_similar_docs,
         # distribution statistics
         "ks_statistic": _q_ks_statistic,
         "benford_digits": _q_benford_digits,
@@ -2885,6 +2892,33 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "tfidf_similar_docs": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok FROM t),
+ne AS (SELECT doc_id, tok FROM u WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf
+       FROM ne GROUP BY 1, 2),
+dfc AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY tok),
+n AS (SELECT count(*) c FROM documents),
+w AS (SELECT tf.doc_id, tf.tok,
+             tf.tf::DOUBLE * ln((SELECT c FROM n)::DOUBLE
+                                / dfc.df::DOUBLE) AS w
+      FROM tf JOIN dfc USING (tok)
+      WHERE dfc.df::DOUBLE <= 0.5 * (SELECT c FROM n)::DOUBLE),
+nr AS (SELECT doc_id,
+              sum(CAST(floor(w * w * 1e9 + 0.5) AS BIGINT)) AS n2
+       FROM w GROUP BY doc_id),
+p AS (SELECT a.doc_id da, b.doc_id db,
+             sum(CAST(floor(a.w * b.w * 1e9 + 0.5) AS BIGINT)) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+c AS (SELECT p.da AS doc_a, p.db AS doc_b,
+             floor(p.dot / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) * 1e6
+                   + 0.5) / 1e6 AS cosine
+      FROM p JOIN nr na ON na.doc_id = p.da
+             JOIN nr nb ON nb.doc_id = p.db)
+SELECT doc_a, doc_b, cosine FROM c WHERE cosine >= 0.3
 """,
         "ks_statistic": """
 WITH u AS (SELECT value,

@@ -113,3 +113,50 @@ def test_top_tokens_by_lang_rank_and_counts():
         g = out[out.lang == lang].sort_values("rnk")
         assert list(zip(g.token, g.n)) == exp
         assert g.rnk.tolist() == list(range(1, len(g) + 1))
+
+
+def test_tfidf_similar_docs_matches_sklearn_style_reference():
+    from collections import Counter
+
+    from kgray.stages.corpus_stats import tfidf_similar_docs
+
+    out = tfidf_similar_docs(SF, threshold=0.2).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    n = len(docs)
+    tfs, dfc = {}, Counter()
+    for _, r in docs.iterrows():
+        c = Counter(w for w in r.text.split(" ") if w)
+        tfs[r.doc_id] = c
+        dfc.update(c.keys())
+    vocab = {t for t, d in dfc.items() if d <= 0.5 * n}
+    vecs = {
+        did: {
+            t: tf * np.log(n / dfc[t]) for t, tf in c.items() if t in vocab
+        }
+        for did, c in tfs.items()
+    }
+
+    def q(x):
+        return np.floor(x * 1e9 + 0.5)
+
+    ids = sorted(vecs)
+    exp = {}
+    norm = {
+        d: sum(q(w * w) for w in vecs[d].values()) for d in ids
+    }
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(vecs[a]) & set(vecs[b])
+            if not shared:
+                continue
+            dot = sum(q(vecs[a][t] * vecs[b][t]) for t in shared)
+            cos = np.floor(
+                dot / np.sqrt(float(norm[a]) * float(norm[b])) * 1e6 + 0.5
+            ) / 1e6
+            if cos >= 0.2:
+                exp[(a, b)] = cos
+    got = {
+        (r.doc_a, r.doc_b): r.cosine for r in out.itertuples()
+    }
+    assert got == exp
+    assert ((out.cosine >= 0.2) & (out.cosine <= 1.0)).all()
