@@ -1443,6 +1443,24 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_bpe_encode(sf_dir: str):
+    from kgray.stages.pack import bpe_encode
+
+    return bpe_encode(sf_dir)
+
+
+def _q_nation_revenue_share(sf_dir: str):
+    from kgray.pipelines.relational import nation_revenue_share
+
+    return nation_revenue_share(sf_dir)
+
+
+def _q_user_value_ewma(sf_dir: str):
+    from kgray.pipelines.relational import user_value_ewma
+
+    return user_value_ewma(sf_dir)
+
+
 def _q_tfidf_similar_docs(sf_dir: str):
     from kgray.stages.corpus_stats import tfidf_similar_docs
 
@@ -1841,6 +1859,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": _q_media_dedup,
         "kg_incremental": _q_kg_incremental,
         "tfidf_similar_docs": _q_tfidf_similar_docs,
+        "bpe_encode": _q_bpe_encode,
+        "nation_revenue_share": _q_nation_revenue_share,
+        "user_value_ewma": _q_user_value_ewma,
         # distribution statistics
         "ks_statistic": _q_ks_statistic,
         "benford_digits": _q_benford_digits,
@@ -2892,6 +2913,23 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "nation_revenue_share": """
+WITH per AS (
+  SELECT r.r_name, n.n_name,
+         sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                        + 0.5) AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name, cents / 100.0 AS revenue,
+       floor(cents::DOUBLE
+             / (sum(cents) OVER (PARTITION BY r_name))::DOUBLE * 1e6
+             + 0.5) / 1e6 AS share
+FROM per
 """,
         "tfidf_similar_docs": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

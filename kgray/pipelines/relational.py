@@ -1203,3 +1203,145 @@ def events_gapfill(sf_dir: str) -> "ray.data.Dataset":
     out = spine.merge(counts, on=["event_type", "day"], how="left")
     out["n_events"] = out.n.fillna(0).astype(np.int64)
     return ray.data.from_pandas(out[["event_type", "day", "n_events"]])
+
+
+def nation_revenue_share(sf_dir: str) -> "ray.data.Dataset":
+    """Percent-of-total window (ratio_to_report): each nation's revenue
+    share within its REGION — a partition-total normalization, the
+    window shape where every row needs its partition's aggregate.
+
+    Revenue per nation reuses the revenue_by_nation plan (combiner →
+    order/customer joins → keyed reduce, cents-exact int64); the
+    region-partition totals are then a ~5-row second aggregate over the
+    25-row nation result, and the share division runs map-side — the
+    window never touches the fact table.  share = nation_cents::DOUBLE
+    / region_cents::DOUBLE, rounded half-up to 6 decimals.
+    """
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from ..utils import coarse_grouped_map, repartition_join
+
+    nation = pq.read_table(
+        _os.path.join(sf_dir, "nation.parquet")
+    ).to_pandas()
+    region = pq.read_table(
+        _os.path.join(sf_dir, "region.parquet")
+    ).to_pandas()
+    nmap = nation.set_index("n_nationkey")
+    rmap = region.set_index("r_regionkey").r_name
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.floor(
+            (df.l_extendedprice * (1.0 - df.l_discount)).to_numpy()
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    with_orders = repartition_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "cents": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    with_cust = repartition_join(
+        with_orders.map_batches(cust_partial, batch_format="pyarrow"),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_types={"o_custkey": pa.int64(), "cents": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "c_nationkey": pa.int64()},
+    )
+
+    nk = nmap.n_name
+    rk = nmap.n_regionkey
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_nation = coarse_grouped_map(
+        with_cust.map_batches(nation_partial, batch_format="pyarrow"),
+        "c_nationkey",
+        lambda df: df.groupby("c_nationkey", as_index=False).agg(
+            cents=("cents", "sum")
+        ),
+        num_partitions=8,
+    ).to_pandas()  # 25 rows — the dimension-bounded window input
+
+    per_nation["r_name"] = per_nation.c_nationkey.map(rk).map(rmap)
+    per_nation["n_name"] = per_nation.c_nationkey.map(nk)
+    tot = per_nation.groupby("r_name").cents.transform("sum")
+    out = pd.DataFrame(
+        {
+            "r_name": per_nation.r_name,
+            "n_name": per_nation.n_name,
+            "revenue": per_nation.cents.astype(np.int64) / 100.0,
+            "share": np.floor(
+                per_nation.cents.to_numpy(np.float64)
+                / tot.to_numpy(np.float64) * 1e6 + 0.5
+            ) / 1e6,
+        }
+    )
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+def user_value_ewma(
+    sf_dir: str, alpha: float = 0.25
+) -> "ray.data.Dataset":
+    """Per-user exponentially weighted moving average of event values,
+    final state per user: (user_id, n_events, last_value, ewma) with
+    ewma_t = alpha·x_t + (1-alpha)·ewma_{t-1} over (ts, event_id) order
+    — the online feature a streaming scorer keeps per key, computed
+    batch-distributed (one user-keyed partition pass; the recursion is
+    vectorized per user with the standard weight identity rather than a
+    Python loop over rows).  Rounded half-up to 6 decimals.
+
+    No SQL oracle: the recursion is per-key sequential state (DuckDB
+    has no EWMA aggregate); pinned by a pandas.ewm reference pytest.
+    """
+    from ..utils import coarse_grouped_map
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def ewma_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            x = g.value.to_numpy(np.float64)
+            n = len(x)
+            # vectorized recursion: ewma_t = (1-a)^t·[a·sum(x_i/(1-a)^i)
+            # ... numerically unstable for long series; use the pandas
+            # ewm kernel (C-implemented, adjust=False matches the
+            # recursion exactly)
+            e = pd.Series(x).ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+            out.append((uid, n, x[-1], np.floor(e * 1e6 + 0.5) / 1e6))
+        return pd.DataFrame(
+            out, columns=["user_id", "n_events", "last_value", "ewma"]
+        )
+
+    return coarse_grouped_map(ev, "user_id", ewma_partition)

@@ -396,3 +396,74 @@ def learn_bpe_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
     out["rank"] = out["rank"].astype(np.int64)
     out["pair_count"] = out.pair_count.astype(np.int64)
     return out
+
+
+def bpe_encode(
+    sf_dir: str, n_merges: int = 12
+) -> "ray.data.Dataset":
+    """Apply learned BPE merges to the corpus → (doc_id, n_words,
+    n_subwords, compression) — the encode half of the tokenizer story
+    (``learn_bpe_merges`` is the induction half).
+
+    The merge table is rank-ordered and TINY (it IS the tokenizer), so
+    it broadcasts via ``ray.put``; encoding is a pure map that segments
+    each distinct word once per batch (word-level memoization inside the
+    batch — Zipf makes the distinct-word set far smaller than the token
+    stream) and sums subword counts per document.  compression =
+    n_subwords::DOUBLE / n_words::DOUBLE, rounded half-up to 6 decimals.
+    No SQL oracle (the merge rules are learned, data-dependent state);
+    correctness is pinned by pytest against a reference encoder.
+    """
+    merges = learn_bpe_merges(sf_dir, n_merges=n_merges)
+    ranks = {
+        (l, r): i
+        for i, (l, r) in enumerate(zip(merges.left, merges.right))
+    }
+    r_ref = ray.put(ranks)
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def encode_word(word: str, ranks_: dict) -> int:
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best, pos = None, -1
+            for i, pair in enumerate(zip(syms[:-1], syms[1:])):
+                rk = ranks_.get(pair)
+                if rk is not None and (best is None or rk < best):
+                    best, pos = rk, i
+            if best is None:
+                break
+            syms[pos : pos + 2] = [syms[pos] + syms[pos + 1]]
+        return len(syms)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ranks_ = ray.get(r_ref)
+        df = batch.to_pandas()
+        cache: dict = {}
+        out_id, out_w, out_s = [], [], []
+        for did, text in zip(df.doc_id, df.text):
+            words = [w for w in (text or "").split(" ") if w]
+            total = 0
+            for w in words:
+                c = cache.get(w)
+                if c is None:
+                    c = encode_word(w, ranks_)
+                    cache[w] = c
+                total += c
+            out_id.append(did)
+            out_w.append(len(words))
+            out_s.append(total)
+        nw = np.array(out_w, np.float64)
+        ns = np.array(out_s, np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            comp = np.where(nw > 0, ns / nw, 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_words": pa.array(np.array(out_w, np.int64)),
+                "n_subwords": pa.array(np.array(out_s, np.int64)),
+                "compression": pa.array(np.floor(comp * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pyarrow")

@@ -181,3 +181,29 @@ def test_events_mad_matches_numpy_quantiles():
         mad = (g.value - med).abs().quantile(0.5, interpolation="linear")
         assert out.loc[t, "median_value"] == np.floor(med * 1e4 + 0.5) / 1e4
         assert out.loc[t, "mad"] == np.floor(mad * 1e4 + 0.5) / 1e4
+
+
+def test_user_value_ewma_matches_pandas_ewm():
+    from kgray.pipelines.relational import user_value_ewma
+
+    out = user_value_ewma(SF, alpha=0.25).to_pandas().set_index("user_id")
+    ev = _ev().sort_values(["user_id", "ts", "event_id"])
+    for uid, g in list(ev.groupby("user_id"))[:25]:
+        exp = g.value.ewm(alpha=0.25, adjust=False).mean().iloc[-1]
+        assert out.loc[uid, "ewma"] == np.floor(exp * 1e6 + 0.5) / 1e6
+        assert out.loc[uid, "n_events"] == len(g)
+        assert out.loc[uid, "last_value"] == g.value.iloc[-1]
+    assert len(out) == ev.user_id.nunique()
+
+
+def test_nation_revenue_share_sums_to_one_per_region():
+    from kgray.pipelines.relational import nation_revenue_share
+
+    out = nation_revenue_share(SF).to_pandas()
+    s = out.groupby("r_name").share.sum()
+    assert ((s - 1.0).abs() < 1e-4).all()
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    cents = np.floor(
+        (li.l_extendedprice * (1.0 - li.l_discount)) * 100.0 + 0.5
+    ).astype(np.int64)
+    assert abs(out.revenue.sum() - cents.sum() / 100.0) < 1e-6
