@@ -86,3 +86,45 @@ def write_table(
         ds.write_parquet(uri, partition_cols=partition_cols)
     else:
         ds.write_parquet(uri)
+
+
+def read_jsonl(
+    uri: str, columns: Optional[Sequence[str]] = None, **kwargs
+) -> "ray.data.Dataset":
+    """Read newline-delimited JSON as a Ray Dataset (the reference
+    persists every stage as JSON — indra_download_extract.py:36-40; this
+    is the bulk-ingest twin of those artifacts).  Column pruning happens
+    right after parse: JSON text cannot be projected at the read the way
+    parquet can, so prune-at-the-read here means dropping columns before
+    the first shuffle."""
+    ds = ray.data.read_json(uri, **kwargs)
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
+def write_jsonl(ds: "ray.data.Dataset", uri: str) -> None:
+    """Write a Dataset as sharded newline-delimited JSON (one file per
+    block — the resumable layout convention, never one giant file)."""
+    ds.write_json(uri)
+
+
+def read_csv_table(
+    uri: str, columns: Optional[Sequence[str]] = None, **kwargs
+) -> "ray.data.Dataset":
+    """Read CSV as a Ray Dataset; column pruning is pushed into the Arrow
+    CSV reader (convert_options) so non-selected columns never
+    materialize."""
+    if columns:
+        from pyarrow import csv as pacsv
+
+        kwargs = dict(kwargs)
+        kwargs["convert_options"] = pacsv.ConvertOptions(
+            include_columns=list(columns)
+        )
+    return ray.data.read_csv(uri, **kwargs)
+
+
+def write_csv_table(ds: "ray.data.Dataset", uri: str) -> None:
+    """Write a Dataset as sharded CSV files."""
+    ds.write_csv(uri)

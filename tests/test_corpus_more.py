@@ -107,3 +107,38 @@ def test_session_stats_consistent_with_events_sessions():
         stats.mean_session_seconds.sort_index(), mean_dur.sort_index(),
         atol=1e-6,
     )
+
+
+def test_jsonl_and_csv_roundtrip(tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from kgray.sources.io import (
+        read_csv_table,
+        read_jsonl,
+        write_csv_table,
+        write_jsonl,
+    )
+
+    df = pd.DataFrame(
+        {"doc_id": [3, 1, 2], "text": ["a b", "c", "d e f"],
+         "n": [2, 1, 3]}
+    )
+    ds = ray.data.from_pandas(df)
+
+    jdir = str(tmp_path / "j")
+    write_jsonl(ds, jdir)
+    back = read_jsonl(jdir).to_pandas().sort_values("doc_id")
+    assert back.doc_id.tolist() == [1, 2, 3]
+    assert back.text.tolist() == ["c", "d e f", "a b"]
+
+    # column pruning drops the unselected column after parse
+    pruned = read_jsonl(jdir, columns=["doc_id"]).to_pandas()
+    assert list(pruned.columns) == ["doc_id"]
+
+    cdir = str(tmp_path / "c")
+    write_csv_table(ds, cdir)
+    cback = read_csv_table(cdir).to_pandas().sort_values("doc_id")
+    assert cback.n.tolist() == [1, 3, 2]
+    cpruned = read_csv_table(cdir, columns=["doc_id", "n"]).to_pandas()
+    assert sorted(cpruned.columns) == ["doc_id", "n"]
