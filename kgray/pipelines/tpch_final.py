@@ -738,9 +738,11 @@ def supplier_count_by_part(
     derived from lineitem).
 
     Shape: lineitem compacts to DISTINCT (partkey, suppkey) pairs
-    per batch, the excluded-supplier set anti-semi-joins the pairs via
-    utils.repartition_join (suppliers scale with sf — never broadcast),
-    a second repartition join attaches part attributes (brand filtered),
+    per batch, the excluded-supplier set anti-joins the pairs via
+    utils.smart_join (the exclusion list is a FILTERED fraction of the
+    supplier dimension — broadcast while it fits, shuffle when it
+    doesn't; the adaptive call makes that decision from a row count),
+    a second adaptive join attaches part attributes (brand filtered),
     then one keyed reduce counts distinct suppliers per attribute cell.
     """
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
@@ -756,7 +758,9 @@ def supplier_count_by_part(
         out = df.loc[df.s_acctbal < min_acctbal, ["s_suppkey"]]
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    pairs = repartition_join(
+    from ..utils import smart_join
+
+    pairs = smart_join(
         li.map_batches(pair_partial, batch_format="pyarrow"),
         supp.map_batches(excluded, batch_format="pyarrow"),
         left_on="l_suppkey",
@@ -776,7 +780,7 @@ def supplier_count_by_part(
         df["p_size"] = df.p_size.astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    with_part = repartition_join(
+    with_part = smart_join(
         pairs,
         part.map_batches(brand_filter, batch_format="pyarrow"),
         left_on="l_partkey",
