@@ -1443,6 +1443,21 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_kg_comention(sf_dir: str):
+    import pyarrow as pa
+
+    from kgray.stages.graph_algos import comention_graph
+
+    edges = _kg_result(sf_dir).edges.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "src": b.column("subj"),
+             "dst": b.column("obj")}
+        ),
+        batch_format="pyarrow",
+    )
+    return comention_graph(edges)
+
+
 def _q_bpe_encode(sf_dir: str):
     from kgray.stages.pack import bpe_encode
 
@@ -1860,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": _q_kg_incremental,
         "tfidf_similar_docs": _q_tfidf_similar_docs,
         "bpe_encode": _q_bpe_encode,
+        "kg_comention": _q_kg_comention,
         "nation_revenue_share": _q_nation_revenue_share,
         "user_value_ewma": _q_user_value_ewma,
         # distribution statistics
@@ -3515,6 +3531,15 @@ p AS (SELECT a.src AS na, b.src AS nb, CAST(count(*) AS BIGINT) AS c
 SELECT p.na AS node_a, p.nb AS node_b,
        floor(p.c / (da.d + db.d - p.c) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM p JOIN deg da ON da.node = p.na JOIN deg db ON db.node = p.nb
+""",
+        "kg_comention": _KG_CTE + """
+, ent AS (SELECT doc_id, 'w(X:' || ta || ')' AS e FROM pairs
+          UNION SELECT doc_id, 'w(X:' || tb || ')' FROM pairs),
+p AS (SELECT a.doc_id, a.e AS ea, b.e AS eb
+      FROM ent a JOIN ent b ON a.doc_id = b.doc_id AND a.e < b.e)
+SELECT ea AS entity_a, eb AS entity_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2
 """,
         "kg_two_hop": _KG_CTE + """
 , eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,

@@ -886,3 +886,68 @@ def two_hop_counts(
         count_final,
         num_partitions=num_partitions,
     )
+
+
+def comention_graph(
+    edges_with_doc: "ray.data.Dataset", num_partitions: int = 8
+) -> "ray.data.Dataset":
+    """Document co-mention graph: (entity_a < entity_b, n_docs) counting
+    in how many documents both entities appear (as subject OR object of
+    any edge) — the co-occurrence graph entity-embedding and
+    graph-completion training starts from.
+
+    Input: (doc_id, src, dst) edge rows.  Per-doc entity sets collapse
+    map-side (union of both endpoints, distinct per batch), the pair
+    generation groups by doc_id (all of a document's entities co-locate
+    — one vectorized in-partition self-merge, the wedge pattern), and
+    the cross-document count is one pair-keyed reduce.  A document
+    mentioning m entities emits m(m-1)/2 pair rows — the inherent
+    fan-out; documents are short so m is small, and a pathological doc
+    would be capped upstream by the chunker.
+    """
+
+    def mention_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        s = batch.column("src")
+        t = batch.column("dst")
+        df = pd.DataFrame(
+            {
+                "doc_id": pa.chunked_array(d.chunks + d.chunks).to_pylist(),
+                "entity": pa.chunked_array(s.chunks + t.chunks).to_pylist(),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    mentions = coarse_grouped_map(
+        edges_with_doc.map_batches(mention_partial, batch_format="pyarrow"),
+        ["doc_id", "entity"],
+        lambda df: df.drop_duplicates(["doc_id", "entity"]),
+        num_partitions=num_partitions,
+    )
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="doc_id")
+        m = m[m.entity_x < m.entity_y]
+        if m.empty:
+            return pd.DataFrame(
+                {"entity_a": pd.Series([], dtype="object"),
+                 "entity_b": pd.Series([], dtype="object"),
+                 "n_docs": pd.Series([], dtype="int64")}
+            )
+        g = m.groupby(["entity_x", "entity_y"], as_index=False).agg(
+            n_docs=("doc_id", "size")
+        )
+        g.columns = ["entity_a", "entity_b", "n_docs"]
+        return g.astype({"n_docs": "int64"})
+
+    pairs = coarse_grouped_map(
+        mentions, "doc_id", pair_partition, num_partitions=num_partitions
+    )
+
+    return coarse_grouped_map(
+        pairs,
+        ["entity_a", "entity_b"],
+        lambda df: df.groupby(["entity_a", "entity_b"],
+                              as_index=False).agg(n_docs=("n_docs", "sum")),
+        num_partitions=num_partitions,
+    )

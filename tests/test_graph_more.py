@@ -113,3 +113,21 @@ def test_k_core_empty_when_k_exceeds_graph():
     )
     out = k_core(ds, k=5).to_pandas()
     assert len(out) == 0
+
+
+def test_comention_graph_counts_documents_once():
+    from kgray.stages.graph_algos import comention_graph
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["d1", "d1", "d1", "d2", "d3"],
+            "src": ["a", "a", "b", "a", "c"],
+            "dst": ["b", "b", "c", "b", "c"],  # d3: self-mention only
+        }
+    )
+    edges = ray.data.from_arrow(pa.Table.from_pandas(rows))
+    out = comention_graph(edges).to_pandas()
+    got = {(r.entity_a, r.entity_b): r.n_docs for r in out.itertuples()}
+    # d1 mentions {a,b,c} → 3 pairs; d2 mentions {a,b}; duplicate edges
+    # within a doc count once; d3's self-loop yields no pair
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
