@@ -1443,6 +1443,12 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_event_value_trend(sf_dir: str):
+    from kgray.pipelines.analytics import event_value_trend
+
+    return event_value_trend(sf_dir)
+
+
 def _q_kg_comention(sf_dir: str):
     import pyarrow as pa
 
@@ -1876,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_similar_docs": _q_tfidf_similar_docs,
         "bpe_encode": _q_bpe_encode,
         "kg_comention": _q_kg_comention,
+        "event_value_trend": _q_event_value_trend,
         "nation_revenue_share": _q_nation_revenue_share,
         "user_value_ewma": _q_user_value_ewma,
         # distribution statistics
@@ -2929,6 +2936,27 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "event_value_trend": """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum((epoch_us(ts) - 1704067200000000) // 1000000)
+              AS HUGEINT) AS st,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+              AS HUGEINT) AS sv,
+         CAST(sum(((epoch_us(ts) - 1704067200000000) // 1000000)
+                  * ((epoch_us(ts) - 1704067200000000) // 1000000))
+              AS HUGEINT) AS stt,
+         CAST(sum(((epoch_us(ts) - 1704067200000000) // 1000000)
+                  * CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+              AS HUGEINT) AS stv
+  FROM events GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       floor((CAST(n * stv - st * sv AS DOUBLE)
+              / CAST(n * stt - st * st AS DOUBLE)) * 86400.0 / 100.0
+             * 1e8 + 0.5) / 1e8 AS slope_per_day
+FROM m
 """,
         "nation_revenue_share": """
 WITH per AS (

@@ -1621,3 +1621,75 @@ def events_mad(sf_dir: str) -> "ray.data.Dataset":
 
     return coarse_grouped_map(ev, "event_type", mad_partition,
                               num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend slope
+# ---------------------------------------------------------------------------
+
+def event_value_trend(
+    sf_dir: str, origin: str = "2024-01-01"
+) -> "ray.data.Dataset":
+    """Per event type: the least-squares TREND of value over time —
+    (event_type, n, slope_per_day) — the drift detector run per metric
+    before a data vintage is trusted.
+
+    Moment-sketch shape (one pass, no value ever shuffled twice):
+    per-batch int64 moment partials (n, Σt, Σv, Σt², Σtv) with value in
+    exact CENTS and t in whole SECONDS since ``origin`` (both
+    integerized so the sums are order-independent), one keyed reduce,
+    then the closed form evaluates in ARBITRARY-PRECISION integers
+    (python int here, HUGEINT in the oracle — n·Σtv overflows int64 by
+    design) before one exact-rounded double division.  slope_per_day =
+    cents/sec slope × 86400 / 100, rounded half-up to 8 decimals.
+    """
+    origin_us = int(pd.Timestamp(origin).value // 1_000)
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            batch.ts.astype("datetime64[us]").astype("int64") - origin_us
+        ) // 1_000_000
+        v = np.floor(batch.value.to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch.event_type,
+                "n": 1,
+                "st": t,
+                "sv": v,
+                "stt": t * t,
+                "stv": t * v,
+            }
+        )
+        return df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), st=("st", "sum"), sv=("sv", "sum"),
+            stt=("stt", "sum"), stv=("stv", "sum"),
+        )
+
+    sums = coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pandas"),
+        "event_type",
+        lambda df: df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), st=("st", "sum"), sv=("sv", "sum"),
+            stt=("stt", "sum"), stv=("stv", "sum"),
+        ),
+        num_partitions=8,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.itertuples():
+            # python ints: n·Σtv and Σt·Σv exceed int64 by construction
+            num = int(r.n) * int(r.stv) - int(r.st) * int(r.sv)
+            den = int(r.n) * int(r.stt) - int(r.st) * int(r.st)
+            slope = (float(num) / float(den)) * 86400.0 / 100.0 if den else 0.0
+            rows.append(
+                (r.event_type, np.int64(r.n),
+                 np.floor(slope * 1e8 + 0.5) / 1e8)
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "n", "slope_per_day"]
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")

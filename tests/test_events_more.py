@@ -207,3 +207,21 @@ def test_nation_revenue_share_sums_to_one_per_region():
         (li.l_extendedprice * (1.0 - li.l_discount)) * 100.0 + 0.5
     ).astype(np.int64)
     assert abs(out.revenue.sum() - cents.sum() / 100.0) < 1e-6
+
+
+def test_event_value_trend_matches_polyfit():
+    from kgray.pipelines.analytics import event_value_trend
+
+    out = event_value_trend(SF).to_pandas().set_index("event_type")
+    ev = _ev()
+    origin = pd.Timestamp("2024-01-01").value // 1_000
+    for t, g in ev.groupby("event_type"):
+        x = (
+            (_us(g.ts) - origin) // 1_000_000
+        ).to_numpy(np.float64)
+        y = np.floor(g.value.to_numpy() * 100.0 + 0.5) / 100.0
+        slope = np.polyfit(x, y, 1)[0] * 86400.0
+        got = out.loc[t, "slope_per_day"]
+        # same estimator, different arithmetic path — agree to ~1e-6
+        assert abs(got - slope) < 1e-6 * max(1.0, abs(slope))
+        assert out.loc[t, "n"] == len(g)
