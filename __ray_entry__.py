@@ -1443,6 +1443,12 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_knn_label_purity(sf_dir: str):
+    from kgray.stages.similarity import knn_label_purity
+
+    return knn_label_purity(sf_dir)
+
+
 def _q_event_value_trend(sf_dir: str):
     from kgray.pipelines.analytics import event_value_trend
 
@@ -1883,6 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": _q_bpe_encode,
         "kg_comention": _q_kg_comention,
         "event_value_trend": _q_event_value_trend,
+        "knn_label_purity": _q_knn_label_purity,
         "nation_revenue_share": _q_nation_revenue_share,
         "user_value_ewma": _q_user_value_ewma,
         # distribution statistics
@@ -2936,6 +2943,20 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "knn_label_purity": """
+WITH q AS (SELECT * FROM embeddings WHERE vec_id < 200),
+r AS (SELECT q.vec_id AS qid, q.label AS qlab, e.label AS nlab,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                        DESC, e.vec_id) AS rn
+      FROM q, embeddings e WHERE e.vec_id <> q.vec_id)
+SELECT CAST(qlab AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END)::DOUBLE
+         / count(*)::DOUBLE AS purity
+FROM r WHERE rn <= 5 GROUP BY qlab
 """,
         "event_value_trend": """
 WITH m AS (

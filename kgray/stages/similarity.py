@@ -1065,3 +1065,111 @@ def knn_pq(
         reduce_topk,
         num_partitions=8,
     )
+
+
+def knn_label_purity(
+    sf_dir: str, k: int = 5, n_queries: int = 200
+) -> "ray.data.Dataset":
+    """Embedding-space quality metric: for a deterministic query sample
+    (vec_id < ``n_queries``), the fraction of each query's ``k`` cosine
+    neighbours sharing the query's label, aggregated per label →
+    (label, n_pairs, purity) — the eval a team runs on a new embedding
+    model before re-indexing the corpus with it.
+
+    Exact brute force over the corpus for the SAMPLED queries only
+    (broadcast query matrix, per-batch matmul + per-query top-k, tiny
+    keyed reduces) — the sample bound keeps the exact eval linear in
+    corpus size; the production-scale variant would run the same
+    reduction over knn_ivf/knn_pq candidates instead.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..utils import coarse_grouped_map
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    vid = np.asarray(t.column("vec_id").to_pylist())
+    lab = np.asarray(t.column("label").to_pylist())
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    mask = vid < n_queries
+    qm = _normalize(emb[mask])
+    q_ref = ray.put((qm, vid[mask], lab[mask]))
+
+    emb_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm_, qids_, qlabs_ = ray.get(q_ref)
+        vm = _normalize(_to_matrix(batch.column("embedding")))
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        vlabs = batch.column("label").to_numpy(zero_copy_only=False)
+        sims = qm_ @ vm.T
+        out_q, out_n, out_s, out_ql, out_nl = [], [], [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            for j in idx:
+                if vids[j] == qids_[qi]:
+                    continue
+                out_q.append(qids_[qi])
+                out_n.append(vids[j])
+                out_s.append(row[j])
+                out_ql.append(qlabs_[qi])
+                out_nl.append(vlabs[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+                "qlabel": pa.array(np.array(out_ql, np.int64)),
+                "nlabel": pa.array(np.array(out_nl, np.int64)),
+            }
+        )
+
+    def per_query(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in df.groupby("query_id", sort=False):
+            g = g.sort_values(
+                ["sim", "neighbor_id"], ascending=[False, True]
+            ).head(k)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "label": g.qlabel.astype(np.int64),
+                        "hit": (g.nlabel == g.qlabel).astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame(
+            {"label": pd.Series([], dtype="int64"),
+             "hit": pd.Series([], dtype="int64")}
+        )
+
+    hits = coarse_grouped_map(
+        emb_ds.map_batches(batch_topk, batch_format="pyarrow"),
+        "query_id",
+        per_query,
+        num_partitions=8,
+    )
+
+    def purity(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label", as_index=False).agg(
+            n_pairs=("hit", "size"), hits=("hit", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "label": g.label.astype(np.int64),
+                "n_pairs": g.n_pairs.astype(np.int64),
+                "purity": g.hits.to_numpy(np.float64)
+                / g.n_pairs.to_numpy(np.float64),
+            }
+        )
+
+    return coarse_grouped_map(hits, "label", purity, num_partitions=8)

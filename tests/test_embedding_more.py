@@ -91,3 +91,30 @@ def test_pq_codebook_shapes_and_determinism():
     b2 = train_pq_codebooks(ds, n_subspaces=8, n_codes=16)
     assert b1.shape == (8, 16, 8)
     assert np.array_equal(b1, b2)
+
+
+def test_knn_label_purity_matches_bruteforce():
+    from kgray.stages.similarity import knn_label_purity
+
+    out = knn_label_purity(SF, k=3, n_queries=60).to_pandas()
+    df = _emb()
+    m = np.asarray(df.embedding.tolist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    vids = df.vec_id.to_numpy()
+    labs = df.label.to_numpy()
+    hits = {}
+    for qi in np.where(vids < 60)[0]:
+        sims = m[qi] @ m.T
+        order = sorted(
+            ((s, v, l) for s, v, l in zip(sims, vids, labs)
+             if v != vids[qi]),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        lab = labs[qi]
+        h = hits.setdefault(lab, [0, 0])
+        h[0] += sum(1 for _, _, nl in order if nl == lab)
+        h[1] += 3
+    got = out.set_index("label")
+    for lab, (hh, tt) in hits.items():
+        assert got.loc[lab, "n_pairs"] == tt
+        assert got.loc[lab, "purity"] == hh / tt
