@@ -219,6 +219,12 @@ def run_bench() -> dict:
         "knn_pq",
         "customer_order_distribution",
         "supplier_count_by_part",
+        "pretrain_corpus",
+        "tfidf_similar_docs",
+        "events_hopping",
+        "ks_statistic",
+        "weighted_sample",
+        "event_value_trend",
     ]:
         best = None
         for _ in range(repeats):

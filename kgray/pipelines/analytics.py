@@ -1439,10 +1439,12 @@ def ks_statistic(
                  "ca": pd.Series([], dtype="int64"),
                  "cb": pd.Series([], dtype="int64")}
             )
-        g = df.groupby("value").event_type.agg(
-            ca=lambda s: int((s == type_a).sum()),
-            cb=lambda s: int((s == type_b).sum()),
-        ).reset_index()
+        g = df.assign(
+            ca=(df.event_type == type_a).astype(np.int64),
+            cb=(df.event_type == type_b).astype(np.int64),
+        ).groupby("value", as_index=False).agg(
+            ca=("ca", "sum"), cb=("cb", "sum")
+        )
         r = np.clip(
             ((g.value - lo) / width).astype(np.int64), 0, n_ranges - 1
         )
