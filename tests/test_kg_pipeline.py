@@ -146,3 +146,31 @@ def test_media_spans_pass_through_untouched(pipeline_result):
     assert (media.text == "").all()
     assert media.media_ref.str.startswith("synthetic://").all()
     assert media.results.map(len).sum() == 0  # never extracted from
+
+
+def test_pipeline_is_deterministic_across_runs():
+    """Two independent executions over the same corpus produce
+    byte-identical edge and node tables (sorted) — the reproducibility
+    contract checkpoint resume and incremental merge both build on."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.corpus import generate_documents
+    from kgray.pipelines.kg import run_kg_pipeline
+
+    docs, _, _ = generate_documents(30, seed=21)
+
+    def run_once():
+        res = run_kg_pipeline(ray.data.from_arrow(docs).repartition(6))
+        e = res.edges.to_pandas().sort_values(
+            ["doc_id", "span_seq", "stmt_seq"]
+        ).reset_index(drop=True)
+        n = res.nodes.to_pandas().sort_values("node_id").reset_index(
+            drop=True
+        )
+        return e, n
+
+    e1, n1 = run_once()
+    e2, n2 = run_once()
+    pd.testing.assert_frame_equal(e1, e2)
+    pd.testing.assert_frame_equal(n1, n2)
