@@ -1443,6 +1443,12 @@ def _q_copurchase_kcore(sf_dir: str):
     return k_core(pairs, k=80)
 
 
+def _q_ship_latency_quantiles(sf_dir: str):
+    from kgray.pipelines.tpch_extra import ship_latency_quantiles
+
+    return ship_latency_quantiles(sf_dir)
+
+
 def _q_knn_label_purity(sf_dir: str):
     from kgray.stages.similarity import knn_label_purity
 
@@ -1890,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_comention": _q_kg_comention,
         "event_value_trend": _q_event_value_trend,
         "knn_label_purity": _q_knn_label_purity,
+        "ship_latency_quantiles": _q_ship_latency_quantiles,
         "nation_revenue_share": _q_nation_revenue_share,
         "user_value_ewma": _q_user_value_ewma,
         # distribution statistics
@@ -2943,6 +2950,24 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "ship_latency_quantiles": """
+WITH d AS (
+  SELECT o.o_orderpriority,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+           // 86400000000 AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT o_orderpriority, 0.5 AS q,
+       floor(quantile_cont(days, 0.5) * 1e4 + 0.5) / 1e4 AS latency_days
+FROM d GROUP BY 1
+UNION ALL
+SELECT o_orderpriority, 0.9,
+       floor(quantile_cont(days, 0.9) * 1e4 + 0.5) / 1e4
+FROM d GROUP BY 1
+UNION ALL
+SELECT o_orderpriority, 0.99,
+       floor(quantile_cont(days, 0.99) * 1e4 + 0.5) / 1e4
+FROM d GROUP BY 1
 """,
         "knn_label_purity": """
 WITH q AS (SELECT * FROM embeddings WHERE vec_id < 200),

@@ -297,3 +297,93 @@ def customer_running_total(sf_dir: str) -> "ray.data.Dataset":
         ]
 
     return coarse_grouped_map(orders, "o_custkey", running)
+
+
+def ship_latency_quantiles(
+    sf_dir: str, qs=(0.5, 0.9, 0.99)
+) -> "ray.data.Dataset":
+    """Order-to-ship latency distribution per order priority:
+    (o_orderpriority, q, latency_days) with exact linear-interpolated
+    quantiles of ``l_shipdate - o_orderdate`` in whole days — the
+    fulfillment-SLA report, a cross-table DERIVED duration (neither
+    table holds it) fed into grouped exact quantiles.
+
+    Shape: one repartition join on the order key attaches the order
+    date + priority to every lineitem (both facts shuffle once), the
+    latency computes vectorized in int64 days, and the per-priority
+    quantiles run in one priority-keyed partition pass (five groups —
+    every group's latencies co-locate; at petabyte scale swap in the
+    mergeable-histogram sketch of events_value_quantiles_approx).
+    """
+    from ..utils import coarse_grouped_map, repartition_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df.l_orderkey,
+                "ship_us": df.l_shipdate.astype("datetime64[us]").astype(
+                    "int64"
+                ),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {
+                "o_orderkey": df.o_orderkey,
+                "order_us": df.o_orderdate.astype("datetime64[us]").astype(
+                    "int64"
+                ),
+                "o_orderpriority": df.o_orderpriority,
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    joined = repartition_join(
+        li.map_batches(li_proj, batch_format="pyarrow"),
+        orders.map_batches(o_proj, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "ship_us": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "order_us": pa.int64(),
+                     "o_orderpriority": pa.string()},
+    )
+
+    q_list = list(qs)
+
+    def latency_days(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        days = (
+            (df.ship_us - df.order_us) // 86_400_000_000
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"o_orderpriority": df.o_orderpriority, "days": days}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def quantiles_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"o_orderpriority": [], "q": [], "latency_days": []}
+        for p, gd in g.groupby("o_orderpriority", sort=False):
+            vals = gd["days"].quantile(q_list, interpolation="linear")
+            rows["o_orderpriority"] += [p] * len(q_list)
+            rows["q"] += q_list
+            rows["latency_days"] += [
+                np.floor(v * 1e4 + 0.5) / 1e4 for v in vals
+            ]
+        return pd.DataFrame(rows)
+
+    return coarse_grouped_map(
+        joined.map_batches(latency_days, batch_format="pyarrow"),
+        "o_orderpriority",
+        quantiles_partition,
+        num_partitions=8,
+    )

@@ -106,3 +106,33 @@ def test_events_winsorized_hand_checked():
         # winsorizing must pull the mean toward the median
         assert row.mean_winsorized != row.mean_raw or \
             row.n_clipped_low + row.n_clipped_high == 0
+
+
+def test_ship_latency_quantiles_matches_pandas():
+    import numpy as np
+    import pandas as pd
+
+    from kgray.pipelines.tpch_extra import ship_latency_quantiles
+
+    SF = "/root/testdata/sf0.001"
+    out = ship_latency_quantiles(SF).to_pandas()
+    li = pd.read_parquet(SF + "/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = pd.read_parquet(SF + "/orders.parquet")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    days = (
+        j.l_shipdate.astype("datetime64[us]").astype("int64")
+        - j.o_orderdate.astype("datetime64[us]").astype("int64")
+    ) // 86_400_000_000
+    for p, g in days.groupby(j.o_orderpriority):
+        for q in (0.5, 0.9, 0.99):
+            exp = np.floor(
+                g.quantile(q, interpolation="linear") * 1e4 + 0.5
+            ) / 1e4
+            got = out[(out.o_orderpriority == p) & (out.q == q)]
+            assert got.latency_days.iloc[0] == exp
+    # latency is non-negative and quantiles are monotone in q
+    piv = out.pivot(index="o_orderpriority", columns="q",
+                    values="latency_days")
+    assert (piv[0.5] <= piv[0.9]).all() and (piv[0.9] <= piv[0.99]).all()
+    assert (out.latency_days >= 0).all()
