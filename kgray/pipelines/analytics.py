@@ -1425,10 +1425,23 @@ def ks_statistic(
     lo, hi = np.inf, -np.inf
     for rg in range(pf.metadata.num_row_groups):
         st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo, hi = np.inf, -np.inf
+            break
         lo, hi = min(lo, st.min), max(hi, st.max)
-    width = (hi - lo) / n_ranges or 1.0
 
     ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        # files written with statistics disabled (or an all-null value
+        # column): fall back to one distributed min/max pass for the
+        # range-partition bounds — the bounds only steer partitioning,
+        # so any exact pair works
+        lo = ev.min("value")
+        hi = ev.max("value")
+        if lo is None or hi is None:  # no rows at all
+            lo, hi = 0.0, 1.0
+    width = (hi - lo) / n_ranges or 1.0
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = batch[batch.event_type.isin([type_a, type_b])]
@@ -1637,54 +1650,94 @@ def event_value_trend(
     before a data vintage is trusted.
 
     Moment-sketch shape (one pass, no value ever shuffled twice):
-    per-batch int64 moment partials (n, Σt, Σv, Σt², Σtv) with value in
-    exact CENTS and t in whole SECONDS since ``origin`` (both
-    integerized so the sums are order-independent), one keyed reduce,
-    then the closed form evaluates in ARBITRARY-PRECISION integers
-    (python int here, HUGEINT in the oracle — n·Σtv overflows int64 by
-    design) before one exact-rounded double division.  slope_per_day =
-    cents/sec slope × 86400 / 100, rounded half-up to 8 decimals.
+    per-batch ARBITRARY-PRECISION moment partials (n, Σt, Σv, Σt², Σtv)
+    with value in exact CENTS and t in whole SECONDS since ``origin``
+    (both integerized so the sums are order-independent).  The high
+    moments are accumulated as Python ints per batch — Σt² over a
+    ~1-year window wraps numpy int64 at only ~10⁴ rows per type, while
+    the DuckDB oracle accumulates in HUGEINT — and each partial travels
+    as a hi/lo int64 pair (S = hi·2³² + lo), exact until |S| < 2⁹⁵.
+    One keyed reduce recombines and re-sums in Python ints, then the
+    closed form evaluates in arbitrary precision (python int here,
+    HUGEINT in the oracle — n·Σtv overflows int64 by design) before one
+    exact-rounded double division.  slope_per_day = cents/sec slope ×
+    86400 / 100, rounded half-up to 8 decimals.
     """
     origin_us = int(pd.Timestamp(origin).value // 1_000)
 
     ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
+    _MOMS = ("st", "sv", "stt", "stv")
+
+    def _split_frame(g: pd.DataFrame) -> pd.DataFrame:
+        # exact python-int sums → transport-safe hi/lo int64 pairs
+        out = {"event_type": g.event_type, "n": g.n.astype(np.int64)}
+        for c in _MOMS:
+            hi, lo = zip(*(divmod(int(s), 1 << 32) for s in g[c]))
+            out[c + "_hi"] = np.array(hi, dtype=np.int64)
+            out[c + "_lo"] = np.array(lo, dtype=np.int64)
+        return pd.DataFrame(out)
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         t = (
-            batch.ts.astype("datetime64[us]").astype("int64") - origin_us
-        ) // 1_000_000
-        v = np.floor(batch.value.to_numpy() * 100.0 + 0.5).astype(np.int64)
+            (batch.ts.astype("datetime64[us]").astype("int64") - origin_us)
+            // 1_000_000
+        ).tolist()  # python ints from here on — no wrap anywhere
+        v = [
+            int(x)
+            for x in np.floor(batch.value.to_numpy() * 100.0 + 0.5)
+        ]
         df = pd.DataFrame(
             {
-                "event_type": batch.event_type,
+                "event_type": batch.event_type.to_numpy(),
                 "n": 1,
-                "st": t,
-                "sv": v,
-                "stt": t * t,
-                "stv": t * v,
+                "st": pd.Series(t, dtype=object),
+                "sv": pd.Series(v, dtype=object),
+                "stt": pd.Series([x * x for x in t], dtype=object),
+                "stv": pd.Series([x * y for x, y in zip(t, v)],
+                                 dtype=object),
             }
         )
-        return df.groupby("event_type", as_index=False).agg(
+        g = df.groupby("event_type", as_index=False).agg(
             n=("n", "sum"), st=("st", "sum"), sv=("sv", "sum"),
             stt=("stt", "sum"), stv=("stv", "sum"),
         )
+        return _split_frame(g)
+
+    def reduce_sums(df: pd.DataFrame) -> pd.DataFrame:
+        rec = {"event_type": df.event_type, "n": df.n}
+        for c in _MOMS:
+            rec[c] = pd.Series(
+                [
+                    (int(h) << 32) + int(lo)
+                    for h, lo in zip(df[c + "_hi"], df[c + "_lo"])
+                ],
+                index=df.index,
+                dtype=object,
+            )
+        g = pd.DataFrame(rec).groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), st=("st", "sum"), sv=("sv", "sum"),
+            stt=("stt", "sum"), stv=("stv", "sum"),
+        )
+        return _split_frame(g)
 
     sums = coarse_grouped_map(
         ev.map_batches(partial, batch_format="pandas"),
         "event_type",
-        lambda df: df.groupby("event_type", as_index=False).agg(
-            n=("n", "sum"), st=("st", "sum"), sv=("sv", "sum"),
-            stt=("stt", "sum"), stv=("stv", "sum"),
-        ),
+        reduce_sums,
         num_partitions=8,
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in df.itertuples():
+            st = (int(r.st_hi) << 32) + int(r.st_lo)
+            sv = (int(r.sv_hi) << 32) + int(r.sv_lo)
+            stt = (int(r.stt_hi) << 32) + int(r.stt_lo)
+            stv = (int(r.stv_hi) << 32) + int(r.stv_lo)
             # python ints: n·Σtv and Σt·Σv exceed int64 by construction
-            num = int(r.n) * int(r.stv) - int(r.st) * int(r.sv)
-            den = int(r.n) * int(r.stt) - int(r.st) * int(r.st)
+            num = int(r.n) * stv - st * sv
+            den = int(r.n) * stt - st * st
             slope = (float(num) / float(den)) * 86400.0 / 100.0 if den else 0.0
             rows.append(
                 (r.event_type, np.int64(r.n),

@@ -15,6 +15,7 @@ Swapping in PIL/ffmpeg later only replaces the marked kernel bodies.
 """
 from __future__ import annotations
 
+import hashlib
 import zlib
 from typing import Optional
 
@@ -310,15 +311,18 @@ def sample_video_frames(chunks, interval_ms: int = 1000,
 
 
 def media_content_key(refs, payloads) -> "np.ndarray":
-    """Deterministic content-identity key for media items: crc32 of the
-    payload when present (content-addressed), else of the ref URI —
-    the key a real pipeline would take from a strong digest; crc32 keeps
-    the fake path dependency-free with identical plumbing."""
+    """Deterministic content-identity key for media items: blake2b-64 of
+    the payload when PRESENT (content-addressed — an empty payload b'' is
+    still content, only a missing/null payload falls back to hashing the
+    ref URI).  A 64-bit strong digest keeps the collision bound at
+    ~n²/2⁶⁵ (vs crc32's ~77k-asset birthday bound) with the same int64
+    plumbing."""
     out = np.zeros(len(refs), dtype=np.int64)
     for i, (r, p) in enumerate(zip(refs, payloads)):
-        out[i] = (
-            zlib.crc32(p) if p else zlib.crc32((r or "").encode())
-        )
+        data = p if p is not None else (r or "").encode()
+        out[i] = int.from_bytes(
+            hashlib.blake2b(data, digest_size=8).digest(), "big"
+        ) - (1 << 63)
     return out
 
 

@@ -40,6 +40,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_with_ties(scores: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-``kk`` scores INCLUDING every index tied with
+    the kk-th score.  A bare argpartition keeps an arbitrary subset of
+    cutoff ties, so a block could drop the lowest-id tied neighbor the
+    deterministic global reduce (sim DESC, neighbor_id ASC) would rank —
+    the ties-inclusive shortlist is a superset of any global top-k."""
+    if kk >= len(scores):
+        return np.arange(len(scores))
+    part = np.argpartition(-scores, kk - 1)[:kk]
+    return np.flatnonzero(scores >= scores[part].min())
+
+
 def knn_cosine(
     embeddings: "ray.data.Dataset",
     queries: np.ndarray,
@@ -67,7 +79,7 @@ def knn_cosine(
         kk = min(k + (1 if exclude_self else 0), sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            idx = np.argpartition(-row, kk - 1)[:kk]
+            idx = _topk_with_ties(row, kk)
             for j in idx:
                 if exclude_self and vids[j] == qids_[qi]:
                     continue
@@ -418,7 +430,7 @@ def knn_ivf(
             sims = qm_[q_idx] @ sub.T  # (q, m)
             kk = min(k + 1, sims.shape[1])
             for r, qi in enumerate(q_idx):
-                top = np.argpartition(-sims[r], kk - 1)[:kk]
+                top = _topk_with_ties(sims[r], kk)
                 for j in top:
                     if sub_ids[j] == qids_[qi]:
                         continue
@@ -825,7 +837,7 @@ def mips_topk(
         kk = min(k + (1 if exclude_self else 0), sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            idx = np.argpartition(-row, kk - 1)[:kk]
+            idx = _topk_with_ties(row, kk)
             for j in idx:
                 if exclude_self and vids[j] == qids_[qi]:
                     continue
@@ -1114,7 +1126,7 @@ def knn_label_purity(
         kk = min(k + 1, sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            idx = np.argpartition(-row, kk - 1)[:kk]
+            idx = _topk_with_ties(row, kk)
             for j in idx:
                 if vids[j] == qids_[qi]:
                     continue

@@ -347,6 +347,11 @@ def smart_join(
     row width; at 100 TB set it to whatever fits the task heap (the
     default ≈ a few MB for typical dimension rows).
     """
+    # validate up front: the broadcast path feeds ``how`` straight into
+    # pandas.merge, so an unsupported type would otherwise error (or
+    # silently mis-join) only when the right side happens to be small
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"unsupported join type: {how!r}")
     if how == "outer":
         return repartition_join(
             left, right, left_on, right_on, left_types, right_types,

@@ -225,3 +225,48 @@ def test_event_value_trend_matches_polyfit():
         # same estimator, different arithmetic path — agree to ~1e-6
         assert abs(got - slope) < 1e-6 * max(1.0, abs(slope))
         assert out.loc[t, "n"] == len(g)
+
+
+def test_event_value_trend_exact_at_overflow_scale(tmp_path):
+    """Σt² over a 1-year window at 30k rows/type exceeds int64 (~1e19):
+    the hi/lo-pair partials must stay exact where numpy int64 sums wrap
+    silently (ADVICE r2)."""
+    from kgray.pipelines.analytics import event_value_trend
+
+    rng = np.random.RandomState(3)
+    n = 30000
+    # one year of second-resolution timestamps; t ~ 3.15e7, t² ~ 1e15
+    secs = np.sort(rng.randint(0, 365 * 86400, size=n))
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, unit="s")
+    vals = 10.0 + secs / 86400.0 * 0.25 + rng.normal(0, 0.5, n).round(2)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": "purchase",
+            "ts": ts.astype("datetime64[us]"),
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    # int64 really would wrap here — the guard the fix is about
+    t_int = secs.astype(np.int64)
+    assert (t_int * t_int).sum(dtype=np.int64) != sum(
+        int(x) * int(x) for x in t_int
+    ) or (t_int * t_int).sum(dtype=object) > 2 ** 63
+
+    out = event_value_trend(str(tmp_path)).to_pandas()
+    row = out[out.event_type == "purchase"].iloc[0]
+
+    # exact reference: same integerized closed form in python ints
+    t = [int(x) for x in secs]
+    v = [int(x) for x in np.floor(vals * 100.0 + 0.5)]
+    nn = len(t)
+    num = nn * sum(x * y for x, y in zip(t, v)) - sum(t) * sum(v)
+    den = nn * sum(x * x for x in t) - sum(t) ** 2
+    slope = (float(num) / float(den)) * 86400.0 / 100.0
+    expect = np.floor(slope * 1e8 + 0.5) / 1e8
+    assert row.n == n
+    assert row.slope_per_day == expect

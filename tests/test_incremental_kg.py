@@ -58,9 +58,7 @@ def test_smart_join_inner_values():
 # ---------------------------------------------------------------------------
 
 def test_media_dedup_by_payload_content():
-    import zlib
-
-    from kgray.stages.multimodal import media_dedup
+    from kgray.stages.multimodal import media_content_key, media_dedup
 
     rows = pd.DataFrame(
         {
@@ -76,10 +74,23 @@ def test_media_dedup_by_payload_content():
     # payload XX appears twice under different refs → one survivor
     # (text spans never participate)
     assert len(out) == 3
-    xx = out[out.content_key == zlib.crc32(b"XX")]
+    xx_key = int(media_content_key(["m://a"], [b"XX"])[0])
+    xx = out[out.content_key == xx_key]
     assert xx.n_copies.iloc[0] == 2
     assert xx.doc_id.iloc[0] == "d1" and xx.span_seq.iloc[0] == 0
     assert set(out.n_copies) == {1, 2}
+
+
+def test_media_content_key_empty_payload_is_content():
+    """b'' is present content: two EMPTY payloads share a key regardless
+    of ref, and differ from a MISSING payload's ref-keyed fallback."""
+    from kgray.stages.multimodal import media_content_key
+
+    keys = media_content_key(
+        ["m://a", "m://b", "m://a"], [b"", b"", None]
+    )
+    assert keys[0] == keys[1]
+    assert keys[0] != keys[2]
 
 
 def test_media_dedup_falls_back_to_ref_without_payload():
