@@ -19,9 +19,12 @@ difference between shingling the whole crawl and shingling the fraction
 that passed admission.
 
 Scale notes: admission is a pure map (prunes before any shuffle); exact
-dedup and the LSH stages shuffle only survivor rows; the component map is
-pair-bounded (stages/dedup.pair_components).  Filter thresholds mirror the
-DuckDB oracle in __ray_entry__ expression-for-expression.
+dedup and the LSH stages shuffle only survivor rows; components solve
+through the distributed min-label propagation
+(stages/graph_algos.connected_components — no driver-side graph), and
+keep-one is an anti repartition join against the pair-graph-bounded
+loser set.  Filter thresholds mirror the DuckDB oracle in __ray_entry__
+expression-for-expression.
 """
 from __future__ import annotations
 
@@ -34,10 +37,10 @@ import ray
 import ray.data
 
 from ..stages.dedup import (
+    component_losers,
     exact_dedup,
     jaccard_pairs_exact,
     minhash_lsh_pairs,
-    pair_components,
 )
 from ..stages.text_analysis import _TOKEN_RE
 
@@ -136,23 +139,43 @@ def curate_corpus(
         pairs = minhash_lsh_pairs(deduped, threshold=near_dup_threshold)
     else:
         raise ValueError(f"unknown pair_method: {pair_method!r}")
-    rep = pair_components(pairs)
-    rep_ref = ray.put(rep)
 
-    def keep_reps(batch: pa.Table) -> pa.Table:
-        m = ray.get(rep_ref)
-        ids = batch.column("doc_id").to_pylist()
-        keep = pa.array([m.get(i, i) == i for i in ids], pa.bool_())
-        out = batch.filter(keep)
+    # keep-one: drop the NON-representative component members via one
+    # anti repartition join against the distributed component solve —
+    # no driver union-find, no broadcast of a doc→rep map (r2 verdict #1)
+    from ..utils import repartition_join
+
+    survivors = repartition_join(
+        deduped,
+        component_losers(pairs),
+        "doc_id",
+        "doc_id",
+        {"doc_id": pa.int64(), "text": pa.string()},
+        {"doc_id": pa.int64()},
+        num_partitions=8,
+        how="anti",
+    )
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
         n_tok = pc.cast(
-            pc.count_substring_regex(out.column("text"), _TOKEN_RE),
+            pc.count_substring_regex(
+                batch.column("text").cast(pa.string()), _TOKEN_RE
+            ),
             pa.int64(),
         )
         return pa.table(
-            {"doc_id": out.column("doc_id"), "n_tokens": n_tok}
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": n_tok,
+            }
         )
 
-    return deduped.map_batches(keep_reps, batch_format="pyarrow")
+    return survivors.map_batches(count_tokens, batch_format="pyarrow")
 
 
 QUOTA_MULT = 2654435761  # Knuth multiplicative constant (fits int64 math)
@@ -393,21 +416,35 @@ def pretrain_corpus(
     ).materialize()
 
     pairs = minhash_lsh_pairs(deduped, threshold=near_dup_threshold)
-    rep = pair_components(pairs)
-    rep_ref = ray.put(rep)
 
-    def keep_reps(batch: pa.Table) -> pa.Table:
-        m = ray.get(rep_ref)
-        ids = batch.column("doc_id").to_pylist()
-        keep = pa.array([m.get(i, i) == i for i in ids], pa.bool_())
-        out = batch.filter(keep)
-        df = out.to_pandas()
-        n_tok = df.text.str.split(" ").str.len().to_numpy(np.int64)
+    # keep-one via distributed components + anti join (r2 verdict #1):
+    # the component solve never touches the driver, and only the
+    # pair-graph-bounded loser set crosses the join
+    from ..utils import repartition_join
+
+    survivors = repartition_join(
+        deduped,
+        component_losers(pairs),
+        "doc_id",
+        "doc_id",
+        {"doc_id": pa.int64(), "text": pa.string()},
+        {"doc_id": pa.int64()},
+        num_partitions=8,
+        how="anti",
+    )
+
+    def count_tokens(batch: "pd.DataFrame") -> pa.Table:
+        if "doc_id" not in batch.columns or len(batch) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+        n_tok = batch.text.str.split(" ").str.len().to_numpy(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(df.doc_id.to_numpy(np.int64)),
+                "doc_id": pa.array(batch.doc_id.to_numpy(np.int64)),
                 "n_tokens": pa.array(n_tok),
             }
         )
 
-    return deduped.map_batches(keep_reps, batch_format="pyarrow")
+    return survivors.map_batches(count_tokens, batch_format="pandas")

@@ -17,13 +17,13 @@ Pipeline shape (distributed end to end except the component solve):
 4. exact char-shingle Jaccard verification of candidates inside the same
    shard groups (names are self-contained: both sides of a pair are in
    the row, so no join is needed);
-5. connected components: union-find on the driver over the VERIFIED PAIR
-   EDGES ONLY — the edge set is bounded by LSH bucket caps (≤ MAX_BUCKET²
-   per bucket) and is orders of magnitude smaller than the name set.  The
-   name set itself is never collected: the component mapping (names that
-   appear in ≥1 edge) is broadcast via ``ray.put`` and applied to the
-   distinct-name Dataset in map_batches; names in no edge are singleton
-   clusters by default.
+5. connected components: STRING-TYPED distributed min-label propagation
+   (graph_algos.connected_components) over the verified pair edges — the
+   component label IS the lexicographically smallest original form, i.e.
+   the canonical — joined back onto the distinct-name set with one
+   name-keyed left repartition join.  Nothing (names, edges, or the
+   canonical map) is ever collected or broadcast from the driver; names
+   in no edge are singleton clusters by default.
 
 Output: Dataset (name, cluster_id, canonical) where canonical is the
 lexicographically smallest ORIGINAL form in the cluster and cluster_id is
@@ -32,7 +32,7 @@ partitionings and cluster sizes — no global rank is computed).
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 import pandas as pd
@@ -223,45 +223,55 @@ def cluster_surface_forms(
         .map_groups(shard_verified_pairs, batch_format="pandas")
     )
 
-    # --- connected components over the pair edges only (driver union-find;
-    # the edge list is LSH-bounded, the name set is never collected)
-    edges = exact_edges.union(lsh_edges).to_pandas().drop_duplicates()
-    parent: Dict[str, str] = {}
+    # --- connected components over the pair edges, FULLY DISTRIBUTED
+    # (round 3: the former driver union-find + ray.put canonical map is
+    # gone).  String-typed min-label propagation makes the component
+    # label the lexicographically smallest ORIGINAL form directly — the
+    # canonical — and it comes back onto the name set via one name-keyed
+    # left repartition join; names in no edge stay their own canonical.
+    from .graph_algos import connected_components
+    from ..utils import repartition_join
 
-    def find(x: str) -> str:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+    cc = connected_components(
+        exact_edges.union(lsh_edges),
+        node_type=pa.string(),
+        left_col="name_a",
+        right_col="name_b",
+    )
 
-    for a, b in zip(edges.name_a, edges.name_b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    joined = repartition_join(
+        distinct,
+        cc,
+        "name",
+        "doc_id",
+        {"name": pa.string()},
+        {"doc_id": pa.string(), "rep_id": pa.string()},
+        num_partitions=8,
+        how="left",
+    )
 
-    canon: Dict[str, str] = {}
-    for n in set(edges.name_a) | set(edges.name_b):
-        canon[n] = find(n)
-    canon_ref = ray.put(canon)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(canon_ref)
-        ns = batch.column("name").to_pylist()
-        canonical = np.array([cmap.get(n, n) for n in ns], dtype=object)
+    def assign(df: "pd.DataFrame") -> pa.Table:
+        if "name" not in df.columns or len(df) == 0:
+            return pa.table(
+                {"name": pa.array([], pa.string()),
+                 "cluster_id": pa.array([], pa.int64()),
+                 "canonical": pa.array([], pa.string())}
+            )
+        canonical = df.rep_id.where(
+            df.rep_id.notna(), df.name
+        ).to_numpy(dtype=object)
         cids = (
             _hash_token_array(canonical) & np.uint64(0x7FFFFFFFFFFFFFFF)
         ).view(np.int64)
         return pa.table(
             {
-                "name": batch.column("name"),
+                "name": pa.array(df.name.to_numpy(dtype=object), pa.string()),
                 "cluster_id": pa.array(cids, pa.int64()),
                 "canonical": pa.array(canonical, pa.string()),
             }
         )
 
-    return distinct.map_batches(assign, batch_format="pyarrow")
+    return joined.map_batches(assign, batch_format="pandas")
 
 
 def levenshtein_batch(a, b) -> "np.ndarray":

@@ -39,78 +39,88 @@ def _round6(v: np.ndarray) -> np.ndarray:
 # TF-IDF
 # ---------------------------------------------------------------------------
 
+def _tf_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, token, tf) term-frequency rows — a document's text lives
+    in one row, so per-doc term frequencies are exact map-side."""
+    df = batch.to_pandas()
+    d = df.assign(token=df.text.str.split(" ")).explode("token")
+    d = d[d.token.notna() & (d.token != "")]
+    g = d.groupby(["doc_id", "token"], as_index=False).agg(
+        tf=("token", "size")
+    )
+    g["tf"] = g.tf.astype(np.int64)
+    return pa.Table.from_pandas(g[["doc_id", "token", "tf"]],
+                                preserve_index=False)
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
     """Top-k TF-IDF terms per document: tfidf = tf · ln(N/df).
 
-    Three scale-shaped stages: (1) per-batch (doc, token, tf) counts — a
-    document's text lives in one row, so per-doc term frequencies are
-    exact map-side with no shuffle; (2) document frequencies by a
-    token-keyed coarse reduce over the DISTINCT (doc, token) rows stage 1
-    already produced; (3) a token-keyed repartition join attaches df back
-    to the tf rows, and a doc-keyed coarse reduce ranks each document's
-    terms.  Two all-to-alls total, both on the token/doc key, both moving
-    pre-aggregated rows.  N is one count() metadata aggregate.
+    Fully distributed, NO vocabulary-sized driver state (round 3 — the
+    former document-frequency broadcast grew with unpruned web-scale
+    vocabulary): (1) per-batch (doc, token, tf) rows, pinned once (two
+    consumers); (2) document frequencies by a token-keyed coarse reduce
+    over those already-distinct rows, with ln(N/df) attached per df row
+    map-side; (3) one token-keyed repartition join puts df/logterm back
+    on the tf rows and a doc-keyed coarse reduce ranks each document's
+    terms.  Three all-to-alls total (df reduce, join, rank reduce), all
+    moving pre-aggregated rows; the driver sees only the N = count()
+    scalar.  ln is libm ``math.log`` once per distinct df value — the
+    same call DuckDB's ln() makes, so scores stay bit-identical.
     """
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n_docs = float(docs.count())
 
-    def tf_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        d = df.assign(token=df.text.str.split(" ")).explode("token")
-        d = d[d.token.notna() & (d.token != "")]
-        g = d.groupby(["doc_id", "token"], as_index=False).agg(
-            tf=("token", "size")
-        )
-        g["tf"] = g.tf.astype(np.int64)
-        return pa.Table.from_pandas(g[["doc_id", "token", "tf"]],
-                                    preserve_index=False)
+    # pinned: feeds both the df aggregate and the join (lazy lineage
+    # would re-run the tokenize+count per consumer)
+    tf = docs.map_batches(_tf_rows, batch_format="pyarrow").materialize()
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        # (doc_id, token) rows are globally unique after tf_partial, so
+        # (doc_id, token) rows are globally unique after _tf_rows, so
         # document frequency is a plain row count per token
         t = pa.table({"token": batch.column("token")})
         g = t.group_by("token").aggregate([("token", "count")])
         return g.rename_columns(["token", "df"])
 
-    # document frequencies are VOCABULARY-bounded — broadcast them
-    # (the same scale argument as unigram_nll's model table) instead of
-    # paying a token-keyed repartition join + a doc-keyed re-shuffle
-    dfs = coarse_grouped_map(
-        docs.map_batches(tf_partial, batch_format="pyarrow").map_batches(
-            df_partial, batch_format="pyarrow"
-        ),
-        "token",
-        lambda d: d.groupby("token", as_index=False).agg(df=("df", "sum")),
-    ).to_pandas()
-    # ln once per distinct df value — libm log, the same call DuckDB's
-    # ln() makes, so scores are bit-identical to the oracle
-    logs = {int(v): math.log(n_docs / float(v)) for v in dfs.df.unique()}
-    dfs["logterm"] = dfs.df.map(logs)
-    df_ref = ray.put(dfs.set_index("token"))
+    def add_logterm(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("token", as_index=False).agg(df=("df", "sum"))
+        logs = {int(v): math.log(n_docs / float(v)) for v in g.df.unique()}
+        g["logterm"] = g.df.map(logs)
+        g["df"] = g.df.astype(np.int64)
+        return g
 
-    def rank_doc_terms(batch: pa.Table) -> pa.Table:
-        # a document is ONE input row, so its whole term set is in this
-        # batch — score and rank map-side, no shuffle after the df pass
-        look = ray.get(df_ref)
-        d = tf_partial(batch).to_pandas()
-        d["df"] = d.token.map(look.df).astype(np.int64)
+    dfs = coarse_grouped_map(
+        tf.map_batches(df_partial, batch_format="pyarrow"),
+        "token",
+        add_logterm,
+    )
+
+    joined = repartition_join(
+        tf,
+        dfs,
+        "token",
+        "token",
+        {"token": pa.string(), "doc_id": pa.int64(), "tf": pa.int64()},
+        {"token": pa.string(), "df": pa.int64(), "logterm": pa.float64()},
+        num_partitions=32,
+    )
+
+    def rank_doc_terms(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.copy()
         d["tfidf"] = _round6(
-            d.tf.to_numpy(np.float64)
-            * d.token.map(look.logterm).to_numpy(np.float64)
+            d.tf.to_numpy(np.float64) * d.logterm.to_numpy(np.float64)
         )
         d = d.sort_values(
             ["doc_id", "tfidf", "token"], ascending=[True, False, True]
         )
         d = d.groupby("doc_id", as_index=False, group_keys=False).head(k)
-        d["rnk"] = d.groupby("doc_id").cumcount().to_numpy() + 1
-        d["rnk"] = d.rnk.astype(np.int64)
+        d["rnk"] = (d.groupby("doc_id").cumcount() + 1).astype(np.int64)
         d["tf"] = d.tf.astype(np.int64)
-        return pa.Table.from_pandas(
-            d[["doc_id", "token", "tf", "df", "tfidf", "rnk"]],
-            preserve_index=False,
-        )
+        d["df"] = d.df.astype(np.int64)
+        d["doc_id"] = d.doc_id.astype(np.int64)
+        return d[["doc_id", "token", "tf", "df", "tfidf", "rnk"]]
 
-    return docs.map_batches(rank_doc_terms, batch_format="pyarrow")
+    return coarse_grouped_map(joined, "doc_id", rank_doc_terms)
 
 
 # ---------------------------------------------------------------------------
@@ -521,64 +531,81 @@ def unigram_nll(sf_dir: str) -> "ray.data.Dataset":
     own unigram language model — the scoring half of a CCNet/KenLM-style
     quality filter (low avg NLL = typical text, high = outlier).
 
-    Pass 1 builds the model: global token counts (combiner-first per
-    batch, token-keyed coarse reduce) collected to the driver — bounded
-    by VOCABULARY size, not corpus size — and broadcast as a token→ln(p)
-    table via ``ray.put``.  Pass 2 is a pure map: explode each batch's
-    tokens, one vectorized ``Series.map`` against the broadcast table,
-    one groupby-sum per batch (a document never spans batches, so no
-    shuffle).  At open-vocabulary scale, truncate the table to the top-V
-    tokens + an OOV bucket; the two-pass shape is unchanged.
+    Fully distributed, NO vocabulary-sized driver state (round 3 — the
+    former token→ln(p) broadcast grew with unpruned web-scale
+    vocabulary): (doc_id, token, tf) rows are computed map-side and
+    pinned once (two consumers); the model is a token-keyed coarse
+    reduce of those rows (n per token, staying a Dataset) with
+    logp = ln(n/total) attached per model row; one token-keyed
+    repartition join puts logp back on the tf rows, and a doc-keyed
+    coarse reduce finishes n_tok = Σtf and Σ tf·logp per document.  The
+    driver sees exactly one scalar (the corpus token total).
 
     Float contract with the oracle: ln(count/total) in float64 on both
-    sides, score = floor(-(Σlogp/n)·1e6 + 0.5)/1e6.  Output:
+    sides, score = floor(-(Σlogp/n)·1e6 + 0.5)/1e6 (the oracle's SUM
+    order over occurrences is engine-arbitrary; the 1e-6 rounding is
+    what both sides' hashes stand on, exactly as before).  Output:
     (doc_id, n_tok, avg_nll).
     """
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
+    tf = docs.map_batches(_tf_rows, batch_format="pyarrow").materialize()
+
     def count_partial(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column("text").to_pylist(), dtype=object)
-        toks = s.str.split(" ").explode()
-        toks = toks[toks.notna() & (toks != "")]
-        vc = toks.value_counts()
-        return pa.table(
-            {
-                "token": pa.array(vc.index.to_numpy(), pa.string()),
-                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
-            }
+        t = pa.table(
+            {"token": batch.column("token"), "n": batch.column("tf")}
+        )
+        return t.group_by("token").aggregate([("n", "sum")]).rename_columns(
+            ["token", "n"]
         )
 
-    counts = coarse_grouped_map(
-        docs.map_batches(count_partial, batch_format="pyarrow"),
+    model = coarse_grouped_map(
+        tf.map_batches(count_partial, batch_format="pyarrow"),
         "token",
         lambda d: d.groupby("token", as_index=False).agg(n=("n", "sum")),
-    ).to_pandas()
-    total = float(counts.n.sum())
-    logp = pd.Series(
-        np.log(counts.n.to_numpy(np.float64) / total),
-        index=counts.token,
-    )
-    logp_ref = ray.put(logp)
+    ).materialize()  # feeds the scalar total AND the join
+    total = float(model.sum("n"))
 
-    def score(batch: pa.Table) -> pa.Table:
-        lp = ray.get(logp_ref)
-        df = batch.to_pandas()
-        toks = df.set_index("doc_id").text.str.split(" ").explode()
-        toks = toks[toks != ""]
-        per_tok = toks.map(lp)
-        g = per_tok.groupby(level=0).agg(["count", "sum"])
-        avg_nll = _round6(-(g["sum"].to_numpy() / g["count"].to_numpy()))
-        return pa.table(
+    def add_logp(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "doc_id": pa.array(g.index.to_numpy(), pa.int64()),
-                "n_tok": pa.array(
-                    g["count"].to_numpy().astype(np.int64), pa.int64()
-                ),
-                "avg_nll": pa.array(avg_nll, pa.float64()),
+                "token": d.token,
+                "logp": np.log(d.n.to_numpy(np.float64) / total),
             }
         )
 
-    return docs.map_batches(score, batch_format="pyarrow")
+    model_lp = model.map_batches(
+        add_logp, batch_format="pandas"
+    )
+
+    joined = repartition_join(
+        tf,
+        model_lp,
+        "token",
+        "token",
+        {"token": pa.string(), "doc_id": pa.int64(), "tf": pa.int64()},
+        {"token": pa.string(), "logp": pa.float64()},
+        num_partitions=32,
+    )
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        tfv = d.tf.to_numpy(np.float64)
+        g = d.assign(
+            sum_lp=tfv * d.logp.to_numpy(np.float64), n_tok=d.tf
+        ).groupby("doc_id", as_index=False).agg(
+            n_tok=("n_tok", "sum"), sum_lp=("sum_lp", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g.doc_id.astype(np.int64),
+                "n_tok": g.n_tok.astype(np.int64),
+                "avg_nll": _round6(
+                    -(g.sum_lp.to_numpy() / g.n_tok.to_numpy(np.float64))
+                ),
+            }
+        )
+
+    return coarse_grouped_map(joined, "doc_id", score)
 
 
 # ---------------------------------------------------------------------------

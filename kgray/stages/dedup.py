@@ -720,9 +720,17 @@ def pair_components(pairs: "ray.data.Dataset") -> dict:
     of its connected component} (docs with no pairs are absent — they are
     their own rep).
 
-    The edge list is streamed batch-by-batch to the driver; only the
-    PARENT map (one entry per doc that appears in some pair — LSH-bounded,
-    orders of magnitude smaller than the corpus) is driver-resident."""
+    TEST/REFERENCE UTILITY ONLY: the production component solver is
+    ``graph_algos.connected_components`` (distributed min-label
+    propagation — identical output contract, no driver-side graph), and
+    every composite (near_dup_groups, curate_corpus, pretrain_corpus,
+    semantic_dedup, cluster_surface_forms) routes through it.  This
+    driver-side variant remains as the independent small-scale cross-check
+    the equivalence tests compare against: the edge list streams
+    batch-by-batch to the driver and only the parent map is resident —
+    LSH-bounded in the common case, but corpus-squared on a worst-case
+    pair graph (a templated crawl where everything is near-dup), which is
+    why it is no longer any operator's default."""
     parent: dict = {}
 
     def find(x: int) -> int:
@@ -762,11 +770,14 @@ def near_dup_groups(
     near-duplicates).  ``rep_id == doc_id`` selects the canonical survivor
     — the keep-one-per-cluster dedup a training-data pipeline applies.
 
-    Scale shape: the pair graph comes out of ``minhash_lsh_pairs``
-    (LSH-bounded, orders of magnitude smaller than the corpus); components
-    run union-find on the driver over PAIR EDGES ONLY (the same bounded
-    collection ``cluster_surface_forms`` uses) and the doc_id→rep mapping
-    is broadcast back over the corpus with one map_batches.
+    FULLY DISTRIBUTED (no driver-side graph, round-3 default): the pair
+    graph comes out of ``minhash_lsh_pairs`` (LSH-bounded), components
+    run through ``graph_algos.connected_components`` (iterative min-label
+    propagation — the driver never holds the pair graph, the label table,
+    or the corpus), and documents outside the pair graph re-enter as
+    their own representative via one left repartition join.  A worst-case
+    pair graph (a templated crawl where everything is near-dup) therefore
+    costs shuffle rounds, never driver memory.
     """
     pairs = minhash_lsh_pairs(
         docs,
@@ -777,23 +788,71 @@ def near_dup_groups(
         join_partitions=join_partitions,
         shuffle_blocks=shuffle_blocks,
     )
-    rep_ref = ray.put(pair_components(pairs))
+    return components_assign(
+        docs.select_columns(["doc_id"]), pairs
+    )
 
-    def assign(batch: pa.Table) -> pa.Table:
-        m = ray.get(rep_ref)
-        ids = batch.column("doc_id").to_pylist()
-        return pa.table(
+
+def components_assign(
+    doc_ids: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """(id, rep_id) for EVERY row of ``doc_ids``: distributed connected
+    components over ``pairs`` (doc_a, doc_b), then one left repartition
+    join so ids outside the pair graph come back as their own
+    representative.  The shared tail of every keep-one dedup composite
+    (near-dup, semantic, curation chains)."""
+    from .graph_algos import connected_components
+    from ..utils import repartition_join
+
+    cc = connected_components(pairs)
+
+    joined = repartition_join(
+        doc_ids.select_columns([id_col]),
+        cc,
+        id_col,
+        "doc_id",
+        {id_col: pa.int64()},
+        {"doc_id": pa.int64(), "rep_id": pa.int64()},
+        num_partitions=8,
+        how="left",
+    )
+
+    def fill_self(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
             {
-                "doc_id": batch.column("doc_id"),
-                "rep_id": pa.array(
-                    [m.get(i, i) for i in ids], pa.int64()
-                ),
+                id_col: df[id_col].astype("int64"),
+                "rep_id": df.rep_id.fillna(df[id_col]).astype("int64"),
             }
         )
 
-    return docs.select_columns(["doc_id"]).map_batches(
-        assign, batch_format="pyarrow"
-    )
+    return joined.map_batches(fill_self, batch_format="pandas")
+
+
+def component_losers(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The NON-representative members of every connected component of
+    ``pairs`` — the rows a keep-one dedup drops.  One column (doc_id),
+    pair-graph-bounded, fully distributed; feeds an anti join against
+    the corpus (cheaper than materializing (id, rep) for every corpus
+    row when only survivorship is needed)."""
+    from .graph_algos import connected_components
+
+    cc = connected_components(pairs)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "doc_id" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        keep = pc.not_equal(
+            batch.column("rep_id"), batch.column("doc_id")
+        )
+        return pa.table(
+            {"doc_id": batch.filter(keep).column("doc_id")}
+        )
+
+    return cc.map_batches(losers, batch_format="pyarrow")
 
 
 def word_chunks(batch: pa.Table, chunk_words: int = 20) -> pa.Table:
@@ -872,40 +931,10 @@ def near_dup_groups_distributed(
     threshold: float = 0.5,
     **lsh_kwargs,
 ) -> "ray.data.Dataset":
-    """(doc_id, rep_id) near-dup components with NO driver-side graph:
-    the scale path of ``near_dup_groups``.  LSH-verified pairs feed the
-    distributed min-label propagation (stages/graph_algos.
-    connected_components); documents outside the pair graph re-enter as
-    their own representative via one left repartition join — the driver
-    never holds the pair graph, the label table, or the corpus.
-    Output contract identical to ``near_dup_groups`` (shared oracle).
-    """
-    from .graph_algos import connected_components
-    from ..utils import repartition_join
-
-    pairs = minhash_lsh_pairs(docs, threshold=threshold, **lsh_kwargs)
-    cc = connected_components(pairs)
-
-    joined = repartition_join(
-        docs.select_columns(["doc_id"]),
-        cc,
-        "doc_id",
-        "doc_id",
-        {"doc_id": pa.int64()},
-        {"doc_id": pa.int64(), "rep_id": pa.int64()},
-        num_partitions=8,
-        how="left",
-    )
-
-    def fill_self(df: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
-            {
-                "doc_id": df.doc_id.astype("int64"),
-                "rep_id": df.rep_id.fillna(df.doc_id).astype("int64"),
-            }
-        )
-
-    return joined.map_batches(fill_self, batch_format="pandas")
+    """Alias of ``near_dup_groups`` — the distributed component solve
+    became the DEFAULT in round 3, so the two entry points share one
+    implementation (kept for the r2 API and its oracle entry)."""
+    return near_dup_groups(docs, threshold=threshold, **lsh_kwargs)
 
 
 def dedup_incremental(

@@ -181,14 +181,17 @@ def connected_components(
     pairs: "ray.data.Dataset",
     max_iters: int = 50,
     num_partitions: int = 8,
+    node_type: "pa.DataType" = None,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
 ) -> "ray.data.Dataset":
     """Distributed connected components over an undirected pair-edge
     Dataset (doc_a, doc_b) → (doc_id, rep_id), rep = component minimum.
 
-    Iterative min-label propagation, fully distributed — the scale path
-    next to ``stages/dedup.pair_components`` (driver union-find over
-    pair edges, fine while the PAIR GRAPH is collection-bounded; this
-    variant never collects it).  Each round: ship every node's current
+    Iterative min-label propagation, fully distributed — THE production
+    component solver (``stages/dedup.pair_components``'s driver
+    union-find remains only as a test utility; every composite dedups
+    through this path).  Each round: ship every node's current
     label across its edges in both directions (one repartition join per
     direction), take the per-node minimum of self+received labels (one
     coarse keyed reduce), and stop when a round changes nothing (scalar
@@ -197,11 +200,25 @@ def connected_components(
     hash-to-min doubling variant (same building blocks, halves the
     rounds), noted here as the extension point.  ``num_partitions``
     sizes the per-round shuffles (scale like any keyed reduce).
+
+    ``node_type`` generalizes the node domain: int64 (default) for doc
+    ids, string for surface forms — "min" is then the lexicographic
+    minimum, matching SQL ``least()`` over VARCHAR.
     """
+    if node_type is None:
+        node_type = pa.int64()
+    is_int = pa.types.is_integer(node_type)
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a")
-        b = batch.column("doc_b")
+        # pair sources can emit zero-column empty blocks (map_groups of
+        # an empty frame) — substitute a typed empty so schemas unify
+        if left_col not in batch.schema.names or batch.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], node_type),
+                 "dst": pa.array([], node_type)}
+            )
+        a = batch.column(left_col).cast(node_type)
+        b = batch.column(right_col).cast(node_type)
         return pa.table(
             {
                 "src": pa.chunked_array(a.chunks + b.chunks),
@@ -230,8 +247,8 @@ def connected_components(
             labels,
             "src",
             "node",
-            {"src": pa.int64(), "dst": pa.int64()},
-            {"node": pa.int64(), "label": pa.int64()},
+            {"src": node_type, "dst": node_type},
+            {"node": node_type, "label": node_type},
             num_partitions=num_partitions,
         )
 
@@ -257,23 +274,31 @@ def connected_components(
             candidate,
             "node",
             "node",
-            {"node": pa.int64(), "label": pa.int64()},
-            {"node": pa.int64(), "new_label": pa.int64()},
+            {"node": node_type, "label": node_type},
+            {"node": node_type, "new_label": node_type},
             num_partitions=num_partitions,
             how="left",
         )
 
         def take_min(df: pd.DataFrame) -> pd.DataFrame:
-            nl = df.new_label.fillna(df.label)
+            if is_int:
+                # unmatched left rows null-pad new_label → float64;
+                # fillna + int cast restores the exact id domain
+                lab = df.label.astype("int64")
+                nl = df.new_label.fillna(df.label).astype("int64")
+                node = df.node.astype("int64")
+            else:
+                lab = df.label.astype(object)
+                nl = df.new_label.where(
+                    df.new_label.notna(), df.label
+                ).astype(object)
+                node = df.node.astype(object)
+            hit = nl < lab
             out = pd.DataFrame(
                 {
-                    "node": df.node.astype("int64"),
-                    "label": np.minimum(
-                        df.label.astype("int64"), nl.astype("int64")
-                    ),
-                    "changed": (
-                        nl.astype("int64") < df.label.astype("int64")
-                    ).astype("int64"),
+                    "node": node,
+                    "label": lab.where(~hit, nl),
+                    "changed": hit.astype("int64"),
                 }
             )
             return out
@@ -286,12 +311,18 @@ def connected_components(
         if n_changed == 0:
             break
 
-    return labels.map_batches(
-        lambda b: pa.table(
-            {"doc_id": b.column("node"), "rep_id": b.column("label")}
-        ),
-        batch_format="pyarrow",
-    )
+    def rename_out(b: pa.Table) -> pa.Table:
+        if "node" not in b.schema.names or b.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], node_type),
+                 "rep_id": pa.array([], node_type)}
+            )
+        return pa.table(
+            {"doc_id": b.column("node").cast(node_type),
+             "rep_id": b.column("label").cast(node_type)}
+        )
+
+    return labels.map_batches(rename_out, batch_format="pyarrow")
 
 
 def count_triangles(

@@ -652,11 +652,12 @@ def semantic_dedup(
     co-cluster, so recall loss concentrates at the threshold boundary).
     The vector payload reaches its cluster through a vec_id-keyed
     repartition join of the assignment against the embedding table —
-    no driver-side vector collection at any point; per cluster the
-    cosine block is one matmul over a coarse partition; components run
-    over the pair-bounded edge list (same contract as near_dup_groups).
+    no driver-side collection at any point: components solve through
+    the distributed min-label propagation and the vec_id→rep mapping
+    comes back via one left repartition join (same tail as
+    near_dup_groups — dedup.components_assign).
     """
-    from .dedup import pair_components
+    from .dedup import components_assign
     from ..utils import coarse_grouped_map, repartition_join
 
     assigned = kmeans_embeddings(sf_dir, k=k, iters=iters)
@@ -703,22 +704,8 @@ def semantic_dedup(
         cluster_pairs,
         num_partitions=4,
     )
-    rep = ray.put(pair_components(pairs))
-
-    def assign_rep(batch: pa.Table) -> pa.Table:
-        m = ray.get(rep)
-        ids = batch.column("vec_id").to_pylist()
-        return pa.table(
-            {
-                "vec_id": batch.column("vec_id"),
-                "rep_id": pa.array(
-                    [m.get(i, i) for i in ids], pa.int64()
-                ),
-            }
-        )
-
-    return emb.select_columns(["vec_id"]).map_batches(
-        assign_rep, batch_format="pyarrow"
+    return components_assign(
+        emb.select_columns(["vec_id"]), pairs, id_col="vec_id"
     )
 
 
