@@ -11,9 +11,10 @@ Reference behavior being re-expressed:
   the LLM as a text-cleanup oracle, not a semantic transform).
 - process_text_file.py:63-94 ``process_paper``: extension validation +
   MarkItDown text extraction.  MarkItDown isn't in this container: PDF
-  byte decoding is stubbed behind NotImplementedError; .txt payloads are
-  decoded for real.  The Ray-side plumbing (binary payload column → spans)
-  is real and tested either way.
+  byte decoding defaults to the vendored minimal pure-python extractor
+  (kgray.sources.minipdf — FlateDecode/LZW, ToUnicode CMaps,
+  /Differences encodings), with MarkItDown auto-preferred when installed
+  and any extractor pluggable via ``set_pdf_extractor``.
 """
 from __future__ import annotations
 
@@ -73,7 +74,10 @@ def set_pdf_extractor(fn) -> None:
 
 
 def _default_pdf_extractor():
-    """MarkItDown when installed (the reference's extractor), else None."""
+    """MarkItDown when installed (the reference's extractor,
+    process_text_file.py:75-82); else the vendored minimal pure-python
+    extractor (kgray.sources.minipdf) so the --pdf_paths flow runs
+    end-to-end with no external dependency."""
     try:  # pragma: no cover - not installed in this sandbox
         from markitdown import MarkItDown  # type: ignore
 
@@ -84,24 +88,22 @@ def _default_pdf_extractor():
             io.BytesIO(payload), file_extension=".pdf"
         ).text_content
     except ImportError:
-        return None
+        from .minipdf import extract_text
+
+        return extract_text
 
 
 def decode_payload(payload: bytes, ext: str) -> str:
     """Binary document payload → text.  txt decodes for real; pdf goes
-    through the pluggable extractor seam (``set_pdf_extractor``)."""
+    through the pluggable extractor seam (``set_pdf_extractor``), which
+    defaults to MarkItDown when installed, else the vendored minimal
+    pure-python extractor."""
+    ext = ext.lstrip(".").lower()
     if ext == "txt":
         return payload.decode("utf-8", errors="replace")
     if ext == "pdf":
         fn = _PDF_EXTRACTOR or _default_pdf_extractor()
-        if fn is not None:
-            return fn(payload)
-        raise NotImplementedError(
-            "PDF text extraction (reference: MarkItDown, "
-            "process_text_file.py:75-82) requires an extraction library "
-            "not available in this sandbox; register one with "
-            "set_pdf_extractor() or supply text/txt payloads"
-        )
+        return fn(payload)
     raise ValueError(f"unsupported extension: {ext!r} (expected pdf/txt)")
 
 
