@@ -17,6 +17,32 @@ from typing import Optional
 
 DEFAULT_IDENTIFIER = "general prompt"
 
+# Pinned contract for the reference's production prompt
+# (textToKnowledgeGraph/prompt_file_v7.txt, selected by main.py:358-367):
+# sha256 of the file bytes and of the extracted "general prompt" block.
+# resolve_default_prompt verifies these when loading from an installed
+# reference package, so real-LLM parity never silently depends on which
+# prompt revision the environment happens to ship; the golden test
+# (tests/test_prompts_metadata.py) asserts the same hashes against the
+# reference checkout itself.
+V7_FILE_SHA256 = (
+    "1540e6ef911a924b1f6ffe46f218d155a8ebb2321c5ba96df57f3ff32581c993"
+)
+V7_BLOCK_SHA256 = (
+    "fde6e558e53718de5866f19dfc0d29c2b2f023138a70a20793985f9dd461622b"
+)
+V7_BLOCK_LEN = 28393
+
+
+def verify_v7(content: str) -> bool:
+    """True when ``content`` is byte-identical to the pinned v7 prompt
+    file this engine's real-LLM parity contract was validated against."""
+    import hashlib
+
+    return (
+        hashlib.sha256(content.encode("utf-8")).hexdigest() == V7_FILE_SHA256
+    )
+
 # This engine's own default system prompt (not the reference's text): the
 # contract mirrors bel_model.py's function-calling setup — emit only
 # interactions grounded in the provided annotations, as JSON
@@ -88,6 +114,15 @@ def resolve_default_prompt(identifier: str = DEFAULT_IDENTIFIER) -> str:
             .joinpath("prompt_file_v7.txt")
             .read_text(encoding="utf-8")
         )
+        if not verify_v7(content):
+            import warnings
+
+            warnings.warn(
+                "installed reference prompt_file_v7.txt does not match "
+                "the pinned contract hash (prompts.V7_FILE_SHA256); "
+                "using it anyway — re-validate LLM parity",
+                stacklevel=2,
+            )
         return extract_block(content, identifier)
     except Exception:
         return extract_block(_BUILTIN, identifier)

@@ -121,6 +121,58 @@ class StubBackend:
         return out
 
 
+class _UrllibChatClient:
+    """Minimal OpenAI-compatible chat.completions client over stdlib
+    urllib — one JSON POST to ``{base_url}/chat/completions`` with a
+    Bearer header, response surfaced with the same attribute shape the
+    openai package returns (``resp.choices[0].message.content``)."""
+
+    class _Msg:
+        __slots__ = ("content",)
+
+        def __init__(self, content):
+            self.content = content
+
+    class _Choice:
+        __slots__ = ("message",)
+
+        def __init__(self, message):
+            self.message = message
+
+    class _Resp:
+        __slots__ = ("choices",)
+
+        def __init__(self, choices):
+            self.choices = choices
+
+    def __init__(self, base_url: str, api_key: Optional[str] = None,
+                 timeout: float = 60.0):
+        self._url = base_url.rstrip("/") + "/chat/completions"
+        self._api_key = api_key
+        self._timeout = timeout
+        self.chat = self
+        self.completions = self
+
+    def create(self, **payload) -> "_UrllibChatClient._Resp":
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._url,
+            data=json.dumps(payload).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self._api_key or 'EMPTY'}",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=self._timeout) as r:
+            data = json.loads(r.read().decode("utf-8"))
+        choices = [
+            self._Choice(self._Msg((c.get("message") or {}).get("content")))
+            for c in data.get("choices", [])
+        ]
+        return self._Resp(choices)
+
+
 class OpenAIChatBackend:
     """OpenAI-compatible chat backend (vLLM serve / api.openai.com).
 
@@ -142,17 +194,26 @@ class OpenAIChatBackend:
             prompt_text = resolve_default_prompt()
         try:
             from openai import OpenAI  # type: ignore
-        except ImportError as e:  # pragma: no cover - sandbox has no openai
-            raise NotImplementedError(
-                "OpenAIChatBackend requires the `openai` package; use "
-                "StubBackend in this environment"
-            ) from e
-        self._client = OpenAI(api_key=api_key, base_url=base_url)
+
+            self._client = OpenAI(api_key=api_key, base_url=base_url)
+        except ImportError:
+            # stdlib fallback: the chat-completions wire protocol is a
+            # single JSON POST, so the backend stays fully functional
+            # (and mock-server testable) without the openai package —
+            # but only against an explicit base_url; refusing to default
+            # to api.openai.com keeps the sandbox offline-honest.
+            if not base_url:
+                raise NotImplementedError(
+                    "OpenAIChatBackend without the `openai` package needs "
+                    "an explicit base_url (an OpenAI-compatible server); "
+                    "use StubBackend for fully-offline runs"
+                )
+            self._client = _UrllibChatClient(base_url, api_key)
         self._model = model
         self._prompt = prompt_text
         self._temperature = temperature
 
-    def extract_batch(self, texts, annotations):  # pragma: no cover
+    def extract_batch(self, texts, annotations):
         out = []
         for text, anns in zip(texts, annotations):
             human = f"{text} | Annotations: {clean_annotations(anns)}"
