@@ -129,13 +129,60 @@ def build_url_map(annotation_urls: "ray.data.Dataset") -> Dict[str, str]:
     return out
 
 
+def measure_top_key_share(
+    mentions: "ray.data.Dataset", num_partitions: int = 8
+) -> Tuple[float, int]:
+    """(top-key row share, total rows) of the post-combiner mentions table.
+
+    Rows per name == number of map blocks the name appeared in (the
+    per-batch combiner emits one row per name per block), i.e. exactly the
+    reducer fan-in salting would split.  One combiner-first keyed count
+    reduce; the driver sees two scalars (max count, total count) — the
+    per-name count table itself stays distributed.
+    """
+    from ..utils import coarse_grouped_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["name"])
+        g = t.group_by("name").aggregate([("name", "count")])
+        return g.rename_columns(["name", "c"])
+
+    counts = coarse_grouped_map(
+        mentions.map_batches(partial, batch_format="pyarrow"),
+        "name",
+        lambda df: df.groupby("name", as_index=False).agg(c=("c", "sum")),
+        num_partitions=num_partitions,
+    )
+    total = mentions.count()
+    if total == 0:
+        return 0.0, 0
+    top = counts.max("c")
+    return float(top) / float(total), int(total)
+
+
+# auto-salting engages when one name holds > this share of the mention
+# rows (reducer fan-in) and the table is big enough for skew to matter
+SALT_SHARE_THRESHOLD = 0.05
+SALT_MIN_ROWS = 50_000
+AUTO_SALT_BUCKETS = 16
+
+
 def canonicalize_nodes(
     edges: "ray.data.Dataset",
     unary: "ray.data.Dataset",
     url_map_ref: "ray.ObjectRef",
-    salt_buckets: int = 1,
+    salt_buckets: int | None = None,
+    salt_share_threshold: float = SALT_SHARE_THRESHOLD,
+    salt_min_rows: int = SALT_MIN_ROWS,
 ) -> "ray.data.Dataset":
-    """edges + unary mentions → NODES dataset with dense first-seen ids."""
+    """edges + unary mentions → NODES dataset with dense first-seen ids.
+
+    ``salt_buckets=None`` (default) triggers automatically from measured
+    skew: when ``measure_top_key_share`` reports one name holding more
+    than ``salt_share_threshold`` of the mention rows (and the table has
+    at least ``salt_min_rows`` rows), the salted two-phase aggregate
+    engages with ``AUTO_SALT_BUCKETS``; pass an int to force either way.
+    """
     mentions = edges.map_batches(
         edge_node_mentions, batch_format="pyarrow"
     ).union(unary.map_batches(unary_node_mentions, batch_format="pyarrow"))
@@ -144,6 +191,19 @@ def canonicalize_nodes(
     # sort don't fan out into hundreds of near-empty partitions (a pure
     # scheduling tax measured at ~20s on a 32-CPU node)
     mentions = mentions.repartition(8)
+    if salt_buckets is None:
+        # pin the combiner output once: the skew probe and the aggregate
+        # below both consume it (lazy lineage would re-run extraction)
+        mentions = mentions.materialize()
+        # count() on a materialized dataset is metadata-only — small
+        # tables skip the keyed probe reduce entirely
+        if mentions.count() < salt_min_rows:
+            salt_buckets = 1
+        else:
+            share, total = measure_top_key_share(mentions)
+            salt_buckets = (
+                AUTO_SALT_BUCKETS if share > salt_share_threshold else 1
+            )
     if salt_buckets > 1:
         # explicit salted two-phase aggregation for hot keys: phase 1
         # reduces (name, salt) partials, phase 2 unsalts.  The per-batch
@@ -209,7 +269,7 @@ def node_tables(
     edges: "ray.data.Dataset",
     unary: "ray.data.Dataset",
     annotation_urls: "ray.data.Dataset",
-    salt_buckets: int = 1,
+    salt_buckets: int | None = None,
 ) -> Tuple["ray.data.Dataset", Dict[str, str]]:
     url_map = build_url_map(annotation_urls)
     ref = ray.put(url_map)
