@@ -496,8 +496,12 @@ def _q_graph_summaries(sf_dir: str):
 
 
 def _q_checkpoint_lineage(sf_dir: str):
-    """Checkpointed extraction lineage manifests (rows-only; deterministic
-    fields only)."""
+    """Full-pipeline lineage manifests (rows-only; deterministic fields
+    only): one row per (stage, partition) across extraction, the BEL
+    parse (graph_prep), global node canonicalization, and the CX2 graph
+    sink — every stage of the resumable pipeline accounted for."""
+    import json
+    import os
     import shutil
     import tempfile
 
@@ -505,33 +509,37 @@ def _q_checkpoint_lineage(sf_dir: str):
     import ray.data
 
     from kgray.corpus import generate_documents
-    from kgray.pipelines.checkpoint import (
-        checkpoint_summary,
-        run_checkpointed_extractions,
-    )
+    from kgray.pipelines.checkpoint import run_checkpointed_kg
 
     docs, _, _ = generate_documents(40, seed=42)
     d = tempfile.mkdtemp(prefix="kgray_ckpt_q_")
     try:
-        run_checkpointed_extractions(
-            ray.data.from_arrow(docs), d, num_partitions=8
-        ).count()
-        mans = checkpoint_summary(d)
+        run_checkpointed_kg(ray.data.from_arrow(docs), d, num_partitions=8)
+        mans = []
+        mdir = os.path.join(d, "manifests")
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    mans.append(json.load(f))
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return pd.DataFrame(
         [
             {
-                "partition_id": m["partition_id"],
-                "n_docs": m["n_docs"],
-                "n_spans": m["n_spans"],
-                "n_admitted": m["n_admitted"],
-                "n_statements": m["n_statements"],
-                "input_fingerprint": m["input_fingerprint"],
+                "stage": m["stage"],
+                "partition_id": m.get("partition_id", -1),
+                "status": m["status"],
+                "n_docs": m.get("n_docs", 0),
+                "n_spans": m.get("n_spans", 0),
+                "n_statements": m.get("n_statements", 0),
+                "n_edges": m.get("n_edges", 0),
+                "n_nodes": m.get("n_nodes", 0),
+                "n_graphs": m.get("n_graphs", 0),
+                "input_fingerprint": m.get("input_fingerprint", ""),
             }
             for m in mans
         ]
-    )
+    ).sort_values(["stage", "partition_id"]).reset_index(drop=True)
 
 
 def _q_doc_quarantine(sf_dir: str):

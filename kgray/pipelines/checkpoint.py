@@ -31,7 +31,7 @@ import shutil
 import time
 import zlib
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Set
+from typing import Dict, List, Optional, Set, Tuple
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -85,7 +85,9 @@ def load_state(ckpt_dir: str, num_partitions: int) -> CheckpointState:
     os.makedirs(st.data_dir, exist_ok=True)
     os.makedirs(st.manifest_dir, exist_ok=True)
     for name in os.listdir(st.manifest_dir):
-        if not name.endswith(".json"):
+        # extraction-stage manifests only ("partition-K.json"); later
+        # stages use "<stage>-partition-K.json" / "<stage>.json"
+        if not (name.startswith("partition-") and name.endswith(".json")):
             continue
         with open(os.path.join(st.manifest_dir, name)) as f:
             m = json.load(f)
@@ -249,3 +251,347 @@ def checkpoint_summary(ckpt_dir: str) -> List[dict]:
                 with open(os.path.join(mdir, name)) as f:
                     out.append(json.load(f))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed graph stages (round 3): lineage + resume extends past the
+# extraction prefix through the BEL parse (edges/unary/annotation_urls),
+# node canonicalization, and the per-document CX2 graph sink, so a resumed
+# run re-reads parquet instead of re-parsing BEL or re-assembling graphs.
+# Per-doc stages checkpoint per partition (same crc32(doc_id) partitioning
+# as extraction); node canonicalization is global, so its single manifest
+# records the partition set it consumed and recomputes iff that set grew.
+# ---------------------------------------------------------------------------
+
+_GRAPH_PREP = "graph_prep"      # edges + unary + annotation_urls
+_GRAPHS = "graphs"              # per-document CX2 rows
+
+
+def _stage_manifest_path(st: CheckpointState, stage: str, pid: int) -> str:
+    return os.path.join(st.manifest_dir, f"{stage}-partition-{pid}.json")
+
+
+def _stage_completed(st: CheckpointState, stage: str) -> Set[int]:
+    done: Set[int] = set()
+    prefix = f"{stage}-partition-"
+    if not os.path.isdir(st.manifest_dir):
+        return done
+    for name in os.listdir(st.manifest_dir):
+        if name.startswith(prefix) and name.endswith(".json"):
+            with open(os.path.join(st.manifest_dir, name)) as f:
+                m = json.load(f)
+            if m.get("status") == "complete":
+                done.add(int(m["partition_id"]))
+    return done
+
+
+def _write_stage_manifest(
+    st: CheckpointState, stage: str, pid: int, extra: dict
+) -> None:
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "partition_id": pid,
+        "num_partitions": st.num_partitions,
+        "stage": stage,
+        "status": "complete",
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        **extra,
+    }
+    path = _stage_manifest_path(st, stage, pid)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, path)  # atomic commit point
+
+
+def _partition_files(data_dir: str, pids=None) -> List[str]:
+    """Explicit parquet file list under ``data_dir/partition_id=K`` dirs
+    (optionally restricted to ``pids``) — stray files can't break reads."""
+    out = []
+    if not os.path.isdir(data_dir):
+        return out
+    for name in sorted(os.listdir(data_dir)):
+        if not name.startswith("partition_id="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        if pids is not None and pid not in pids:
+            continue
+        d = os.path.join(data_dir, name)
+        out.extend(
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _read_stage(
+    data_dir: str, schema: pa.Schema, pids=None
+) -> "ray.data.Dataset":
+    files = _partition_files(data_dir, pids)
+    if not files:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.read_parquet(files).select_columns(
+        [f.name for f in schema]
+    )
+
+
+def _per_partition_counts(ds: "ray.data.Dataset") -> Dict[int, int]:
+    """row count per partition_id — ≤ P rows ever reach the driver."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["partition_id"])
+        g = t.group_by("partition_id").aggregate([("partition_id", "count")])
+        return g.rename_columns(["partition_id", "n"])
+
+    parts = [
+        b
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pandas")
+        if len(b)
+    ]
+    if not parts:
+        return {}
+    agg = pd.concat(parts).groupby("partition_id")["n"].sum()
+    return {int(k): int(v) for k, v in agg.items()}
+
+
+_UNARY_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("span_seq", pa.int32()),
+        pa.field("stmt_seq", pa.int32()),
+        pa.field("name", pa.string()),
+    ]
+)
+_ANN_URL_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("span_seq", pa.int32()),
+        pa.field("ann_seq", pa.int32()),
+        pa.field("entry_name", pa.string()),
+        pa.field("url", pa.string()),
+    ]
+)
+_GRAPH_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("cx2", pa.string()),
+        pa.field("n_nodes", pa.int64()),
+        pa.field("n_edges", pa.int64()),
+    ]
+)
+
+
+def run_checkpointed_graph_prep(
+    extractions_dir_state: CheckpointState,
+) -> Tuple["ray.data.Dataset", "ray.data.Dataset", "ray.data.Dataset"]:
+    """Checkpointed BEL parse: extraction parquet → edges / unary /
+    annotation_urls parquet, computed only for partitions without a
+    complete graph_prep manifest.  Returns the three FULL datasets
+    (streaming from parquet)."""
+    from ..stages import edges as edge_stage
+
+    st = extractions_dir_state
+    ext_pids = {
+        int(m["partition_id"])
+        for m in checkpoint_summary(st.ckpt_dir)
+        if m.get("stage") == "extractions" and m.get("status") == "complete"
+    }
+    done = _stage_completed(st, _GRAPH_PREP)
+    pending = sorted(ext_pids - done)
+
+    dirs = {
+        "edges": os.path.join(st.ckpt_dir, "edges"),
+        "unary": os.path.join(st.ckpt_dir, "unary"),
+        "ann_urls": os.path.join(st.ckpt_dir, "annotation_urls"),
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+        # crashed-run garbage: partition dirs without a manifest
+        for name in os.listdir(d):
+            if name.startswith("partition_id="):
+                pid = int(name.split("=", 1)[1])
+                if pid not in done:
+                    shutil.rmtree(os.path.join(d, name))
+
+    if pending:
+        t0 = time.time()
+        pset = set(pending)
+        ext = _read_stage(st.data_dir, schemas.EXTRACTIONS, pids=pset).materialize()
+        add_pid = _add_partition_column(st.num_partitions)
+        outputs = {
+            "edges": ext.map_batches(
+                edge_stage.extractions_to_edges, batch_format="pyarrow"
+            ).map_batches(add_pid, batch_format="pyarrow").materialize(),
+            "unary": ext.map_batches(
+                edge_stage.extractions_to_unary_nodes, batch_format="pyarrow"
+            ).map_batches(add_pid, batch_format="pyarrow").materialize(),
+            "ann_urls": ext.map_batches(
+                edge_stage.extractions_to_annotation_urls,
+                batch_format="pyarrow",
+            ).map_batches(add_pid, batch_format="pyarrow").materialize(),
+        }
+        counts = {k: _per_partition_counts(v) for k, v in outputs.items()}
+        for k, ds in outputs.items():
+            if ds.count() > 0:
+                ds.write_parquet(dirs[k], partition_cols=["partition_id"])
+        wall = time.time() - t0
+        for pid in pending:  # commit AFTER all three tables are on disk
+            _write_stage_manifest(
+                st, _GRAPH_PREP, pid,
+                {
+                    "n_edges": counts["edges"].get(pid, 0),
+                    "n_unary": counts["unary"].get(pid, 0),
+                    "n_annotation_urls": counts["ann_urls"].get(pid, 0),
+                    "wall_time_sec": round(wall, 3),
+                },
+            )
+
+    return (
+        _read_stage(dirs["edges"], schemas.EDGES),
+        _read_stage(dirs["unary"], _UNARY_SCHEMA),
+        _read_stage(dirs["ann_urls"], _ANN_URL_SCHEMA),
+    )
+
+
+def run_checkpointed_nodes(
+    st: CheckpointState,
+    edges: "ray.data.Dataset",
+    unary: "ray.data.Dataset",
+    ann_urls: "ray.data.Dataset",
+) -> Tuple["ray.data.Dataset", Dict[str, str]]:
+    """Checkpointed node canonicalization (global stage): one manifest
+    recording the graph_prep partition set consumed; recomputes only when
+    that set changed, else streams nodes from parquet and reloads the
+    URL map from its sidecar JSON."""
+    from ..stages.nodes import node_tables
+
+    nodes_dir = os.path.join(st.ckpt_dir, "nodes")
+    url_map_path = os.path.join(st.ckpt_dir, "url_map.json")
+    man_path = os.path.join(st.manifest_dir, "nodes.json")
+    pids = sorted(_stage_completed(st, _GRAPH_PREP))
+
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            m = json.load(f)
+        if m.get("status") == "complete" and m.get("input_partitions") == pids:
+            with open(url_map_path) as f:
+                url_map = json.load(f)
+            files = sorted(
+                os.path.join(nodes_dir, f)
+                for f in os.listdir(nodes_dir)
+                if f.endswith(".parquet")
+            )
+            cols = [f.name for f in schemas.NODES]
+            return ray.data.read_parquet(files).select_columns(cols), url_map
+
+    if os.path.isdir(nodes_dir):
+        shutil.rmtree(nodes_dir)  # stale / crashed partial
+    t0 = time.time()
+    nodes, url_map = node_tables(edges, unary, ann_urls)
+    nodes = nodes.materialize()
+    nodes.write_parquet(nodes_dir)
+    tmp = url_map_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(url_map, f)
+    os.replace(tmp, url_map_path)
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "stage": "nodes",
+        "status": "complete",
+        "input_partitions": pids,
+        "n_nodes": nodes.count(),
+        "wall_time_sec": round(time.time() - t0, 3),
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, man_path)
+    return nodes, url_map
+
+
+def run_checkpointed_graphs(
+    st: CheckpointState,
+    url_map: Dict[str, str],
+    style=None,
+) -> "ray.data.Dataset":
+    """Checkpointed per-document CX2 assembly: computed only for
+    partitions without a complete graphs manifest, reading that
+    partition's edges/unary parquet."""
+    from ..stages.graph import build_document_graphs
+
+    graphs_dir = os.path.join(st.ckpt_dir, "graphs")
+    os.makedirs(graphs_dir, exist_ok=True)
+    prep_done = _stage_completed(st, _GRAPH_PREP)
+    done = _stage_completed(st, _GRAPHS)
+    for name in os.listdir(graphs_dir):  # crashed-run garbage
+        if name.startswith("partition_id="):
+            pid = int(name.split("=", 1)[1])
+            if pid not in done:
+                shutil.rmtree(os.path.join(graphs_dir, name))
+    pending = sorted(prep_done - done)
+
+    if pending:
+        t0 = time.time()
+        pset = set(pending)
+        edges = _read_stage(
+            os.path.join(st.ckpt_dir, "edges"), schemas.EDGES, pids=pset
+        )
+        unary = _read_stage(
+            os.path.join(st.ckpt_dir, "unary"), _UNARY_SCHEMA, pids=pset
+        )
+        graphs = build_document_graphs(
+            edges, unary, url_map, style=style
+        ).map_batches(
+            _add_partition_column(st.num_partitions), batch_format="pyarrow"
+        ).materialize()
+        counts = _per_partition_counts(graphs)
+        if graphs.count() > 0:
+            graphs.write_parquet(graphs_dir, partition_cols=["partition_id"])
+        wall = time.time() - t0
+        for pid in pending:
+            _write_stage_manifest(
+                st, _GRAPHS, pid,
+                {"n_graphs": counts.get(pid, 0),
+                 "wall_time_sec": round(wall, 3)},
+            )
+
+    return _read_stage(graphs_dir, _GRAPH_SCHEMA)
+
+
+def run_checkpointed_kg(
+    documents: "ray.data.Dataset",
+    ckpt_dir: str,
+    num_partitions: int = 16,
+    cfg: Optional[KGConfig] = None,
+    style=None,
+):
+    """End-to-end checkpointed pipeline: documents → extractions → BEL
+    parse → nodes → per-document CX2 graphs, every stage resumable.  A
+    fully-checkpointed resume re-invokes NOTHING — not the LLM, not the
+    BEL parser, not graph assembly; it streams parquet.
+
+    Returns (KGResult, graphs Dataset)."""
+    from .kg import KGResult
+
+    extractions = run_checkpointed_extractions(
+        documents, ckpt_dir, num_partitions=num_partitions, cfg=cfg
+    )
+    st = load_state(ckpt_dir, num_partitions)
+    edges, unary, ann_urls = run_checkpointed_graph_prep(st)
+    nodes, url_map = run_checkpointed_nodes(st, edges, unary, ann_urls)
+    graphs = run_checkpointed_graphs(st, url_map, style=style)
+    res = KGResult(
+        chunks=None,
+        extractions=extractions,
+        edges=edges,
+        unary_nodes=unary,
+        annotation_urls=ann_urls,
+        nodes=nodes,
+        url_map=url_map,
+    )
+    return res, graphs
