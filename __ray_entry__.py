@@ -90,12 +90,26 @@ def _q_kg_nodes(sf_dir: str):
 
 
 def _q_kg_annotation_urls(sf_dir: str):
-    import ray.data
+    from kgray.utils import coarse_grouped_map
 
-    urls = _kg_result(sf_dir).annotation_urls
-    return urls.select_columns(["entry_name", "url"]).groupby(
+    # distinct (entry_name, url): per-batch drop_duplicates combiner, one
+    # entry_name-keyed coarse reduce — not a per-group map over
+    # vocabulary-many groups (r2 verdict minor #5)
+    urls = _kg_result(sf_dir).annotation_urls.select_columns(
         ["entry_name", "url"]
-    ).map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    def _distinct_partial(df):
+        return df.drop_duplicates()
+
+    return coarse_grouped_map(
+        urls.map_batches(
+            _distinct_partial, batch_format="pandas", batch_size=None
+        ),
+        "entry_name",
+        _distinct_partial,
+        num_partitions=4,
+    )
 
 
 def _q_chunk_spans(sf_dir: str):

@@ -147,9 +147,30 @@ def run_bench() -> dict:
         res.edges.write_parquet(os.path.join(out_dir, "edges"))
         res.nodes.write_parquet(os.path.join(out_dir, "nodes"))
         sec = time.time() - t0
+        # per-operator wall time of the executed plans (judge-visible
+        # stage table — utils.stage_stats parses ds.stats())
+        stages = []
+        try:
+            from kgray.utils import stage_stats
+
+            for label, ds in (("edges", res.edges), ("nodes", res.nodes)):
+                df = stage_stats(ds)
+                for r in df.itertuples(index=False):
+                    stages.append(
+                        {
+                            "plan": label,
+                            "operator": str(r.operator)[:80],
+                            "wall_s": round(float(r.wall_s), 3)
+                            if r.wall_s == r.wall_s else None,
+                            "n_tasks": int(r.n_tasks),
+                            "n_blocks": int(r.n_blocks),
+                        }
+                    )
+        except Exception:
+            pass  # stats text parsing is best-effort; never fail the bench
         # free tmpfs promptly — /dev/shm is shared with Ray's object store
         shutil.rmtree(out_dir, ignore_errors=True)
-        return sec
+        return sec, stages
 
     # scaling legs (replicate>1) stay single-shot: each leg is minutes
     # long, amortizing noise, and the two legs must share one config.
@@ -157,7 +178,8 @@ def run_bench() -> dict:
     # noisy-neighbor windows inflate single runs 2-4x (4.2s best vs
     # 17.7s worst for identical code) while the hw probe reads clean
     head_reps = 1 if replicate > 1 else max(repeats, 3)
-    headline = min(run_headline() for _ in range(head_reps))
+    runs = [run_headline() for _ in range(head_reps)]
+    headline, head_stages = min(runs, key=lambda r: r[0])
     n_docs *= replicate
     timings["kg_pipeline"] = round(headline, 3)
 
@@ -172,6 +194,7 @@ def run_bench() -> dict:
             "num_cpus": ncpu,
             "n_docs": n_docs,
             "docs_per_sec": round(n_docs / timings["kg_pipeline"], 2),
+            "stages": head_stages,
             "hw_probe": _hw_probe(),
         }
 
@@ -247,6 +270,9 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / timings["kg_pipeline"], 2),
+        # per-operator wall time of the winning headline run (the
+        # stage-regression table BASELINE.md publishes each round)
+        "stages": head_stages,
         # hardware health probe taken by THIS run: on this shared
         # hypervisor, minutes-long noisy-neighbor windows inflate all
         # wall times 3-4x while in-guest idle probes read clean.  A
