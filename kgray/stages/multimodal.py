@@ -3,13 +3,15 @@
 Media items are opaque ``binary`` payloads / ``media_ref`` URIs with typed
 metadata, processed by actor-pool ``map_batches`` stages with small batches
 (large payloads → keep batch_size low so batch × concurrency fits worker
-heaps).  The image/audio codecs are NOT in this container, so the decode
-kernels are stubbed two ways:
+heaps).  Decode is REAL for the formats a pure-python decoder covers —
+PNG / BMP / PPM / PGM pixels and WAV samples (sources/minimedia.py, no
+external codec library) — with two postures for everything else
+(JPEG, video containers, which genuinely need native codecs):
 
 - ``strict=True``  → NotImplementedError (the honest production posture);
 - ``strict=False`` → a deterministic fake (crc-seeded) so the Ray-side
   plumbing — schemas, batch sizes, actor signatures, output layout — is
-  fully exercised and tested.
+  fully exercised and tested even without payloads.
 
 Swapping in PIL/ffmpeg later only replaces the marked kernel bodies.
 """
@@ -53,11 +55,39 @@ class MediaDecoder:
         self.strict = strict
 
     def decode(self, ref: str, payload: Optional[bytes]) -> dict:
+        # REAL decode first (round 3): PNG/BMP/PPM/PGM pixels and WAV
+        # samples decode pure-python (sources/minimedia.py); only formats
+        # that genuinely need a native codec (JPEG, video) fall through.
+        from ..sources import minimedia as mm
+
+        if payload:
+            fmt = mm.detect_format(payload)
+            try:
+                if fmt in ("png", "bmp", "ppm", "pgm"):
+                    img = mm.decode_image(payload)
+                    return {
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "feature": mm.image_feature(img, MEDIA_FEATURE_DIM),
+                    }
+                if fmt == "wav":
+                    samples, rate = mm.decode_wav(payload)
+                    return {
+                        "width": int(rate),       # sample rate
+                        "height": int(len(samples)),  # frame count
+                        "feature": mm.audio_feature(
+                            samples, MEDIA_FEATURE_DIM
+                        ),
+                    }
+            except mm.UnsupportedMediaError:
+                if self.strict:
+                    raise
         if self.strict:
             raise NotImplementedError(
-                "media decoding requires image/audio libraries not present "
-                "in this container; run with strict=False for the "
-                "deterministic fake"
+                "strict decode: payload absent or format needs a native "
+                "codec (JPEG/video); supported pure-python formats are "
+                "PNG, BMP, PPM/PGM, WAV — run strict=False for the "
+                "deterministic fake fallback"
             )
         return _fake_decode(ref, payload)
 
@@ -105,6 +135,53 @@ class MediaResizer:
         return t.set_column(
             t.schema.get_field_index("height"), "height", pa.array(out_h)
         )
+
+
+class MediaPixelResizer:
+    """Actor stage: REAL pixel resample for decodable image payloads —
+    decode (minimedia) → clamp into (max_w, max_h) preserving aspect →
+    nearest-neighbor resample → re-encode PNG.  Undecodable payloads pass
+    through untouched (strict=True raises instead)."""
+
+    def __init__(self, max_w: int = 512, max_h: int = 512,
+                 strict: bool = False):
+        self.max_w, self.max_h = max_w, max_h
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources import minimedia as mm
+
+        payloads = batch.column("payload").to_pylist()
+        out_payload, out_w, out_h = [], [], []
+        for p in payloads:
+            img = None
+            if p:
+                try:
+                    img = mm.decode_image(p)
+                except mm.UnsupportedMediaError:
+                    if self.strict:
+                        raise
+            if img is None:
+                out_payload.append(p)
+                out_w.append(0)
+                out_h.append(0)
+                continue
+            h, w = img.shape[:2]
+            scale = min(1.0, self.max_w / w, self.max_h / h)
+            nw = max(1, int(w * scale + 0.5))
+            nh = max(1, int(h * scale + 0.5))
+            if (nw, nh) != (w, h):
+                img = mm.resize_nearest(img, nw, nh)
+            out_payload.append(mm.encode_png(img))
+            out_w.append(nw)
+            out_h.append(nh)
+        t = batch.set_column(
+            batch.schema.get_field_index("payload"),
+            "payload",
+            pa.array(out_payload, pa.binary()),
+        )
+        t = t.append_column("width", pa.array(out_w, pa.int32()))
+        return t.append_column("height", pa.array(out_h, pa.int32()))
 
 
 def media_chunks(chunks):
@@ -235,7 +312,10 @@ class AudioWindowFeatures:
 
     (win_ms, hop_ms) sliding windows over the clip duration; output one
     row per window: (doc_id, span_seq, media_ref, win_idx, start_ms,
-    feature list<float32>[13]).  Kernel stubbed; windowing math real."""
+    feature list<float32>[13]).  When a ``payload`` column holds WAV
+    bytes, the windows are REAL (pure-python decode + RMS/ZCR/band
+    energies per window, sources/minimedia.py); otherwise the fake
+    kernel stands in (strict=True then raises)."""
 
     def __init__(self, win_ms: int = 400, hop_ms: int = 200,
                  strict: bool = False):
@@ -244,34 +324,63 @@ class AudioWindowFeatures:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources import minimedia as mm
+
         doc, seq, ref, widx, start, feat = [], [], [], [], [], []
-        for d, s, r, m, ms in zip(
+        names = batch.schema.names
+        payloads = (
+            batch.column("payload").to_pylist()
+            if "payload" in names
+            else [None] * batch.num_rows
+        )
+        for d, s, r, m, ms, p in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("span_seq").to_pylist(),
             batch.column("media_ref").to_pylist(),
             batch.column("modality").to_pylist(),
             batch.column("duration_ms").to_pylist(),
+            payloads,
         ):
-            if m != "audio" or not ms:
+            if m != "audio":
                 continue
-            if self.strict:
+            samples = rate = None
+            if p and mm.detect_format(p) == "wav":
+                try:
+                    samples, rate = mm.decode_wav(p)
+                    ms = len(samples) * 1000 // max(1, rate)
+                except mm.UnsupportedMediaError:
+                    if self.strict:
+                        raise
+            if not ms:
+                continue
+            if samples is None and self.strict:
                 raise NotImplementedError(
-                    "audio decoding requires an audio library, absent here"
+                    "strict audio windows need a WAV payload (other codecs "
+                    "require an audio library, absent here)"
                 )
             n_win = max(1, 1 + (ms - self.win_ms) // self.hop_ms)
             for i in range(int(n_win)):
                 st = i * self.hop_ms
-                seed = zlib.crc32(f"{r}#aud{st}".encode())
-                rng = np.random.RandomState(seed & 0x7FFFFFFF)
                 doc.append(d)
                 seq.append(s)
                 ref.append(r)
                 widx.append(i)
                 start.append(st)
-                feat.append(
-                    rng.standard_normal(AUDIO_FEATURE_DIM)
-                    .astype(np.float32).tolist()
-                )
+                if samples is not None:
+                    lo = st * rate // 1000
+                    hi = (st + self.win_ms) * rate // 1000
+                    feat.append(
+                        mm.audio_feature(
+                            samples[lo:hi], AUDIO_FEATURE_DIM
+                        ).tolist()
+                    )
+                else:
+                    seed = zlib.crc32(f"{r}#aud{st}".encode())
+                    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+                    feat.append(
+                        rng.standard_normal(AUDIO_FEATURE_DIM)
+                        .astype(np.float32).tolist()
+                    )
         return pa.table(
             {
                 "doc_id": pa.array(doc, pa.string()),

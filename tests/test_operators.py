@@ -218,8 +218,10 @@ def test_textfile_source():
     assert [s["text"] for s in spans] == paras
     assert spans[0]["offset"] < spans[1]["offset"]
     assert decode_payload(b"hello", "txt") == "hello"
-    with pytest.raises(NotImplementedError):
-        decode_payload(b"%PDF", "pdf")
+    # PDF decode is REAL (vendored minipdf) since round 3; garbage still
+    # errors rather than returning silence
+    with pytest.raises(ValueError):
+        decode_payload(b"%PDF", "pdf")  # truncated: no parseable objects
     with pytest.raises(ValueError):
         decode_payload(b"x", "docx")
 
