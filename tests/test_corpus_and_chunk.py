@@ -72,12 +72,15 @@ def test_span_sequence_invariant_roundtrip():
 def test_pdf_extractor_seam():
     from kgray.sources import textfile
 
-    with pytest.raises(NotImplementedError):
+    # default extractor is the REAL vendored minipdf (round 3): a header
+    # with no parseable objects is an error, not a silent empty string
+    with pytest.raises(ValueError):
         textfile.decode_payload(b"%PDF-1.4 fake", "pdf")
+    # the seam still wins over the default when registered
     textfile.set_pdf_extractor(lambda payload: "Extracted PDF text.\n\nPara two here.")
     try:
         assert textfile.decode_payload(b"%PDF", "pdf").startswith("Extracted")
     finally:
         textfile.set_pdf_extractor(None)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         textfile.decode_payload(b"%PDF", "pdf")
