@@ -72,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default=None,
                    help="Model name for openai/vllm backends.")
     p.add_argument("--output_dir", type=str, default="kgray_output")
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="Enable per-stage checkpoint/resume: a re-run "
+                        "with the same dir re-invokes nothing for "
+                        "completed partitions (LLM, BEL parse, nodes, "
+                        "CX2 all resume from parquet).")
+    p.add_argument("--checkpoint_partitions", type=int, default=16,
+                   help="Partition count for --checkpoint_dir (fixed per "
+                        "checkpoint dir).")
     p.add_argument("--num_cpus", type=int, default=None,
                    help="ray.init num_cpus when this process owns the Ray "
                         "session (default: let Ray decide).")
@@ -181,16 +189,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = KGConfig(backend=args.backend, backend_kwargs=backend_kwargs)
 
     docs = _documents_from_args(args)
-    res = run_kg_pipeline(docs, cfg)
+    style = load_visual_style(args.style_path) if args.style_path else None
+    if args.checkpoint_dir:
+        from .pipelines.checkpoint import run_checkpointed_kg
+
+        res, graphs = run_checkpointed_kg(
+            docs,
+            args.checkpoint_dir,
+            num_partitions=args.checkpoint_partitions,
+            cfg=cfg,
+            style=style,
+        )
+    else:
+        res = run_kg_pipeline(docs, cfg)
+        graphs = build_document_graphs(
+            res.edges, res.unary_nodes, res.url_map, style=style
+        )
 
     os.makedirs(args.output_dir, exist_ok=True)
     res.edges.write_parquet(os.path.join(args.output_dir, "edges"))
     res.nodes.write_parquet(os.path.join(args.output_dir, "nodes"))
-
-    style = load_visual_style(args.style_path) if args.style_path else None
-    graphs = build_document_graphs(
-        res.edges, res.unary_nodes, res.url_map, style=style
-    )
     n = 0
     for row in graphs.iter_rows():
         doc_dir = os.path.join(args.output_dir, str(row["doc_id"]))

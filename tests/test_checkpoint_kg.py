@@ -162,3 +162,38 @@ def test_nodes_manifest_tracks_partition_set(tmp_path):
     assert man["input_partitions"] == prep_pids
     assert man["wall_time_sec"] >= 0
     assert os.path.exists(os.path.join(ckpt, "url_map.json"))
+
+
+def test_cli_checkpoint_flag_resumes(tmp_path, ray_session):
+    """--checkpoint_dir: a second CLI run over the same inputs resumes
+    every stage from parquet and produces identical outputs."""
+    from kgray.cli import main
+
+    txt = tmp_path / "doc.txt"
+    txt.write_text(
+        "AKT1 activates HSF1 in stressed cells. This paragraph is long "
+        "enough to be admitted by the filters.\n"
+    )
+    out1, out2 = tmp_path / "o1", tmp_path / "o2"
+    ckpt = str(tmp_path / "ckpt")
+    for out in (out1, out2):
+        rc = main(
+            [
+                "--txt_paths", str(txt),
+                "--output_dir", str(out),
+                "--checkpoint_dir", ckpt,
+                "--checkpoint_partitions", "4",
+                "--backend", "stub",
+            ]
+        )
+        assert rc == 0
+        assert (out / "doc" / "cx2_network.cx").exists()
+    cx1 = (out1 / "doc" / "cx2_network.cx").read_text()
+    cx2 = (out2 / "doc" / "cx2_network.cx").read_text()
+    assert cx1 == cx2
+    # all four stage kinds checkpointed
+    names = set(os.listdir(os.path.join(ckpt, "manifests")))
+    assert any(n.startswith("partition-") for n in names)
+    assert any(n.startswith("graph_prep-") for n in names)
+    assert any(n.startswith("graphs-") for n in names)
+    assert "nodes.json" in names
