@@ -20,10 +20,11 @@ that passed admission.
 
 Scale notes: admission is a pure map (prunes before any shuffle); exact
 dedup and the LSH stages shuffle only survivor rows; components solve
-through the distributed min-label propagation
-(stages/graph_algos.connected_components — no driver-side graph), and
-keep-one is an anti repartition join against the pair-graph-bounded
-loser set.  Filter thresholds mirror the DuckDB oracle in __ray_entry__
+through the auto-dispatched solver (stages/dedup.component_losers —
+bounded driver union-find under COMPONENTS_DRIVER_MAX_PAIRS exact
+pairs, distributed min-label propagation above it), and keep-one is an
+anti repartition join against the pair-graph-bounded loser set.  Filter
+thresholds mirror the DuckDB oracle in __ray_entry__
 expression-for-expression.
 """
 from __future__ import annotations
@@ -141,8 +142,8 @@ def curate_corpus(
         raise ValueError(f"unknown pair_method: {pair_method!r}")
 
     # keep-one: drop the NON-representative component members via one
-    # anti repartition join against the distributed component solve —
-    # no driver union-find, no broadcast of a doc→rep map (r2 verdict #1)
+    # anti repartition join against the auto-dispatched component solve
+    # (bounded union-find small / distributed LP large, r2 verdict #1)
     from ..utils import repartition_join
 
     survivors = repartition_join(
@@ -417,8 +418,9 @@ def pretrain_corpus(
 
     pairs = minhash_lsh_pairs(deduped, threshold=near_dup_threshold)
 
-    # keep-one via distributed components + anti join (r2 verdict #1):
-    # the component solve never touches the driver, and only the
+    # keep-one via the auto-dispatched component solve + anti join
+    # (r2 verdict #1): bounded driver union-find on small pair graphs,
+    # distributed LP above the constant bound; only the
     # pair-graph-bounded loser set crosses the join
     from ..utils import repartition_join
 

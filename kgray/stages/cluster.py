@@ -223,17 +223,57 @@ def cluster_surface_forms(
         .map_groups(shard_verified_pairs, batch_format="pandas")
     )
 
-    # --- connected components over the pair edges, FULLY DISTRIBUTED
-    # (round 3: the former driver union-find + ray.put canonical map is
-    # gone).  String-typed min-label propagation makes the component
-    # label the lexicographically smallest ORIGINAL form directly — the
-    # canonical — and it comes back onto the name set via one name-keyed
-    # left repartition join; names in no edge stay their own canonical.
+    # --- connected components over the pair edges, auto-dispatched (the
+    # shared dedup policy, stages/dedup.COMPONENTS_DRIVER_MAX_PAIRS):
+    # edge graphs under the constant bound solve with driver union-find
+    # over STRING nodes (broadcast canonical map); bigger graphs run the
+    # string-typed distributed min-label propagation, whose component
+    # label is the lexicographically smallest ORIGINAL form — the
+    # canonical — joined back with one name-keyed left repartition join.
+    # Names in no edge stay their own canonical on both paths.
+    from . import dedup as dedup_mod
     from .graph_algos import connected_components
     from ..utils import repartition_join
 
+    edges = exact_edges.union(lsh_edges).materialize()
+
+    def _final(df: "pd.DataFrame") -> pa.Table:
+        canonical = df.canonical.to_numpy(dtype=object)
+        cids = (
+            _hash_token_array(canonical) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "name": pa.array(df.name.to_numpy(dtype=object), pa.string()),
+                "cluster_id": pa.array(cids, pa.int64()),
+                "canonical": pa.array(canonical, pa.string()),
+            }
+        )
+
+    if edges.count() <= dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS:
+        canon_ref = ray.put(
+            dedup_mod.pair_components(
+                edges, left_col="name_a", right_col="name_b"
+            )
+        )
+
+        def assign_small(df: "pd.DataFrame") -> pa.Table:
+            if "name" not in df.columns or len(df) == 0:
+                return pa.table(
+                    {"name": pa.array([], pa.string()),
+                     "cluster_id": pa.array([], pa.int64()),
+                     "canonical": pa.array([], pa.string())}
+                )
+            cmap = ray.get(canon_ref)
+            df = df.assign(
+                canonical=[cmap.get(n, n) for n in df.name]
+            )
+            return _final(df)
+
+        return distinct.map_batches(assign_small, batch_format="pandas")
+
     cc = connected_components(
-        exact_edges.union(lsh_edges),
+        edges,
         node_type=pa.string(),
         left_col="name_a",
         right_col="name_b",
@@ -257,19 +297,8 @@ def cluster_surface_forms(
                  "cluster_id": pa.array([], pa.int64()),
                  "canonical": pa.array([], pa.string())}
             )
-        canonical = df.rep_id.where(
-            df.rep_id.notna(), df.name
-        ).to_numpy(dtype=object)
-        cids = (
-            _hash_token_array(canonical) & np.uint64(0x7FFFFFFFFFFFFFFF)
-        ).view(np.int64)
-        return pa.table(
-            {
-                "name": pa.array(df.name.to_numpy(dtype=object), pa.string()),
-                "cluster_id": pa.array(cids, pa.int64()),
-                "canonical": pa.array(canonical, pa.string()),
-            }
-        )
+        df = df.assign(canonical=df.rep_id.where(df.rep_id.notna(), df.name))
+        return _final(df)
 
     return joined.map_batches(assign, batch_format="pandas")
 

@@ -37,6 +37,15 @@ def _collect(refs) -> pd.DataFrame:
 
 @contextlib.contextmanager
 def collection_guard(allow_shingle_broadcast: bool = False):
+    """Blocks driver collection AND forces the distributed component
+    solver (COMPONENTS_DRIVER_MAX_PAIRS = -1): the auto dispatch would
+    legitimately take the bounded driver union-find on these test-sized
+    graphs, but these tests exist to prove the LP path is
+    collection-free."""
+    from kgray.stages import dedup as dedup_mod
+
+    orig_bound = dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS
+    dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS = -1
     orig_take_all = ray.data.Dataset.take_all
     orig_to_pandas = ray.data.Dataset.to_pandas
 
@@ -60,6 +69,7 @@ def collection_guard(allow_shingle_broadcast: bool = False):
     finally:
         ray.data.Dataset.take_all = orig_take_all
         ray.data.Dataset.to_pandas = orig_to_pandas
+        dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS = orig_bound
 
 
 def _worst_case_corpus(n: int = 36):
@@ -257,3 +267,57 @@ def test_tfidf_and_unigram_no_vocab_broadcast():
         n1 = tfidf_top_terms(sf, k=5).count()
         n2 = unigram_nll(sf).count()
     assert n1 > 0 and n2 == 500
+
+
+def test_component_auto_dispatch_parity():
+    """The auto dispatch (driver union-find under the constant pair
+    bound, LP above it) must return identical results either way."""
+    from kgray.stages import dedup as dedup_mod
+    from kgray.stages.dedup import near_dup_groups
+
+    tbl = _worst_case_corpus()
+    docs = ray.data.from_arrow(tbl).repartition(6)
+
+    # small path (bound is 200k, 36² pairs is far under it)
+    assert dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS > 10_000
+    small = (
+        near_dup_groups(docs, threshold=0.5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # forced LP path
+    orig = dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS
+    try:
+        dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS = -1
+        lp = (
+            near_dup_groups(docs, threshold=0.5)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    finally:
+        dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS = orig
+    pd.testing.assert_frame_equal(small, lp)
+
+
+def test_cluster_surface_forms_auto_dispatch_parity():
+    from kgray.stages import dedup as dedup_mod
+    from kgray.stages.cluster import cluster_surface_forms
+
+    names = []
+    for i in range(60):
+        names += [f"GENE{i}", f"gene{i}"]
+    ds = ray.data.from_arrow(
+        pa.table({"name": pa.array(names, pa.string())})
+    ).repartition(3)
+    small = (
+        cluster_surface_forms(ds)
+        .to_pandas().sort_values("name").reset_index(drop=True)
+    )
+    orig = dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS
+    try:
+        dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS = -1
+        lp = (
+            cluster_surface_forms(ds)
+            .to_pandas().sort_values("name").reset_index(drop=True)
+        )
+    finally:
+        dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS = orig
+    pd.testing.assert_frame_equal(small, lp)
