@@ -8,11 +8,17 @@ multimodal stages (stages/multimodal.py), no external codec libraries:
   top-down rows.
 * PPM / PGM — binary P5/P6.
 * WAV  — stdlib ``wave`` (PCM 8/16/32-bit).
+* JPEG — baseline sequential (sources/minijpeg.py: Huffman + DCT in
+  numpy; 4:4:4 / 4:2:2 / 4:2:0 / grayscale, restart markers; progressive
+  and arithmetic coding stay gated).
+* GIF  — 87a/89a, global/local palettes, interlace, variable-width LZW;
+  ``gif_frames`` exposes every frame for the frame-sampling stage.
 
-Formats beyond these (JPEG, video containers) still raise
+Formats beyond these (video containers, JPEG-progressive) still raise
 ``UnsupportedMediaError`` — the honest posture for codecs that genuinely
-need a native library.  ``encode_png`` exists so tests (and synthetic
-corpora) can round-trip pixels through the real decode path.
+need a native library.  ``encode_png`` / ``encode_jpeg`` / ``encode_gif``
+exist so tests (and synthetic corpora) can round-trip pixels through the
+real decode paths.
 """
 from __future__ import annotations
 
@@ -36,7 +42,7 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def detect_format(payload: bytes) -> Optional[str]:
-    """'png' | 'bmp' | 'ppm' | 'pgm' | 'wav' | 'jpeg' | None."""
+    """'png' | 'bmp' | 'ppm' | 'pgm' | 'wav' | 'jpeg' | 'gif' | None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:8] == _PNG_MAGIC:
@@ -49,6 +55,8 @@ def detect_format(payload: bytes) -> Optional[str]:
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -293,6 +301,220 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a) — variable-width LZW, global/local palettes, interlace
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW: codes packed LSB-first, dynamic width 3..12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    out = bytearray()
+    prev: Optional[bytes] = None
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                # tolerated: some writers omit the explicit end code
+                return bytes(out[:n_pixels])
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise UnsupportedMediaError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out[:n_pixels])
+
+
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    put(clear, code_size)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            put(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([b])
+    if w:
+        put(table[w], code_size)
+    put(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_frames(payload: bytes) -> list:
+    """All frames of a GIF as uint8 (h, w, 3) arrays (frame-local geometry;
+    naive full-replace rendering — disposal-method compositing of partial
+    frames onto the logical screen is out of scope and documented so)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedMediaError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+        gct = gct.reshape(-1, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise UnsupportedMediaError(f"unknown GIF block 0x{b:02x}")
+        _left, _top, w, h, ipacked = struct.unpack(
+            "<HHHHB", payload[pos + 1 : pos + 10]
+        )
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise UnsupportedMediaError("GIF image with no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code_size, bytes(lzw), w * h), dtype=np.uint8
+        )
+        if len(idx) < w * h:
+            idx = np.pad(idx, (0, w * h - len(idx)))
+        grid = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced: reorder rows
+            out = np.empty_like(grid)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, h, step)
+                for r in rows:
+                    out[r] = grid[src]
+                    src += 1
+            grid = out
+        frames.append(pal[np.minimum(grid, len(pal) - 1)])
+    if not frames:
+        raise UnsupportedMediaError("GIF with no image data")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF as uint8 (h, w, 3)."""
+    return gif_frames(payload)[0]
+
+
+def encode_gif(img: np.ndarray, frames: Optional[list] = None) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB (≤256 distinct colors) →
+    GIF89a bytes; pass ``frames`` (list of same-shape arrays) for a
+    multi-frame GIF sharing one palette.  Test/synthetic-corpus encoder."""
+    imgs = [img] + list(frames or [])
+    rgb = []
+    for im in imgs:
+        a = np.asarray(im, dtype=np.uint8)
+        if a.ndim == 2:
+            a = np.repeat(a[:, :, None], 3, axis=2)
+        rgb.append(a[:, :, :3])
+    h, w = rgb[0].shape[:2]
+    flat = np.concatenate([a.reshape(-1, 3) for a in rgb])
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} colors > 256 (quantize first)")
+    bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    table_n = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out += pal.tobytes()
+    min_code_size = max(2, bits)
+    offset = 0
+    for a in rgb:
+        n = a.shape[0] * a.shape[1]
+        idx = inverse[offset : offset + n].astype(np.uint8).tobytes()
+        offset += n
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code_size)
+        lzw = _gif_lzw_encode(min_code_size, idx)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # unified decode + features
 # ---------------------------------------------------------------------------
 
@@ -304,6 +526,21 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt in ("ppm", "pgm"):
         return decode_pnm(payload)
+    if fmt == "jpeg":
+        from . import minijpeg
+
+        # corrupt streams map to UnsupportedMediaError too, matching the
+        # WAV path: decode stages quarantine/fall back, never crash
+        try:
+            return minijpeg.decode_jpeg(payload)
+        except (minijpeg.UnsupportedJPEGError,
+                minijpeg.CorruptJPEGError) as e:
+            raise UnsupportedMediaError(str(e)) from e
+    if fmt == "gif":
+        try:
+            return decode_gif(payload)
+        except (struct.error, IndexError) as e:
+            raise UnsupportedMediaError(f"corrupt GIF: {e}") from e
     raise UnsupportedMediaError(
         f"no pure-python decoder for format {fmt or 'unknown'}"
     )

@@ -55,15 +55,16 @@ class MediaDecoder:
         self.strict = strict
 
     def decode(self, ref: str, payload: Optional[bytes]) -> dict:
-        # REAL decode first (round 3): PNG/BMP/PPM/PGM pixels and WAV
-        # samples decode pure-python (sources/minimedia.py); only formats
-        # that genuinely need a native codec (JPEG, video) fall through.
+        # REAL decode first (round 3): PNG/BMP/PPM/PGM/baseline-JPEG/GIF
+        # pixels and WAV samples decode pure-python (sources/minimedia.py,
+        # sources/minijpeg.py); only formats that genuinely need a native
+        # codec (video containers, progressive JPEG) fall through.
         from ..sources import minimedia as mm
 
         if payload:
             fmt = mm.detect_format(payload)
             try:
-                if fmt in ("png", "bmp", "ppm", "pgm"):
+                if fmt in ("png", "bmp", "ppm", "pgm", "jpeg", "gif"):
                     img = mm.decode_image(payload)
                     return {
                         "width": int(img.shape[1]),
@@ -85,9 +86,10 @@ class MediaDecoder:
         if self.strict:
             raise NotImplementedError(
                 "strict decode: payload absent or format needs a native "
-                "codec (JPEG/video); supported pure-python formats are "
-                "PNG, BMP, PPM/PGM, WAV — run strict=False for the "
-                "deterministic fake fallback"
+                "codec (video containers, progressive JPEG); supported "
+                "pure-python formats are PNG, BMP, PPM/PGM, baseline "
+                "JPEG, GIF, WAV — run strict=False for the deterministic "
+                "fake fallback"
             )
         return _fake_decode(ref, payload)
 
@@ -250,10 +252,15 @@ class FrameSampler:
     fans out to ``ceil(duration/interval_ms)`` frame rows, capped at
     ``max_frames`` (uniform re-spacing when capped — the standard
     training-data sampling policy).  Output: (doc_id, span_seq, media_ref,
-    frame_idx, ts_ms, feature list<float32>).  The per-frame decode is the
-    stubbed kernel; the fan-out, capping, timestamps and batch layout are
-    the real Ray-side work.  batch_size stays small upstream: with real
-    codecs each input row is a multi-MB container."""
+    frame_idx, ts_ms, feature list<float32>).
+
+    Animated GIF payloads get REAL frame extraction (sources/minimedia
+    ``gif_frames``: frames sampled uniformly up to ``max_frames``, feature
+    = content-derived ``image_feature`` per frame).  Other containers'
+    per-frame decode is the stubbed kernel (video codecs absent); the
+    fan-out, capping, timestamps and batch layout are the real Ray-side
+    work either way.  batch_size stays small upstream: with real codecs
+    each input row is a multi-MB container."""
 
     def __init__(self, interval_ms: int = 1000, max_frames: int = 16,
                  strict: bool = False):
@@ -271,13 +278,43 @@ class FrameSampler:
         return rng.standard_normal(MEDIA_FEATURE_DIM).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources import minimedia as mm
+
         doc, seq, ref, fidx, ts, feat = [], [], [], [], [], []
         modality = batch.column("modality").to_pylist()
         dur = batch.column("duration_ms").to_pylist()
         docs = batch.column("doc_id").to_pylist()
         seqs = batch.column("span_seq").to_pylist()
         refs = batch.column("media_ref").to_pylist()
-        for d, s, r, m, ms in zip(docs, seqs, refs, modality, dur):
+        payloads = (
+            batch.column("payload").to_pylist()
+            if "payload" in batch.schema.names
+            else [None] * len(refs)
+        )
+        for d, s, r, m, ms, p in zip(docs, seqs, refs, modality, dur,
+                                     payloads):
+            if p is not None and mm.detect_format(p) == "gif":
+                # REAL multi-frame decode path
+                frames = mm.gif_frames(p)
+                if len(frames) > self.max_frames:
+                    picks = np.linspace(
+                        0, len(frames) - 1, self.max_frames
+                    ).round().astype(int)
+                else:
+                    picks = np.arange(len(frames))
+                step = self.interval_ms
+                for i, k in enumerate(picks):
+                    doc.append(d)
+                    seq.append(s)
+                    ref.append(r)
+                    fidx.append(i)
+                    ts.append(int(k) * step)
+                    feat.append(
+                        mm.image_feature(
+                            frames[k], MEDIA_FEATURE_DIM
+                        ).tolist()
+                    )
+                continue
             if m != "video" or not ms:
                 continue
             n = max(1, int(np.ceil(ms / self.interval_ms)))
