@@ -1168,6 +1168,30 @@ def _q_order_priority_exists(sf_dir: str):
     return order_priority_exists(sf_dir)
 
 
+def _q_latency_priority_counts(sf_dir: str):
+    from kgray.pipelines.tpch_more import latency_priority_counts
+
+    return latency_priority_counts(sf_dir)
+
+
+def _q_dominant_suppliers(sf_dir: str):
+    from kgray.pipelines.tpch_more import dominant_suppliers
+
+    return dominant_suppliers(sf_dir)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    from kgray.pipelines.tpch_more import waiting_suppliers
+
+    return waiting_suppliers(sf_dir)
+
+
+def _q_copurchase_components(sf_dir: str):
+    from kgray.pipelines.analytics import copurchase_components
+
+    return copurchase_components(sf_dir)
+
+
 def _q_duplicate_ngrams(sf_dir: str):
     from kgray.stages.filters import duplicate_ngram_stats
 
@@ -1937,6 +1961,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": _q_session_stats,
         "nation_trade_volume": _q_nation_trade_volume,
         "order_priority_exists": _q_order_priority_exists,
+        "latency_priority_counts": _q_latency_priority_counts,
+        "dominant_suppliers": _q_dominant_suppliers,
+        "waiting_suppliers": _q_waiting_suppliers,
+        "copurchase_components": _q_copurchase_components,
         "promo_revenue": _q_promo_revenue,
         "idle_rich_customers": _q_idle_rich_customers,
         "customer_running_total": _q_customer_running_total,
@@ -3042,6 +3070,73 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "latency_priority_counts": """
+WITH d AS (
+  SELECT (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+           // 86400000000 AS days,
+         o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS high
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT CASE WHEN days < 0 THEN 'early'
+            WHEN days <= 90 THEN 'on-time'
+            ELSE 'late' END AS ship_bucket,
+       CAST(sum(CASE WHEN high THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN high THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM d GROUP BY 1
+""",
+        "dominant_suppliers": """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2),
+pt AS (
+  SELECT l_partkey, sum(q) AS tq, count(*) AS ns FROM ps GROUP BY 1)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_dominant_parts
+FROM ps
+JOIN pt USING (l_partkey)
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE pt.ns >= 2 AND ps.q * pt.ns > 2 * pt.tq
+GROUP BY 1, 2
+""",
+        "waiting_suppliers": """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         bool_or(l.l_shipdate > o.o_orderdate + INTERVAL 180 DAY)
+           AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2),
+po AS (
+  SELECT l_orderkey, count(*) AS ns,
+         sum(CASE WHEN late THEN 1 ELSE 0 END) AS nl
+  FROM j GROUP BY 1)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM j JOIN po USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = j.l_suppkey
+WHERE j.late AND po.ns > 1 AND po.nl = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+        "copurchase_components": """
+WITH RECURSIVE
+lo AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lo a JOIN lo b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (SELECT pa AS s, pb AS d FROM e
+        UNION ALL SELECT pb, pa FROM e),
+nodes AS (SELECT DISTINCT s AS node FROM und),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.d, r.lbl FROM reach r JOIN und u ON u.s = r.node)
+SELECT node AS l_partkey, CAST(min(lbl) AS BIGINT) AS component_id
+FROM reach GROUP BY 1
 """,
         "ship_latency_quantiles": """
 WITH d AS (

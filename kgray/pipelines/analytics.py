@@ -362,6 +362,57 @@ def part_copurchase_pairs(sf_dir: str) -> "ray.data.Dataset":
     return coarse_grouped_map(partial, ["part_a", "part_b"], reduce_pairs)
 
 
+def copurchase_components(
+    sf_dir: str, min_count: int = 2
+) -> "ray.data.Dataset":
+    """Connected components of the co-purchase graph: parts linked when
+    they share >= ``min_count`` orders, labeled with their component's
+    minimum part key -> (l_partkey, component_id).
+
+    The edge list is ``part_copurchase_pairs`` filtered map-side (the
+    count threshold is what keeps the graph sparse — unthresholded
+    co-purchase is near-complete and components degenerate to one
+    blob); the solve is stages/graph_algos.connected_components, the
+    distributed min-label-propagation loop every keep-one dedup uses.
+    SQL-checkable end to end: the oracle replays the propagation as a
+    recursive CTE (min reachable label == component minimum).
+    """
+    from ..stages.graph_algos import connected_components
+
+    pairs = part_copurchase_pairs(sf_dir)
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "n_orders" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table(
+                {"part_a": pa.array([], pa.int64()),
+                 "part_b": pa.array([], pa.int64())}
+            )
+        keep = batch.filter(
+            pc.greater_equal(batch.column("n_orders"), min_count)
+        )
+        return keep.select(["part_a", "part_b"])
+
+    edges = pairs.map_batches(threshold, batch_format="pyarrow")
+    cc = connected_components(
+        edges, left_col="part_a", right_col="part_b"
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table(
+                {"l_partkey": pa.array([], pa.int64()),
+                 "component_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"l_partkey": batch.column("doc_id").cast(pa.int64()),
+             "component_id": batch.column("rep_id").cast(pa.int64())}
+        )
+
+    return cc.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter-accelerated semi join
 # ---------------------------------------------------------------------------

@@ -332,3 +332,319 @@ def order_priority_exists(
         return g
 
     return coarse_grouped_map(matched, "o_orderpriority", rollup)
+
+
+# ---------------------------------------------------------------------------
+# Q12: shipping-latency x order-priority conditional aggregation
+# ---------------------------------------------------------------------------
+
+def latency_priority_counts(
+    sf_dir: str, on_time_days: int = 90
+) -> "ray.data.Dataset":
+    """Per shipping-latency bucket: how many lineitems belong to
+    high-priority (1-URGENT / 2-HIGH) vs lower-priority orders.
+
+    Shape (TPC-H Q12, adapted — the testdata has no l_shipmode /
+    l_commitdate, so the grouping dimension is the DERIVED latency
+    bucket of l_shipdate - o_orderdate: 'early' (< 0 days), 'on-time'
+    (<= ``on_time_days``), 'late'): one fact<->fact repartition join on
+    the order key, then the conditional counts collapse map-side to
+    <= 3 rows per batch before a tiny keyed reduce — the classic
+    "join is the cost, aggregation is free" profile.  Day arithmetic
+    is exact: both columns are midnight timestamps, so the timedelta
+    is a whole day count and matches SQL datediff('day', ...).
+    """
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    joined = repartition_join(
+        li,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(),
+                    "l_shipdate": pa.timestamp("us")},
+        right_types={"o_orderkey": pa.int64(),
+                     "o_orderdate": pa.timestamp("us"),
+                     "o_orderpriority": pa.string()},
+    )
+
+    cut = on_time_days
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df.l_shipdate - df.o_orderdate).dt.days
+        bucket = np.where(
+            days < 0, "early", np.where(days <= cut, "on-time", "late")
+        )
+        high = df.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+        t = pd.DataFrame({"ship_bucket": bucket, "high": high})
+        g = t.groupby("ship_bucket", as_index=False).agg(
+            high_line_count=("high", "sum"),
+            low_line_count=("high", lambda s: (~s).sum()),
+        )
+        return g
+
+    def bucket_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ship_bucket", as_index=False).agg(
+            high_line_count=("high_line_count", "sum"),
+            low_line_count=("low_line_count", "sum"),
+        )
+        g["high_line_count"] = g.high_line_count.astype(np.int64)
+        g["low_line_count"] = g.low_line_count.astype(np.int64)
+        return g
+
+    return coarse_grouped_map(
+        joined.map_batches(
+            bucket_partial, batch_format="pandas", batch_size=None
+        ),
+        "ship_bucket",
+        bucket_reduce,
+        num_partitions=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20: suppliers dominating a part's shipped volume (nested aggregate)
+# ---------------------------------------------------------------------------
+
+def dominant_suppliers(sf_dir: str) -> "ray.data.Dataset":
+    """Per supplier: the number of multi-supplier parts for which this
+    supplier shipped MORE THAN TWICE the part's average per-supplier
+    quantity (share > 2/ns) — i.e. parts whose volume the supplier
+    dominates relative to its peers.
+
+    Shape (TPC-H Q20's nested aggregate, adapted — no partsupp table,
+    so "available quantity" becomes shipped quantity and the 50%
+    threshold becomes a peer-relative one that discriminates when
+    parts have many suppliers): the inner per-(part, supplier) sums
+    compact map-side, the per-part totals are a second keyed reduce
+    OVER THE ALREADY-REDUCED pair rows (never the raw fact), the
+    threshold test is one part-keyed repartition join, and supplier
+    names attach by a supplier-keyed join — no driver collection
+    anywhere.  Quantities are integral doubles, so every sum is exact
+    in any order.
+    """
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["l_partkey", "l_suppkey"], as_index=False
+        ).agg(q=("l_quantity", "sum"))
+
+    def pair_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["l_partkey", "l_suppkey"], as_index=False
+        ).agg(q=("q", "sum"))
+
+    ps = coarse_grouped_map(
+        li.map_batches(pair_partial, batch_format="pandas",
+                       batch_size=None),
+        ["l_partkey", "l_suppkey"],
+        pair_reduce,
+    ).materialize()  # two consumers: part totals + the threshold join
+
+    def total_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False).agg(
+            tq=("q", "sum"), ns=("q", "size")
+        )
+
+    def total_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False).agg(
+            tq=("tq", "sum"), ns=("ns", "sum")
+        )
+        return g
+
+    pt = coarse_grouped_map(
+        ps.map_batches(total_partial, batch_format="pandas",
+                       batch_size=None),
+        "l_partkey",
+        total_reduce,
+    )
+
+    joined = repartition_join(
+        ps,
+        pt,
+        left_on="l_partkey",
+        right_on="l_partkey",
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "q": pa.float64()},
+        right_types={"l_partkey": pa.int64(), "tq": pa.float64(),
+                     "ns": pa.int64()},
+    )
+
+    def dominate_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # share > 2/ns  <=>  q * ns > 2 * tq; both sides integral
+        # doubles < 2^53, so the float compare is exact
+        keep = df[(df.ns >= 2) & (df.q * df.ns > 2.0 * df.tq)]
+        g = keep.groupby("l_suppkey", as_index=False).agg(
+            n_dominant_parts=("l_partkey", "size")
+        )
+        return g
+
+    def dominate_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", as_index=False).agg(
+            n_dominant_parts=("n_dominant_parts", "sum")
+        )
+        g["n_dominant_parts"] = g.n_dominant_parts.astype(np.int64)
+        return g
+
+    counts = coarse_grouped_map(
+        joined.map_batches(dominate_partial, batch_format="pandas",
+                           batch_size=None),
+        "l_suppkey",
+        dominate_reduce,
+    )
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    named = repartition_join(
+        counts,
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_types={"l_suppkey": pa.int64(),
+                    "n_dominant_parts": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_name": pa.string()},
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"l_suppkey": "s_suppkey"})
+        out["s_suppkey"] = out.s_suppkey.astype(np.int64)
+        out["n_dominant_parts"] = out.n_dominant_parts.astype(np.int64)
+        return out[["s_suppkey", "s_name", "n_dominant_parts"]]
+
+    return named.map_batches(project, batch_format="pandas",
+                             batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Q21: suppliers who alone held up multi-supplier orders
+# ---------------------------------------------------------------------------
+
+def waiting_suppliers(
+    sf_dir: str, late_days: int = 180, k: int = 100
+) -> "ray.data.Dataset":
+    """Top-``k`` suppliers by the number of finished ('F') multi-supplier
+    orders in which THIS supplier shipped late (> ``late_days`` after
+    the order date) and NO other supplier did.
+
+    Shape (TPC-H Q21's EXISTS / NOT EXISTS pair, adapted — late is
+    l_shipdate > o_orderdate + late_days since the testdata has no
+    l_commitdate / l_receiptdate): the orders filter runs map-side
+    before the fact<->fact repartition join; per-(order, supplier)
+    any-late flags compact in two keyed reduces; the EXISTS and NOT
+    EXISTS collapse into per-ORDER counts (ns suppliers, nl late ones)
+    computed inside ONE order-keyed partition pass that immediately
+    emits only the qualifying supplier rows; the final per-supplier
+    count is a keyed reduce and top-k is per-block head -> driver over
+    <= blocks x k rows.
+    """
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+
+    def finished(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(batch.column("o_orderstatus"), "F")
+        return batch.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    joined = repartition_join(
+        li,
+        orders.map_batches(finished, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "l_shipdate": pa.timestamp("us")},
+        right_types={"o_orderkey": pa.int64(),
+                     "o_orderdate": pa.timestamp("us")},
+    )
+
+    lag = pd.Timedelta(days=late_days)
+
+    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "l_orderkey": df.l_orderkey,
+            "l_suppkey": df.l_suppkey,
+            "late": df.l_shipdate > df.o_orderdate + lag,
+        })
+        return t.groupby(
+            ["l_orderkey", "l_suppkey"], as_index=False
+        ).agg(late=("late", "max"))
+
+    def late_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["l_orderkey", "l_suppkey"], as_index=False
+        ).agg(late=("late", "max"))
+
+    per_pair = coarse_grouped_map(
+        joined.map_batches(late_partial, batch_format="pandas",
+                           batch_size=None),
+        ["l_orderkey", "l_suppkey"],
+        late_reduce,
+    )
+
+    def lone_late(df: pd.DataFrame) -> pd.DataFrame:
+        # all pairs of an order are in this partition: EXISTS another
+        # supplier == ns > 1, NOT EXISTS another late one == nl == 1
+        g = df.groupby("l_orderkey")
+        ns = g.l_suppkey.transform("size")
+        nl = g.late.transform("sum")
+        keep = df[df.late & (ns > 1) & (nl == 1)]
+        return keep[["l_suppkey"]]
+
+    culprits = coarse_grouped_map(per_pair, "l_orderkey", lone_late)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", as_index=False).agg(
+            numwait=("l_suppkey", "size")
+        )
+        return g
+
+    def count_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", as_index=False).agg(
+            numwait=("numwait", "sum")
+        )
+        g["numwait"] = g.numwait.astype(np.int64)
+        return g
+
+    counts = coarse_grouped_map(
+        culprits.map_batches(count_partial, batch_format="pandas",
+                             batch_size=None),
+        "l_suppkey",
+        count_reduce,
+    )
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    named = repartition_join(
+        counts,
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_types={"l_suppkey": pa.int64(), "numwait": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_name": pa.string()},
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["numwait", "s_name"], ascending=[False, True]
+        ).head(k)
+
+    cand = named.map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    t = cand.sort_values(
+        ["numwait", "s_name"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    t["numwait"] = t.numwait.astype(np.int64)
+    return ray.data.from_pandas(t[["s_name", "numwait"]])

@@ -88,3 +88,131 @@ def test_order_priority_exists_counts():
     assert got.sort_index().to_dict() == exp.sort_index().to_dict()
     # EXISTS, not a count of lineitems: every order counted at most once
     assert out.order_count.sum() == len(w)
+
+
+def test_latency_priority_counts_matches_pandas():
+    from kgray.pipelines.tpch_more import latency_priority_counts
+
+    out = latency_priority_counts(SF).to_pandas().sort_values(
+        "ship_bucket"
+    ).reset_index(drop=True)
+    li = pd.read_parquet(SF + "/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = pd.read_parquet(
+        SF + "/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    days = (j.l_shipdate - j.o_orderdate).dt.days
+    j["ship_bucket"] = np.where(
+        days < 0, "early", np.where(days <= 90, "on-time", "late")
+    )
+    j["high"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    exp = j.groupby("ship_bucket", as_index=False).agg(
+        high_line_count=("high", "sum"),
+        low_line_count=("high", lambda s: (~s).sum()),
+    ).sort_values("ship_bucket").reset_index(drop=True)
+    assert out.ship_bucket.tolist() == exp.ship_bucket.tolist()
+    assert out.high_line_count.tolist() == exp.high_line_count.tolist()
+    assert out.low_line_count.tolist() == exp.low_line_count.tolist()
+    # conservation: every joined lineitem is in exactly one bucket
+    assert out.high_line_count.sum() + out.low_line_count.sum() == len(j)
+
+
+def test_dominant_suppliers_matches_pandas():
+    from kgray.pipelines.tpch_more import dominant_suppliers
+
+    out = dominant_suppliers(SF).to_pandas().sort_values(
+        "s_suppkey"
+    ).reset_index(drop=True)
+    li = pd.read_parquet(
+        SF + "/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+    supp = pd.read_parquet(SF + "/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    ps = li.groupby(["l_partkey", "l_suppkey"], as_index=False).agg(
+        q=("l_quantity", "sum")
+    )
+    pt = ps.groupby("l_partkey", as_index=False).agg(
+        tq=("q", "sum"), ns=("q", "size")
+    )
+    m = ps.merge(pt, on="l_partkey")
+    dom = m[(m.ns >= 2) & (m.q * m.ns > 2.0 * m.tq)]
+    exp = dom.groupby("l_suppkey", as_index=False).agg(
+        n_dominant_parts=("l_partkey", "size")
+    ).merge(supp, left_on="l_suppkey", right_on="s_suppkey").sort_values(
+        "s_suppkey"
+    ).reset_index(drop=True)
+    assert out.s_suppkey.tolist() == exp.s_suppkey.tolist()
+    assert out.s_name.tolist() == exp.s_name.tolist()
+    assert (
+        out.n_dominant_parts.tolist() == exp.n_dominant_parts.tolist()
+    )
+
+
+def test_waiting_suppliers_matches_pandas():
+    from kgray.pipelines.tpch_more import waiting_suppliers
+
+    out = waiting_suppliers(SF, late_days=180, k=100).to_pandas()
+    li = pd.read_parquet(
+        SF + "/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = pd.read_parquet(
+        SF + "/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+    supp = pd.read_parquet(SF + "/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    f = orders[orders.o_orderstatus == "F"]
+    j = li.merge(f, left_on="l_orderkey", right_on="o_orderkey")
+    j["late"] = j.l_shipdate > j.o_orderdate + pd.Timedelta(days=180)
+    pair = j.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+        late=("late", "max")
+    )
+    g = pair.groupby("l_orderkey")
+    ns = g.l_suppkey.transform("size")
+    nl = g.late.transform("sum")
+    culprit = pair[pair.late & (ns > 1) & (nl == 1)]
+    exp = (
+        culprit.groupby("l_suppkey", as_index=False)
+        .agg(numwait=("l_suppkey", "size"))
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    assert out.s_name.tolist() == exp.s_name.tolist()
+    assert out.numwait.tolist() == exp.numwait.tolist()
+
+
+def test_copurchase_components_matches_union_find():
+    from kgray.pipelines.analytics import (
+        copurchase_components,
+        part_copurchase_pairs,
+    )
+
+    out = copurchase_components(SF, min_count=2).to_pandas()
+    edges = part_copurchase_pairs(SF).to_pandas()
+    edges = edges[edges.n_orders >= 2]
+
+    # reference union-find over the same thresholded edge list
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges.part_a, edges.part_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {n: find(n) for n in parent}
+    got = dict(zip(out.l_partkey, out.component_id))
+    assert got == exp
+    # every component's label is its own minimum member
+    comp = out.groupby("component_id").l_partkey.min()
+    assert (comp.index == comp.values).all()
