@@ -1168,6 +1168,12 @@ def _q_order_priority_exists(sf_dir: str):
     return order_priority_exists(sf_dir)
 
 
+def _q_temperature_mix(sf_dir: str):
+    from kgray.stages.corpus_stats import temperature_mix
+
+    return temperature_mix(sf_dir)
+
+
 def _q_latency_priority_counts(sf_dir: str):
     from kgray.pipelines.tpch_more import latency_priority_counts
 
@@ -1962,6 +1968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": _q_nation_trade_volume,
         "order_priority_exists": _q_order_priority_exists,
         "latency_priority_counts": _q_latency_priority_counts,
+        "temperature_mix": _q_temperature_mix,
         "dominant_suppliers": _q_dominant_suppliers,
         "waiting_suppliers": _q_waiting_suppliers,
         "copurchase_components": _q_copurchase_components,
@@ -3070,6 +3077,17 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "temperature_mix": """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+r AS (SELECT lang,
+             least(1.0, pow(50.0 / CAST(c AS DOUBLE), 0.5)) AS rate
+      FROM cnt)
+SELECT d.doc_id, d.lang, r.rate
+FROM documents d JOIN r USING (lang)
+WHERE CAST(CAST((CAST(d.doc_id AS HUGEINT) * 11400714819323198485)
+                % 18446744073709551616 AS UBIGINT) AS DOUBLE)
+      < r.rate * 18446744073709551616.0
 """,
         "latency_priority_counts": """
 WITH d AS (

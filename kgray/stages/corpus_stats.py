@@ -323,6 +323,82 @@ def stratified_sample(
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+def temperature_mix(
+    sf_dir: str,
+    alpha: float = 0.5,
+    pivot: float = 50.0,
+    stratum_col: str = "lang",
+) -> "ray.data.Dataset":
+    """Temperature-flattened source mixing: keep each document of
+    stratum s with probability min(1, (pivot/|s|)^alpha), so the
+    expected kept count per stratum is ∝ |s|^(1-alpha) — the standard
+    count-damped resampling that up-weights under-represented
+    languages/sources in a pretraining mix (alpha=0 keeps everything,
+    alpha=1 equalizes strata at ~pivot docs each).
+
+    The count-damped form needs NO cross-stratum normalizing sum (a
+    float total whose value would depend on summation order), so every
+    arithmetic step — pow, divide, the rate·2⁶⁴ threshold — is a
+    single-expression libm computation both engines evaluate
+    identically and membership is bit-reproducible against the SQL
+    oracle.  Same scale shape as stratified_sample: one strata-bounded
+    count aggregate broadcast into a pure map; the multiplicative doc
+    hash keeps membership stable as shards are added.
+
+    Output: (doc_id, stratum, rate) survivors.
+    """
+    import math
+
+    from ..pipelines.curate import SPLIT_MULT
+
+    docs = _read_docs(sf_dir, ["doc_id", stratum_col])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({stratum_col: batch.column(stratum_col)}).group_by(
+            stratum_col
+        ).aggregate([(stratum_col, "count")])
+        return g.rename_columns([stratum_col, "cnt"])
+
+    counts = coarse_grouped_map(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        stratum_col,
+        lambda d: d.groupby(stratum_col, as_index=False).agg(
+            cnt=("cnt", "sum")
+        ),
+    ).to_pandas()  # strata-bounded (|languages|), not data-sized
+
+    two64 = float(2.0 ** 64)
+    rates = {
+        s: min(1.0, math.pow(pivot / float(c), alpha))
+        for s, c in zip(counts[stratum_col], counts.cnt)
+    }
+    rate_ref = ray.put(rates)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rmap = ray.get(rate_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(SPLIT_MULT)
+        strata = np.asarray(
+            batch.column(stratum_col).to_pylist(), dtype=object
+        )
+        uniq, inv = np.unique(strata, return_inverse=True)
+        rate_arr = np.array(
+            [rmap.get(u, 0.0) for u in uniq], dtype=np.float64
+        )
+        rate = rate_arr[inv]
+        mask = h.astype(np.float64) < rate * two64
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                stratum_col: pa.array(strata[mask], pa.string()),
+                "rate": pa.array(rate[mask], pa.float64()),
+            }
+        )
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -184,6 +184,7 @@ def connected_components(
     node_type: "pa.DataType" = None,
     left_col: str = "doc_a",
     right_col: str = "doc_b",
+    jump_after: int = 3,
 ) -> "ray.data.Dataset":
     """Distributed connected components over an undirected pair-edge
     Dataset (doc_a, doc_b) → (doc_id, rep_id), rep = component minimum.
@@ -194,12 +195,15 @@ def connected_components(
     through this path).  Each round: ship every node's current
     label across its edges in both directions (one repartition join per
     direction), take the per-node minimum of self+received labels (one
-    coarse keyed reduce), and stop when a round changes nothing (scalar
-    aggregate).  Rounds needed = component diameter — small for
-    near-dup/similarity graphs; a long-path graph would want the
-    hash-to-min doubling variant (same building blocks, halves the
-    rounds), noted here as the extension point.  ``num_partitions``
-    sizes the per-round shuffles (scale like any keyed reduce).
+    coarse keyed reduce), then COMPOSE the label map with itself
+    (pointer jumping: label'[v] = label[label[v]], one label-keyed
+    self-join), and stop when a round changes nothing (scalar
+    aggregate).  The jump halves label-chain depth every round, so
+    rounds needed are O(log diameter) — long-path graphs converge in a
+    dozen rounds instead of thousands; it engages from round
+    ``jump_after`` so shallow graphs (near-dup clusters, diameter 2-3)
+    never pay its extra join.  ``num_partitions`` sizes the per-round
+    shuffles (scale like any keyed reduce).
 
     ``node_type`` generalizes the node domain: int64 (default) for doc
     ids, string for surface forms — "min" is then the lexicographic
@@ -241,7 +245,7 @@ def connected_components(
         batch_format="pyarrow",
     ).materialize()
 
-    for _ in range(max_iters):
+    for it in range(max_iters):
         received = repartition_join(
             edges,
             labels,
@@ -308,8 +312,79 @@ def connected_components(
         ).materialize()
         n_changed = new_labels.sum("changed") or 0
         labels = new_labels.drop_columns(["changed"]).materialize()
+
+        # at an edge-relaxation fixpoint labels are already component
+        # minima — the jump below would be a paid-for no-op
         if n_changed == 0:
             break
+        if it + 1 < jump_after:
+            continue
+
+        # pointer-jumping (hash-to-min doubling): compose the label map
+        # with itself — label'[v] = label[label[v]] — so label chains
+        # halve every round and total rounds drop from O(diameter) to
+        # O(log diameter).  Valid because a label is always the id of a
+        # node in the same component and monotonically non-increasing;
+        # one label-keyed self-join of the n-row label table, cheaper
+        # than the 2m-row edge relaxation above.  Engaged only from
+        # round ``jump_after`` on: near-dup/similarity graphs converge
+        # in 2-3 rounds and would pay the extra join for nothing, while
+        # a long-path graph still collapses logarithmically.
+        as_ptr = labels.map_batches(
+            lambda b, _t=node_type: pa.table(
+                {"jkey": b.column("label").cast(_t),
+                 "node": b.column("node").cast(_t)}
+            ) if "node" in b.schema.names and b.num_rows else pa.table(
+                {"jkey": pa.array([], _t), "node": pa.array([], _t)}
+            ),
+            batch_format="pyarrow",
+        )
+        as_target = labels.map_batches(
+            lambda b, _t=node_type: pa.table(
+                {"jnode": b.column("node").cast(_t),
+                 "label2": b.column("label").cast(_t)}
+            ) if "node" in b.schema.names and b.num_rows else pa.table(
+                {"jnode": pa.array([], _t), "label2": pa.array([], _t)}
+            ),
+            batch_format="pyarrow",
+        )
+        jumped = repartition_join(
+            as_ptr,
+            as_target,
+            "jkey",
+            "jnode",
+            {"jkey": node_type, "node": node_type},
+            {"jnode": node_type, "label2": node_type},
+            num_partitions=num_partitions,
+            how="left",
+        )
+
+        def jump_min(df: pd.DataFrame) -> pd.DataFrame:
+            # jkey is the node's current label, label2 = label[label];
+            # label2 <= jkey by monotonicity, so it IS the new label
+            if is_int:
+                lab = df.jkey.astype("int64")
+                nl = df.label2.fillna(df.jkey).astype("int64")
+                node = df.node.astype("int64")
+            else:
+                lab = df.jkey.astype(object)
+                nl = df.label2.where(
+                    df.label2.notna(), df.jkey
+                ).astype(object)
+                node = df.node.astype(object)
+            hit = nl < lab
+            return pd.DataFrame(
+                {
+                    "node": node,
+                    "label": lab.where(~hit, nl),
+                    "changed": hit.astype("int64"),
+                }
+            )
+
+        post_jump = jumped.map_batches(
+            jump_min, batch_format="pandas"
+        ).materialize()
+        labels = post_jump.drop_columns(["changed"]).materialize()
 
     def rename_out(b: pa.Table) -> pa.Table:
         if "node" not in b.schema.names or b.num_rows == 0:

@@ -279,3 +279,42 @@ def test_repetition_stats_known_values():
     # doc 3: empty -> zeros, not NaN
     assert out.loc[3, "n_tokens_r"] == 0
     assert out.loc[3, "dup_token_ratio"] == 0.0
+
+
+def test_temperature_mix_flattens_and_is_deterministic():
+    from kgray.stages.corpus_stats import temperature_mix
+
+    sf = "/root/testdata/sf0.001"
+    out = temperature_mix(sf, alpha=0.5, pivot=20).to_pandas()
+    out2 = temperature_mix(sf, alpha=0.5, pivot=20).to_pandas()
+    # deterministic membership
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+    docs = pd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "lang"])
+    cnt = docs.lang.value_counts()
+    kept = out.lang.value_counts()
+    import math
+    for lang, c in cnt.items():
+        rate = min(1.0, math.pow(20.0 / float(c), 0.5))
+        # advertised rate column is the exact per-stratum rate
+        got_rates = out.loc[out.lang == lang, "rate"].unique()
+        if len(got_rates):
+            assert got_rates.tolist() == [rate]
+        # kept count concentrates near expectation (hash ~ uniform)
+        exp = rate * c
+        assert abs(kept.get(lang, 0) - exp) <= 4 * (exp ** 0.5) + 3
+    # flattening: kept share of the largest stratum shrinks
+    big = cnt.idxmax()
+    assert kept.get(big, 0) / len(out) < cnt[big] / len(docs)
+
+
+def test_temperature_mix_alpha_extremes():
+    from kgray.stages.corpus_stats import temperature_mix
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(sf + "/documents.parquet")
+    # alpha=0: every rate is 1.0, everything kept
+    all_kept = temperature_mix(sf, alpha=0.0, pivot=5).to_pandas()
+    assert len(all_kept) == len(docs)
+    assert (all_kept.rate == 1.0).all()

@@ -321,3 +321,41 @@ def test_cluster_surface_forms_auto_dispatch_parity():
     finally:
         dedup_mod.COMPONENTS_DRIVER_MAX_PAIRS = orig
     pd.testing.assert_frame_equal(small, lp)
+
+
+def test_connected_components_long_path_pointer_jumping():
+    """A path graph far longer than max_iters: plain one-hop min
+    propagation would stop unconverged at 50 rounds, but the pointer-
+    jumping (hash-to-min doubling) step collapses label chains in
+    O(log diameter) rounds — every node must reach the global min."""
+    from kgray.stages.graph_algos import connected_components
+
+    n = 120  # diameter 119 > max_iters=50
+    edges = pa.table(
+        {"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))}
+    )
+    out = connected_components(
+        ray.data.from_arrow(edges)
+    ).to_pandas()
+    assert len(out) == n
+    assert (out.rep_id == 0).all()
+
+
+def test_connected_components_jump_preserves_multi_component():
+    """Pointer jumping must not merge distinct components: two long
+    chains plus singleton-free isolated pairs keep separate minima."""
+    from kgray.stages.graph_algos import connected_components
+
+    chain_a = [(i, i + 1) for i in range(0, 59)]          # 0..59
+    chain_b = [(i, i + 1) for i in range(100, 159)]        # 100..159
+    pairs = [(500, 501), (600, 601)]
+    all_e = chain_a + chain_b + pairs
+    edges = pa.table(
+        {"doc_a": [a for a, _ in all_e], "doc_b": [b for _, b in all_e]}
+    )
+    out = connected_components(ray.data.from_arrow(edges)).to_pandas()
+    lab = dict(zip(out.doc_id, out.rep_id))
+    assert all(lab[i] == 0 for i in range(0, 60))
+    assert all(lab[i] == 100 for i in range(100, 160))
+    assert lab[500] == lab[501] == 500
+    assert lab[600] == lab[601] == 600
