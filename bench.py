@@ -248,6 +248,9 @@ def run_bench() -> dict:
         "ks_statistic",
         "weighted_sample",
         "event_value_trend",
+        "latency_priority_counts",
+        "waiting_suppliers",
+        "temperature_mix",
     ]:
         best = None
         for _ in range(repeats):
