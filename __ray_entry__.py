@@ -1168,6 +1168,12 @@ def _q_order_priority_exists(sf_dir: str):
     return order_priority_exists(sf_dir)
 
 
+def _q_events_cube(sf_dir: str):
+    from kgray.pipelines.relational import events_cube
+
+    return events_cube(sf_dir)
+
+
 def _q_temperature_mix(sf_dir: str):
     from kgray.stages.corpus_stats import temperature_mix
 
@@ -1969,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_exists": _q_order_priority_exists,
         "latency_priority_counts": _q_latency_priority_counts,
         "temperature_mix": _q_temperature_mix,
+        "events_cube": _q_events_cube,
         "dominant_suppliers": _q_dominant_suppliers,
         "waiting_suppliers": _q_waiting_suppliers,
         "copurchase_components": _q_copurchase_components,
@@ -3077,6 +3084,26 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "events_cube": """
+WITH base AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+       sum(cents) / 100.0 AS sum_value
+FROM base GROUP BY event_type, day
+UNION ALL
+SELECT event_type, 'ALL', CAST(count(*) AS BIGINT),
+       sum(cents) / 100.0
+FROM base GROUP BY event_type
+UNION ALL
+SELECT 'ALL', day, CAST(count(*) AS BIGINT), sum(cents) / 100.0
+FROM base GROUP BY day
+UNION ALL
+SELECT 'ALL', 'ALL', CAST(count(*) AS BIGINT), sum(cents) / 100.0
+FROM base
 """,
         "temperature_mix": """
 WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),

@@ -1345,3 +1345,74 @@ def user_value_ewma(
         )
 
     return coarse_grouped_map(ev, "user_id", ewma_partition)
+
+
+def events_cube(sf_dir: str) -> "ray.data.Dataset":
+    """CUBE(event_type, day): counts and value sums at all four grouping
+    levels — (type, day), (type, ALL), (ALL, day), (ALL, ALL) — with
+    'ALL' string sentinels for rolled-up dimensions.
+
+    The multi-level rollup aggregates the RAW events exactly once, at
+    the finest grain (per-batch partial + one coarse keyed reduce);
+    the three coarser levels re-aggregate the bounded finest-grain
+    table (|types| x |days| rows) by exploding each row into its four
+    grouping-set tags and running one more tiny keyed reduce — raw
+    rows never make a second pass, which is the whole point of a cube
+    at 100 TB.  Values sit on a cent grid, so sums are integerized
+    int64 (order-independent, exact at every level including the grand
+    total) and divided back once at the end.
+    """
+    from ..utils import coarse_grouped_map
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = df.ts.dt.floor("D").dt.strftime("%Y-%m-%d")
+        cents = np.floor(
+            df.value.to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pd.DataFrame(
+            {"event_type": df.event_type, "day": day, "cents": cents}
+        )
+        g = t.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("cents", "size"), cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finest_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"), cents=("cents", "sum")
+        )
+
+    finest = coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        finest_reduce,
+    )
+
+    def explode_sets(df: pd.DataFrame) -> pd.DataFrame:
+        full = df[["event_type", "day", "n_events", "cents"]]
+        by_type = full.assign(day="ALL")
+        by_day = full.assign(event_type="ALL")
+        grand = full.assign(event_type="ALL", day="ALL")
+        return pd.concat(
+            [full, by_type, by_day, grand], ignore_index=True
+        )
+
+    def cube_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"), cents=("cents", "sum")
+        )
+        g["n_events"] = g.n_events.astype(np.int64)
+        g["sum_value"] = g.cents.astype(np.int64) / 100.0
+        return g[["event_type", "day", "n_events", "sum_value"]]
+
+    return coarse_grouped_map(
+        finest.map_batches(
+            explode_sets, batch_format="pandas", batch_size=None
+        ),
+        ["event_type", "day"],
+        cube_reduce,
+        num_partitions=8,
+    )

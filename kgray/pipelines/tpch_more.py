@@ -535,12 +535,14 @@ def waiting_suppliers(
 
     Shape (TPC-H Q21's EXISTS / NOT EXISTS pair, adapted — late is
     l_shipdate > o_orderdate + late_days since the testdata has no
-    l_commitdate / l_receiptdate): the orders filter runs map-side
-    before the fact<->fact repartition join; per-(order, supplier)
-    any-late flags compact in two keyed reduces; the EXISTS and NOT
-    EXISTS collapse into per-ORDER counts (ns suppliers, nl late ones)
-    computed inside ONE order-keyed partition pass that immediately
-    emits only the qualifying supplier rows; the final per-supplier
+    l_commitdate / l_receiptdate): lineitem compacts MAP-SIDE to
+    per-batch (order, supplier, max shipdate) partials (any-late over
+    lines == max-shipdate late, so partial max loses nothing and no
+    dedicated pair shuffle is ever paid); the orders filter also runs
+    map-side before the fact<->fact repartition join; then ONE
+    order-keyed partition pass folds the remaining pair max, the
+    EXISTS / NOT EXISTS per-order counts (ns suppliers, nl late ones)
+    and the qualifying-supplier emit together; the final per-supplier
     count is a keyed reduce and top-k is per-block head -> driver over
     <= blocks x k rows.
     """
@@ -559,51 +561,42 @@ def waiting_suppliers(
         mask = pc.equal(batch.column("o_orderstatus"), "F")
         return batch.filter(mask).select(["o_orderkey", "o_orderdate"])
 
+    def ship_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # batch-local combiner: max shipdate per (order, supplier) —
+        # partial maxima are fold-safe, so the pair never needs its own
+        # all-to-all; the order-keyed pass below finishes the max
+        return df.groupby(
+            ["l_orderkey", "l_suppkey"], as_index=False
+        ).agg(ship=("l_shipdate", "max"))
+
     joined = repartition_join(
-        li,
+        li.map_batches(ship_partial, batch_format="pandas",
+                       batch_size=None),
         orders.map_batches(finished, batch_format="pyarrow"),
         left_on="l_orderkey",
         right_on="o_orderkey",
         left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
-                    "l_shipdate": pa.timestamp("us")},
+                    "ship": pa.timestamp("us")},
         right_types={"o_orderkey": pa.int64(),
                      "o_orderdate": pa.timestamp("us")},
     )
 
     lag = pd.Timedelta(days=late_days)
 
-    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
-        t = pd.DataFrame({
-            "l_orderkey": df.l_orderkey,
-            "l_suppkey": df.l_suppkey,
-            "late": df.l_shipdate > df.o_orderdate + lag,
-        })
-        return t.groupby(
-            ["l_orderkey", "l_suppkey"], as_index=False
-        ).agg(late=("late", "max"))
-
-    def late_reduce(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(
-            ["l_orderkey", "l_suppkey"], as_index=False
-        ).agg(late=("late", "max"))
-
-    per_pair = coarse_grouped_map(
-        joined.map_batches(late_partial, batch_format="pandas",
-                           batch_size=None),
-        ["l_orderkey", "l_suppkey"],
-        late_reduce,
-    )
-
     def lone_late(df: pd.DataFrame) -> pd.DataFrame:
-        # all pairs of an order are in this partition: EXISTS another
-        # supplier == ns > 1, NOT EXISTS another late one == nl == 1
-        g = df.groupby("l_orderkey")
+        # all partial-pairs of an order are in this partition: finish
+        # the per-pair max, then EXISTS another supplier == ns > 1 and
+        # NOT EXISTS another late one == nl == 1
+        pair = df.assign(late=df.ship > df.o_orderdate + lag).groupby(
+            ["l_orderkey", "l_suppkey"], as_index=False
+        ).agg(late=("late", "max"))
+        g = pair.groupby("l_orderkey")
         ns = g.l_suppkey.transform("size")
         nl = g.late.transform("sum")
-        keep = df[df.late & (ns > 1) & (nl == 1)]
+        keep = pair[pair.late & (ns > 1) & (nl == 1)]
         return keep[["l_suppkey"]]
 
-    culprits = coarse_grouped_map(per_pair, "l_orderkey", lone_late)
+    culprits = coarse_grouped_map(joined, "l_orderkey", lone_late)
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("l_suppkey", as_index=False).agg(

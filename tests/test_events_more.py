@@ -270,3 +270,41 @@ def test_event_value_trend_exact_at_overflow_scale(tmp_path):
     expect = np.floor(slope * 1e8 + 0.5) / 1e8
     assert row.n == n
     assert row.slope_per_day == expect
+
+
+def test_events_cube_levels_consistent():
+    """CUBE invariants: each level re-aggregates exactly to the grand
+    total, and the finest level matches a pandas groupby."""
+    from kgray.pipelines.relational import events_cube
+
+    out = events_cube(SF).to_pandas()
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    cents = np.floor(ev.value.to_numpy(np.float64) * 100.0 + 0.5).astype(
+        np.int64
+    )
+    base = pd.DataFrame({
+        "event_type": ev.event_type,
+        "day": ev.ts.dt.floor("D").dt.strftime("%Y-%m-%d"),
+        "cents": cents,
+    })
+
+    finest = out[(out.event_type != "ALL") & (out.day != "ALL")]
+    exp = base.groupby(["event_type", "day"], as_index=False).agg(
+        n_events=("cents", "size"), cents=("cents", "sum")
+    )
+    m = finest.merge(exp, on=["event_type", "day"])
+    assert len(m) == len(exp) == len(finest)
+    assert (m.n_events_x == m.n_events_y).all()
+    assert np.allclose(m.sum_value, m.cents / 100.0)
+
+    grand = out[(out.event_type == "ALL") & (out.day == "ALL")]
+    assert len(grand) == 1
+    assert grand.n_events.iloc[0] == len(ev)
+    assert grand.sum_value.iloc[0] == cents.sum() / 100.0
+    # every rollup level sums to the grand total
+    for lvl in [finest,
+                out[(out.event_type != "ALL") & (out.day == "ALL")],
+                out[(out.event_type == "ALL") & (out.day != "ALL")]]:
+        assert lvl.n_events.sum() == len(ev)
+        assert abs(lvl.sum_value.sum() - cents.sum() / 100.0) < 1e-9
