@@ -412,8 +412,152 @@ def run_scaling() -> dict:
     }
 
 
+def _prep_amplified_docs(src_dir: str, factor: int):
+    """Replica-salted amplified documents table for the dedup scaling
+    leg: each replica r suffixes every token with ~r, so within-replica
+    near-dup structure is IDENTICAL to the source corpus while
+    cross-replica Jaccard is exactly 0 — the workload grows ``factor``×
+    with pair semantics unchanged (naive verbatim replication would
+    square the candidate pairs instead).  Written once under /tmp and
+    reused when the row count already matches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = "/tmp/kgray_scaling_dedup"
+    path = os.path.join(out_dir, "documents.parquet")
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"))
+    n = t.num_rows * factor
+    if os.path.exists(path):
+        try:
+            if pq.read_metadata(path).num_rows == n:
+                return out_dir, n
+        except Exception:
+            pass
+    os.makedirs(out_dir, exist_ok=True)
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    off = max(ids) + 1
+    parts = []
+    for r in range(factor):
+        salt = f"~{r}"
+        st = [
+            " ".join(tok + salt for tok in x.split(" ")) for x in texts
+        ]
+        cols = {name: t.column(name) for name in t.schema.names}
+        cols["doc_id"] = pa.array(
+            [i + r * off for i in ids], pa.int64()
+        )
+        cols["text"] = pa.array(st, pa.string())
+        parts.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(parts), path)
+    return out_dir, n
+
+
+def run_dedup_leg() -> dict:
+    """One dedup scaling leg (subprocess body): minhash_near_dup over the
+    amplified corpus at RAY_GRAFT_CPUS parallelism."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ["KGRAY_DEDUP_DIR"]
+    pq.read_table(os.path.join(sf_dir, "documents.parquet"))  # page cache
+    ray.data.range(ncpu * 8, override_num_blocks=ncpu * 8).map_batches(
+        lambda b: b, batch_size=1
+    ).count()  # worker warmup (untimed)
+
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()["minhash_near_dup"]
+    t0 = time.time()
+    n_pairs = q(sf_dir).count()
+    sec = time.time() - t0
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    return {
+        "metric": "minhash_near_dup_sec",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "n_pairs": int(n_pairs),
+        "num_cpus": ncpu,
+    }
+
+
+def run_scaling_dedup() -> dict:
+    """The minhash near-dup pipeline (candidate banding + distributed
+    verification join — the suite's representative shuffle-heavy
+    curation op) at two parallelism levels in fresh processes: a second,
+    non-headline evidence leg for the N vs 4N criterion.  Same protocol
+    as run_scaling: replica-salted ×KGRAY_DEDUP_REPLICATE corpus, both
+    CPU ratios, raw-CPU hardware controls."""
+    src = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("KGRAY_DEDUP_REPLICATE", "32"))
+    dedup_dir, n_docs = _prep_amplified_docs(src, factor)
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   KGRAY_DEDUP_DIR=dedup_dir,
+                   KGRAY_BENCH_DEDUP_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    legs = {}
+    controls = {}
+    for lo, hi in ((8, 32), (4, 16)):
+        r_lo, r_hi = one(lo), one(hi)
+        assert r_lo["n_pairs"] == r_hi["n_pairs"]  # same answer both legs
+        tput_lo = n_docs / r_lo["value"]
+        tput_hi = n_docs / r_hi["value"]
+        eff = (tput_hi / tput_lo) / (hi / lo)
+        ctl = raw_cpu_control(lo, hi)
+        legs[f"{lo}v{hi}"] = {
+            "cpus_lo": lo, "cpus_hi": hi,
+            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "docs_per_sec_lo": round(tput_lo, 2),
+            "docs_per_sec_hi": round(tput_hi, 2),
+            "efficiency": round(eff, 3),
+            "normalized_to_hw": round(eff / ctl["efficiency"], 3)
+            if ctl["efficiency"] else None,
+        }
+        controls[f"{lo}v{hi}"] = ctl
+
+    primary = legs["8v32"]
+    return {
+        "metric": "dedup_scaling_efficiency",
+        "value": primary["efficiency"],
+        "unit": "ratio",
+        "pipeline": "minhash_near_dup",
+        "n_docs": n_docs,
+        "n_pairs": None,
+        "legs": legs,
+        "raw_cpu_control": controls,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("KGRAY_BENCH_DEDUP_ONLY"):
+        print(json.dumps(run_dedup_leg()))
+        import ray
+
+        ray.shutdown()
+        sys.exit(0)
+    if "--scaling-dedup" in sys.argv:
+        print(json.dumps(run_scaling_dedup()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         result = run_bench()
