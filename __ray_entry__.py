@@ -1405,6 +1405,14 @@ def _q_length_deciles(sf_dir: str):
     return length_deciles(sf_dir)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity tiers: lang-id + unigram-LM
+    NLL + per-language ntile(3) head/middle/tail split."""
+    from kgray.stages.corpus_stats import ccnet_buckets
+
+    return ccnet_buckets(sf_dir)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """PageRank (4 power iterations, d=0.85) over the KG's distinct
     subj→obj edge graph; oracle unrolls the identical iterations in SQL
@@ -1993,6 +2001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": _q_events_props_stats,
         "unigram_nll": _q_unigram_nll,
         "length_deciles": _q_length_deciles,
+        "ccnet_buckets": _q_ccnet_buckets,
         "kg_pagerank": _q_kg_pagerank,
         "kg_two_hop": _q_kg_two_hop,
         "events_winsorized": _q_events_winsorized,
@@ -3781,6 +3790,70 @@ FROM ne JOIN lp ON ne.tok = lp.tok GROUP BY ne.doc_id
 SELECT doc_id, n_chars,
        CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
 FROM documents
+""",
+        # CCNet tiers: lang_id CTEs + unigram_nll CTEs + per-language
+        # ntile(3) over (avg_nll, doc_id); same ln()/rounding contract
+        "ccnet_buckets": """
+WITH ltoks AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[a-zA-Z]+'))) tok
+  FROM documents
+),
+lsc AS (
+  SELECT doc_id, count(*) n,
+    sum(CASE WHEN tok IN ('the','and','of','to','a','in','is','it',
+                          'that','for') THEN 1 ELSE 0 END) h_en,
+    sum(CASE WHEN tok IN ('der','die','und','das','ist','nicht','mit',
+                          'ein','zu') THEN 1 ELSE 0 END) h_de,
+    sum(CASE WHEN tok IN ('le','la','et','les','des','est','une','dans',
+                          'que') THEN 1 ELSE 0 END) h_fr,
+    sum(CASE WHEN tok IN ('el','la','de','que','los','una','es','por',
+                          'con') THEN 1 ELSE 0 END) h_es
+  FROM ltoks GROUP BY doc_id
+),
+ls AS (
+  SELECT doc_id,
+         h_en::DOUBLE / greatest(n, 1) s_en,
+         h_de::DOUBLE / greatest(n, 1) s_de,
+         h_fr::DOUBLE / greatest(n, 1) s_fr,
+         h_es::DOUBLE / greatest(n, 1) s_es
+  FROM lsc
+),
+lang AS (
+  SELECT d.doc_id,
+    CASE WHEN regexp_matches(d.text, '[一-鿿]') THEN 'zh'
+         WHEN ls.doc_id IS NULL THEN 'en'
+         WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'en'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         ELSE 'es' END AS lang_pred
+  FROM documents d LEFT JOIN ls USING (doc_id)
+),
+t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok FROM t),
+ne AS (SELECT doc_id, tok FROM u WHERE tok <> ''),
+cnt AS (SELECT tok, CAST(count(*) AS DOUBLE) c FROM ne GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) n FROM cnt),
+lp AS (SELECT tok, ln(c / (SELECT n FROM tot)) AS logp FROM cnt),
+nll AS (
+  SELECT ne.doc_id,
+         floor(-(sum(lp.logp) / count(*)) * 1e6 + 0.5) / 1e6 AS avg_nll
+  FROM ne JOIN lp ON ne.tok = lp.tok GROUP BY ne.doc_id
+),
+j AS (
+  SELECT nll.doc_id, lang.lang_pred, nll.avg_nll
+  FROM nll JOIN lang ON nll.doc_id = lang.doc_id
+),
+b AS (
+  SELECT doc_id, lang_pred, avg_nll,
+         CAST(ntile(3) OVER (PARTITION BY lang_pred
+                             ORDER BY avg_nll, doc_id) AS BIGINT) AS bucket
+  FROM j
+)
+SELECT doc_id, lang_pred, avg_nll, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS label
+FROM b
 """,
         "kg_pagerank": _pagerank_sql(),
         "kg_degrees": _KG_CTE + """

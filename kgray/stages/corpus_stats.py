@@ -785,6 +785,155 @@ def source_percent_rank(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style per-language perplexity tiers (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+def ccnet_buckets(
+    sf_dir: str, buckets: int = 3, bins: int = 64
+) -> "ray.data.Dataset":
+    """CCNet-style quality tiers (Wenzek et al. 2020, arXiv:1911.00359):
+    identify each document's language, score it with the corpus's own
+    unigram-LM average NLL (the same scorer as ``unigram_nll``), and cut
+    each language's documents into ``buckets`` ntile tiers over the
+    (avg_nll, doc_id) order — tile 1 = head (most fluent), last = tail.
+    Output: (doc_id, lang_pred, avg_nll, bucket, label).
+
+    The per-language global rank never sorts globally and never collects
+    rows: pass 1 reduces per-language (min, max, count) — language-
+    bounded driver state; pass 2 assigns each row a value BIN (uniform
+    over the language's NLL range) map-side and reduces per-(lang, bin)
+    counts — langs × bins driver rows, turned into per-bin rank offsets;
+    pass 3 coarse-partitions by (lang, bin), ranks locally (vectorized
+    sort within the bin), adds the broadcast offset, and converts rank →
+    ntile with the per-language total.  Partitioning assumption: one
+    (lang, bin) cell's rows fit in a worker — raise ``bins`` at scale
+    (cells shrink linearly).  Ties at equal avg_nll break by doc_id on
+    both engines, so the tiling is bit-deterministic.
+    """
+    from .text_analysis import LangId
+
+    nll = unigram_nll(sf_dir)  # doc_id, n_tok, avg_nll (rounded 1e-6)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    langs = docs.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    joined = repartition_join(
+        nll.select_columns(["doc_id", "avg_nll"]),
+        langs,
+        "doc_id",
+        "doc_id",
+        {"doc_id": pa.int64(), "avg_nll": pa.float64()},
+        {"doc_id": pa.int64(), "lang_pred": pa.string()},
+        num_partitions=16,
+    ).materialize()  # feeds lang stats, bin counts, AND the rank pass
+
+    stats = coarse_grouped_map(
+        joined.select_columns(["lang_pred", "avg_nll"]),
+        "lang_pred",
+        lambda d: d.groupby("lang_pred", as_index=False).agg(
+            lo=("avg_nll", "min"), hi=("avg_nll", "max"),
+            n=("avg_nll", "size"),
+        ),
+        num_partitions=4,
+    ).to_pandas()  # language-bounded
+    lo_map = dict(zip(stats.lang_pred, stats.lo.astype(np.float64)))
+    hi_map = dict(zip(stats.lang_pred, stats.hi.astype(np.float64)))
+    n_map = dict(zip(stats.lang_pred, stats.n.astype(np.int64)))
+    rng_ref = ray.put((lo_map, hi_map))
+
+    def add_bin(df: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_ = ray.get(rng_ref)
+        lo = df.lang_pred.map(lo_).to_numpy(np.float64)
+        hi = df.lang_pred.map(hi_).to_numpy(np.float64)
+        span = np.maximum(hi - lo, 1e-12)
+        a = df.avg_nll.to_numpy(np.float64)
+        out = df.copy()
+        out["bin"] = np.clip(
+            ((a - lo) / span * bins).astype(np.int64), 0, bins - 1
+        )
+        return out
+
+    binned = joined.map_batches(
+        add_bin, batch_format="pandas"
+    ).materialize()  # feeds bin counts AND the rank pass
+
+    counts = (
+        coarse_grouped_map(
+            binned.select_columns(["lang_pred", "bin"]),
+            ["lang_pred", "bin"],
+            lambda d: d.groupby(
+                ["lang_pred", "bin"], as_index=False
+            ).agg(c=("bin", "size")),
+            num_partitions=8,
+        )
+        .to_pandas()  # langs × bins rows — bounded, independent of n
+        .sort_values(["lang_pred", "bin"])
+    )
+    counts["off"] = (
+        counts.groupby("lang_pred").c.cumsum() - counts.c
+    )
+    off_map = {
+        (lg, int(b)): int(o)
+        for lg, b, o in zip(counts.lang_pred, counts.bin, counts.off)
+    }
+    off_ref = ray.put((off_map, n_map))
+    labels3 = {1: "head", 2: "middle", 3: "tail"}
+
+    def rank_bin(df: pd.DataFrame) -> pd.DataFrame:
+        offs, n_per = ray.get(off_ref)
+        out = []
+        for (lg, b), g in df.groupby(["lang_pred", "bin"], sort=False):
+            g = g.sort_values(["avg_nll", "doc_id"])
+            rank = offs[(lg, int(b))] + np.arange(
+                1, len(g) + 1, dtype=np.int64
+            )
+            n = int(n_per[lg])
+            q, r = divmod(n, buckets)
+            if q == 0:
+                tile = rank
+            else:
+                head = r * (q + 1)
+                tile = np.where(
+                    rank <= head,
+                    (rank - 1) // (q + 1) + 1,
+                    r + (rank - head - 1) // q + 1,
+                )
+            tile = tile.astype(np.int64)
+            if buckets == 3:
+                lab = np.array(
+                    [labels3[int(t)] for t in tile], dtype=object
+                )
+            else:
+                lab = tile.astype(str).astype(object)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": g.doc_id.to_numpy(np.int64),
+                        "lang_pred": lg,
+                        "avg_nll": g.avg_nll.to_numpy(np.float64),
+                        "bucket": tile,
+                        "label": lab,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "lang_pred": pd.Series(dtype=object),
+                    "avg_nll": pd.Series(dtype=np.float64),
+                    "bucket": pd.Series(dtype=np.int64),
+                    "label": pd.Series(dtype=object),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return coarse_grouped_map(
+        binned, ["lang_pred", "bin"], rank_bin, num_partitions=16
+    )
+
+
+# ---------------------------------------------------------------------------
 # Zipf slope of the token frequency distribution
 # ---------------------------------------------------------------------------
 

@@ -318,3 +318,59 @@ def test_temperature_mix_alpha_extremes():
     all_kept = temperature_mix(sf, alpha=0.0, pivot=5).to_pandas()
     assert len(all_kept) == len(docs)
     assert (all_kept.rate == 1.0).all()
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language perplexity tiers
+# ---------------------------------------------------------------------------
+
+def test_ccnet_buckets_matches_pandas_ntile():
+    from kgray.stages.corpus_stats import ccnet_buckets, unigram_nll
+    from kgray.stages.text_analysis import LangId
+
+    out = ccnet_buckets(SF).to_pandas()
+    assert set(out.columns) == {"doc_id", "lang_pred", "avg_nll",
+                                "bucket", "label"}
+
+    # reference: join the two component stages on the driver and apply
+    # ntile(3) per language with (avg_nll, doc_id) order in pandas
+    nll = unigram_nll(SF).to_pandas()[["doc_id", "avg_nll"]]
+    docs = ray.data.read_parquet(
+        SF + "/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
+    ref = nll.merge(docs, on="doc_id")
+    rows = []
+    for lg, g in ref.groupby("lang_pred"):
+        g = g.sort_values(["avg_nll", "doc_id"]).reset_index(drop=True)
+        n, b = len(g), 3
+        q, r = divmod(n, b)
+        for i in range(n):
+            rank = i + 1
+            if q == 0:
+                tile = rank
+            else:
+                head = r * (q + 1)
+                tile = ((rank - 1) // (q + 1) + 1 if rank <= head
+                        else r + (rank - head - 1) // q + 1)
+            rows.append((int(g.doc_id[i]), lg, float(g.avg_nll[i]), tile))
+    exp = pd.DataFrame(rows, columns=["doc_id", "lang_pred", "avg_nll",
+                                      "bucket"])
+    m = out.merge(exp, on="doc_id", suffixes=("", "_exp"))
+    assert len(m) == len(exp) == len(out)
+    assert (m.lang_pred == m.lang_pred_exp).all()
+    assert (m.bucket == m.bucket_exp).all()
+    lab = m.bucket.map({1: "head", 2: "middle", 3: "tail"})
+    assert (m.label == lab).all()
+
+
+def test_ccnet_buckets_tile_sizes_differ_by_at_most_one():
+    from kgray.stages.corpus_stats import ccnet_buckets
+
+    out = ccnet_buckets(SF).to_pandas()
+    for _, g in out.groupby("lang_pred"):
+        sizes = g.bucket.value_counts()
+        if len(g) >= 3:
+            assert set(sizes.index) == {1, 2, 3}
+            assert sizes.max() - sizes.min() <= 1
