@@ -1430,6 +1430,23 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=4)
 
 
+def _q_kg_hits(sf_dir: str):
+    """HITS hubs/authorities (4 max-normalized iterations) over the
+    KG's distinct subj→obj edge graph; oracle unrolls the identical
+    iterations in SQL over the same CTE-derived edge set."""
+    import pyarrow as pa
+
+    from kgray.stages.graph_algos import hits
+
+    edges = _kg_result(sf_dir).edges.map_batches(
+        lambda b: pa.table(
+            {"src": b.column("subj"), "dst": b.column("obj")}
+        ),
+        batch_format="pyarrow",
+    )
+    return hits(edges, iters=4)
+
+
 def _q_cohort_retention(sf_dir: str):
     from kgray.pipelines.analytics import cohort_retention
 
@@ -2003,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_deciles": _q_length_deciles,
         "ccnet_buckets": _q_ccnet_buckets,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_hits": _q_kg_hits,
         "kg_two_hop": _q_kg_two_hop,
         "events_winsorized": _q_events_winsorized,
         "sliding_chunks": _q_sliding_chunks,
@@ -2199,6 +2217,40 @@ r{t + 1} AS (SELECT nd.node,
     parts.append(
         f"\nSELECT node, floor(r * 1e6 + 0.5) / 1e6 AS pr FROM r{iters}"
     )
+    return _KG_CTE + "".join(parts)
+
+
+def _hits_sql(iters: int = 4) -> str:
+    # unrolled max-normalized HITS over the KG CTE's edge set; float
+    # expressions mirror stages/graph_algos.hits term-for-term (max
+    # normalization is order-independent, final half-up 1e-6 round)
+    parts = [
+        """
+, eg AS MATERIALIZED (SELECT DISTINCT 'w(X:' || ta || ')' AS src,
+                         'w(X:' || tb || ')' AS dst FROM pairs),
+nd AS MATERIALIZED (SELECT src AS node FROM eg UNION SELECT dst FROM eg),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nd)"""
+    ]
+    for t in range(iters):
+        parts.append(f"""
+, ap{t} AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS s
+           FROM eg e JOIN h{t} h ON e.src = h.node GROUP BY e.dst),
+am{t} AS MATERIALIZED (SELECT CASE WHEN max(s) IS NULL OR max(s) <= 0
+                      THEN 1.0 ELSE max(s) END AS m FROM ap{t}),
+a{t + 1} AS MATERIALIZED (SELECT nd.node,
+            COALESCE(p.s, 0.0) / (SELECT m FROM am{t}) AS a
+            FROM nd LEFT JOIN ap{t} p USING (node)),
+hp{t} AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS s
+           FROM eg e JOIN a{t + 1} a ON e.dst = a.node GROUP BY e.src),
+hm{t} AS MATERIALIZED (SELECT CASE WHEN max(s) IS NULL OR max(s) <= 0
+                      THEN 1.0 ELSE max(s) END AS m FROM hp{t}),
+h{t + 1} AS MATERIALIZED (SELECT nd.node,
+            COALESCE(p.s, 0.0) / (SELECT m FROM hm{t}) AS h
+            FROM nd LEFT JOIN hp{t} p USING (node))""")
+    parts.append(f"""
+SELECT a.node, floor(a.a * 1e6 + 0.5) / 1e6 AS authority,
+       floor(h.h * 1e6 + 0.5) / 1e6 AS hub
+FROM a{iters} a JOIN h{iters} h USING (node)""")
     return _KG_CTE + "".join(parts)
 
 
@@ -3856,6 +3908,7 @@ SELECT doc_id, lang_pred, avg_nll, bucket,
 FROM b
 """,
         "kg_pagerank": _pagerank_sql(),
+        "kg_hits": _hits_sql(),
         "kg_degrees": _KG_CTE + """
 , eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,
                          'w(X:' || tb || ')' AS dst FROM pairs)

@@ -400,6 +400,142 @@ def connected_components(
     return labels.map_batches(rename_out, batch_format="pyarrow")
 
 
+def _hits_half(
+    e: "ray.data.Dataset",
+    state: "ray.data.Dataset",
+    nodes: "ray.data.Dataset",
+    from_col: str,
+    to_col: str,
+    val: str,
+    out_val: str,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """One HITS half-step: sum ``state[val]`` along edges from
+    ``from_col`` into ``to_col``, max-normalize, left-join back onto the
+    node set (score 0 for nodes with no incoming contribution).  One
+    edge⋈state repartition join + one keyed reduce + one scalar max +
+    one node-keyed left join — the driver sees exactly one float."""
+    contrib = repartition_join(
+        e,
+        state,
+        from_col,
+        "node",
+        {"src": pa.string(), "dst": pa.string()},
+        {"node": pa.string(), val: pa.float64()},
+        num_partitions=num_partitions,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(to_col, as_index=False).agg(s=(val, "sum"))
+
+    summed = coarse_grouped_map(
+        contrib.map_batches(partial, batch_format="pandas",
+                            batch_size=None),
+        to_col,
+        lambda df: df.groupby(to_col, as_index=False).agg(s=("s", "sum")),
+        num_partitions=num_partitions,
+    ).materialize()  # feeds the scalar max AND the join
+
+    mx = summed.max("s") if summed.count() else None
+    mx = float(mx) if mx is not None and mx > 0 else 1.0
+
+    joined = repartition_join(
+        nodes,
+        summed,
+        "node",
+        to_col,
+        {"node": pa.string()},
+        {to_col: pa.string(), "s": pa.float64()},
+        num_partitions=num_partitions,
+        how="left",
+    )
+
+    def norm(df: pd.DataFrame, _m=mx) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df.node, out_val: df.s.fillna(0.0).to_numpy() / _m}
+        )
+
+    return joined.map_batches(norm, batch_format="pandas").materialize()
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    iters: int = 4,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) over a
+    directed edge Dataset (src, dst) → (node, authority, hub).
+
+    Max-normalized power iteration: per iteration
+    a(v) = Σ_{u→v} h(u) then a ← a / max(a);
+    h(u) = Σ_{u→v} a(v) then h ← h / max(h).
+    The max norm (instead of L2) keeps the denominator an
+    order-independent exact float64 — both engines divide by the
+    bit-identical scalar, so the unrolled SQL oracle hashes exactly.
+    Duplicate edges collapse first; scores round half-up to 1e-6 only at
+    the very end.
+
+    Scale shape per iteration: two edge⋈state repartition joins, two
+    keyed reduces, two node-keyed left joins, two scalar maxes — the
+    rank vectors are never broadcast and the driver holds two floats.
+    The per-iteration state (V rows) is the one pinned intermediate,
+    exactly like :func:`pagerank`.
+    """
+    e = _distinct_edges(edges).materialize()
+    if e.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "authority": pa.array([], pa.float64()),
+                      "hub": pa.array([], pa.float64())})
+        )
+
+    def node_halves(batch: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            batch.column("src").chunks + batch.column("dst").chunks
+        )
+        return pa.table({"node": both})
+
+    nodes = coarse_grouped_map(
+        e.map_batches(node_halves, batch_format="pyarrow"),
+        "node",
+        lambda df: df.drop_duplicates("node"),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    h = nodes.map_batches(
+        lambda df: df.assign(h=1.0), batch_format="pandas"
+    ).materialize()
+    a = None
+    for _ in range(iters):
+        a = _hits_half(e, h, nodes, "src", "dst", "h", "a",
+                       num_partitions)
+        h = _hits_half(e, a, nodes, "dst", "src", "a", "h",
+                       num_partitions)
+
+    out = repartition_join(
+        a,
+        h,
+        "node",
+        "node",
+        {"node": pa.string(), "a": pa.float64()},
+        {"node": pa.string(), "h": pa.float64()},
+        num_partitions=num_partitions,
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df.node,
+                "authority": np.floor(
+                    df.a.to_numpy() * 1e6 + 0.5
+                ) / 1e6,
+                "hub": np.floor(df.h.to_numpy() * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def count_triangles(
     edges: "ray.data.Dataset",
     num_partitions: int = 32,

@@ -234,3 +234,59 @@ def test_two_hop_counts_hand_graph():
     )
     # a -> b -> {c, d}: 2;  b -> c -> a: 1;  c -> a -> b: 1
     assert out == {"a": 2, "b": 1, "c": 1}
+
+def _ref_hits(edge_set, iters=4):
+    nodes = sorted({s for s, _ in edge_set} | {t for _, t in edge_set})
+    idx = {v: i for i, v in enumerate(nodes)}
+    h = np.ones(len(nodes))
+    a = np.zeros(len(nodes))
+    for _ in range(iters):
+        a = np.zeros(len(nodes))
+        for s, t in edge_set:
+            a[idx[t]] += h[idx[s]]
+        a /= max(a.max(), 1e-300) if a.max() > 0 else 1.0
+        h = np.zeros(len(nodes))
+        for s, t in edge_set:
+            h[idx[s]] += a[idx[t]]
+        h /= max(h.max(), 1e-300) if h.max() > 0 else 1.0
+    return {
+        v: (float(np.floor(a[idx[v]] * 1e6 + 0.5) / 1e6),
+            float(np.floor(h[idx[v]] * 1e6 + 0.5) / 1e6))
+        for v in nodes
+    }
+
+
+def test_hits_matches_reference():
+    from kgray.stages.graph_algos import hits
+
+    # dup edge a→b, pure sink d (hub 0), pure source a (authority 0)
+    edges = pa.table(
+        {
+            "src": ["a", "a", "b", "c", "a", "c"],
+            "dst": ["b", "c", "c", "d", "b", "b"],
+        }
+    )
+    out = hits(ray.data.from_arrow(edges), iters=4).to_pandas()
+    got = {
+        r.node: (r.authority, r.hub) for r in out.itertuples()
+    }
+    want = _ref_hits(
+        {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("c", "b")}
+    )
+    assert got == want
+    assert got["a"][0] == 0.0  # pure source: no in-edges
+    assert got["d"][1] == 0.0  # pure sink: no out-edges
+
+
+def test_hits_max_normalized_and_empty():
+    from kgray.stages.graph_algos import hits
+
+    edges = pa.table({"src": ["a", "b"], "dst": ["b", "a"]})
+    out = hits(ray.data.from_arrow(edges), iters=3).to_pandas()
+    # symmetric 2-cycle: both nodes are the max hub and max authority
+    assert (out.authority == 1.0).all() and (out.hub == 1.0).all()
+
+    empty = pa.table(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+    )
+    assert hits(ray.data.from_arrow(empty)).count() == 0
