@@ -1413,6 +1413,14 @@ def _q_ccnet_buckets(sf_dir: str):
     return ccnet_buckets(sf_dir)
 
 
+def _q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-10 per query for the default ≤2-term query set;
+    integer tf/df/dl keep every float bit-identical to the oracle."""
+    from kgray.stages.corpus_stats import bm25_topk
+
+    return bm25_topk(sf_dir)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """PageRank (4 power iterations, d=0.85) over the KG's distinct
     subj→obj edge graph; oracle unrolls the identical iterations in SQL
@@ -2019,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_nll": _q_unigram_nll,
         "length_deciles": _q_length_deciles,
         "ccnet_buckets": _q_ccnet_buckets,
+        "bm25_topk": _q_bm25_topk,
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
         "kg_two_hop": _q_kg_two_hop,
@@ -3906,6 +3915,44 @@ SELECT doc_id, lang_pred, avg_nll, bucket,
        CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
             ELSE 'tail' END AS label
 FROM b
+""",
+        # BM25: same idf/score expression as stages/corpus_stats.bm25_topk
+        # term-for-term; ≤2-term queries keep the per-doc sum order-exact
+        "bm25_topk": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, unnest(w) tok FROM t),
+ne AS (SELECT doc_id, tok FROM u WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) tf
+       FROM ne GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) dl FROM ne GROUP BY doc_id),
+nn AS (SELECT CAST(count(*) AS DOUBLE) n FROM documents),
+ad AS (SELECT sum(dl) / (SELECT n FROM nn) AS avgdl FROM dl),
+q(q_id, tok) AS (VALUES (0, 'merge'), (0, 'join'), (1, 'window'),
+                        (1, 'batch'), (2, 'hash'), (3, 'sort'),
+                        (3, 'table')),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) df FROM tf
+       WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+idf AS (SELECT tok,
+               ln(((SELECT n FROM nn) - df + 0.5) / (df + 0.5) + 1.0) idf
+        FROM df),
+sc AS (
+  SELECT q.q_id, tf.doc_id,
+         sum(idf.idf * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75
+                               + 0.75 * dl.dl / (SELECT avgdl FROM ad))))
+           AS s
+  FROM q JOIN tf ON q.tok = tf.tok
+         JOIN idf ON q.tok = idf.tok
+         JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY q.q_id, tf.doc_id
+),
+r AS (SELECT q_id, doc_id, s,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY s DESC, doc_id) rk
+      FROM sc)
+SELECT CAST(q_id AS BIGINT) AS q_id, doc_id,
+       floor(s * 1e6 + 0.5) / 1e6 AS score, rk AS rank
+FROM r WHERE rk <= 10
 """,
         "kg_pagerank": _pagerank_sql(),
         "kg_hits": _hits_sql(),

@@ -251,6 +251,9 @@ def run_bench() -> dict:
         "latency_priority_counts",
         "waiting_suppliers",
         "temperature_mix",
+        "ccnet_buckets",
+        "kg_hits",
+        "bm25_topk",
     ]:
         best = None
         for _ in range(repeats):

@@ -1628,3 +1628,174 @@ def tfidf_similar_docs(
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                    ("cosine", pa.float64())]),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+#: Default retrieval workload: each query has AT MOST TWO terms so the
+#: per-document score is a sum of ≤2 float64 terms — IEEE addition is
+#: commutative, so the Ray-side and DuckDB-side sums are bit-identical no
+#: matter which engine adds first, and the top-k cutoff can never flip on
+#: a last-ulp difference.  (3+-term queries would reintroduce
+#: associativity order; pass ``queries=`` explicitly if approximate
+#: ranking parity is acceptable.)
+DEFAULT_BM25_QUERIES = (
+    ("merge", "join"),
+    ("window", "batch"),
+    ("hash",),
+    ("sort", "table"),
+)
+
+
+def bm25_topk(
+    sf_dir: str,
+    queries=DEFAULT_BM25_QUERIES,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "ray.data.Dataset":
+    """Okapi BM25 top-k retrieval (Robertson et al., TREC-3) of documents
+    for a constant set of term queries → (q_id, doc_id, score, rank).
+
+    idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)      (Lucene variant)
+    score(d) = Σ_t idf(t)·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Tokenization is the engine's SQL-parity convention (single-space
+    split, empties dropped).  Scale shape: (doc, token, tf) rows are
+    computed map-side and filtered to query terms BEFORE any shuffle (the
+    posting lists of a constant query set, not the corpus, cross the
+    wire); document lengths are a doc-keyed coarse reduce; one doc-keyed
+    repartition join attaches dl to the query postings; scores reduce per
+    (q_id, doc_id); top-k per query runs a per-batch top-k combiner before
+    the final per-query cut.  Driver state: N, Σdl (two scalars) and the
+    df/idf of the ≤|Q| query terms — all constant in corpus size.
+
+    Float contract: tf/df/dl are integer-valued doubles (exact sums), so
+    avgdl, idf and every per-term score are bit-identical to the oracle;
+    per-doc sums stay exact for ≤2-term queries (see
+    DEFAULT_BM25_QUERIES).  Ranking sorts raw score DESC, doc_id ASC;
+    score rounds half-up to 1e-6 only in the output column.
+    """
+    tok_to_qids: Dict[str, list] = {}
+    for qid, terms in enumerate(queries):
+        for t in set(terms):
+            tok_to_qids.setdefault(t, []).append(qid)
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    tf = docs.map_batches(_tf_rows, batch_format="pyarrow").materialize()
+    avgdl = float(tf.sum("tf")) / n_docs  # Σtf = Σdl, exact int sum
+
+    dl = coarse_grouped_map(
+        tf.map_batches(
+            lambda bt: bt.group_by("doc_id").aggregate([("tf", "sum")])
+            .rename_columns(["doc_id", "dl"]),
+            batch_format="pyarrow",
+        ),
+        "doc_id",
+        lambda d: d.groupby("doc_id", as_index=False).agg(dl=("dl", "sum")),
+        num_partitions=8,
+    )
+
+    toks = sorted(tok_to_qids)
+
+    def to_postings(batch: pa.Table) -> pd.DataFrame:
+        d = batch.to_pandas()
+        d = d[d.token.isin(toks)]
+        if d.empty:
+            return pd.DataFrame(
+                {"q_id": pd.Series(dtype=np.int64),
+                 "doc_id": pd.Series(dtype=np.int64),
+                 "token": pd.Series(dtype=object),
+                 "tf": pd.Series(dtype=np.int64)}
+            )
+        d = d.assign(q_id=d.token.map(tok_to_qids)).explode("q_id")
+        d["q_id"] = d.q_id.astype(np.int64)
+        return d[["q_id", "doc_id", "token", "tf"]]
+
+    postings = tf.map_batches(
+        to_postings, batch_format="pyarrow"
+    ).materialize()  # feeds the constant-size df reduce AND the join
+
+    # df per query term: per-batch partials, summed on the driver — the
+    # table is ≤ |query terms| × |batches| rows, constant in corpus size
+    df_parts = postings.map_batches(
+        lambda d: d.drop_duplicates(["doc_id", "token"])
+        .groupby("token", as_index=False).agg(df=("token", "size")),
+        batch_format="pandas",
+    ).to_pandas()
+    df_map = (
+        df_parts.groupby("token").df.sum().astype(np.int64).to_dict()
+        if len(df_parts) else {}
+    )
+    idf_map = {
+        t: math.log((n_docs - float(d) + 0.5) / (float(d) + 0.5) + 1.0)
+        for t, d in df_map.items()
+    }
+
+    scored_terms = repartition_join(
+        postings,
+        dl,
+        "doc_id",
+        "doc_id",
+        {"q_id": pa.int64(), "doc_id": pa.int64(), "token": pa.string(),
+         "tf": pa.int64()},
+        {"doc_id": pa.int64(), "dl": pa.int64()},
+        num_partitions=8,
+    )
+
+    _k1, _b, _avgdl = float(k1), float(b), avgdl
+
+    def term_score(d: pd.DataFrame) -> pd.DataFrame:
+        tfv = d.tf.to_numpy(np.float64)
+        dlv = d.dl.to_numpy(np.float64)
+        idf = d.token.map(idf_map).to_numpy(np.float64)
+        s = idf * tfv * (_k1 + 1.0) / (
+            tfv + _k1 * (1.0 - _b + _b * dlv / _avgdl)
+        )
+        # per-(q,doc) partial inside the batch: ≤2 terms per query, so
+        # the sum is order-exact (IEEE addition is commutative)
+        return pd.DataFrame({"q_id": d.q_id, "doc_id": d.doc_id, "s": s}) \
+            .groupby(["q_id", "doc_id"], as_index=False).agg(s=("s", "sum"))
+
+    scores = coarse_grouped_map(
+        scored_terms.map_batches(
+            term_score, batch_format="pandas", batch_size=None
+        ),
+        ["q_id", "doc_id"],
+        lambda d: d.groupby(["q_id", "doc_id"], as_index=False).agg(
+            s=("s", "sum")
+        ),
+        num_partitions=8,
+    )
+
+    kk = int(k)
+
+    def batch_topk(d: pd.DataFrame) -> pd.DataFrame:
+        # combiner: per-batch top-k per query shrinks the final shuffle
+        # to ≤ k rows per (query, batch)
+        return (
+            d.sort_values(["q_id", "s", "doc_id"],
+                          ascending=[True, False, True])
+            .groupby("q_id", as_index=False, sort=False)
+            .head(kk)
+        )
+
+    def final_topk(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(["q_id", "s", "doc_id"],
+                          ascending=[True, False, True])
+        d = d.groupby("q_id", as_index=False, sort=False).head(kk)
+        d["rank"] = d.groupby("q_id").cumcount().astype(np.int64) + 1
+        d["score"] = np.floor(d.s.to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+        return d[["q_id", "doc_id", "score", "rank"]]
+
+    return coarse_grouped_map(
+        scores.map_batches(batch_topk, batch_format="pandas",
+                           batch_size=None),
+        "q_id",
+        final_topk,
+        num_partitions=4,
+    )

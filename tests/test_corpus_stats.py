@@ -374,3 +374,61 @@ def test_ccnet_buckets_tile_sizes_differ_by_at_most_one():
         if len(g) >= 3:
             assert set(sizes.index) == {1, 2, 3}
             assert sizes.max() - sizes.min() <= 1
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+def test_bm25_topk_hand_computed(tmp_path):
+    import math
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kgray.stages.corpus_stats import bm25_topk
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "join join merge data",   # tf(join)=2, dl=4
+            "join table",             # tf(join)=1, dl=2
+            "merge merge merge",      # no 'join'
+            "data data data data",    # neither
+        ],
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+    out = bm25_topk(
+        str(tmp_path), queries=(("join",),), k=3
+    ).to_pandas().sort_values("rank").reset_index(drop=True)
+
+    n, df, k1, b = 4.0, 2.0, 1.2, 0.75
+    avgdl = 13.0 / 4.0
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(tf, dl):
+        s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return math.floor(s * 1e6 + 0.5) / 1e6
+
+    assert list(out.doc_id) == [1, 2]  # only docs containing 'join'
+    assert list(out["rank"]) == [1, 2]
+    assert out.score[0] == score(2.0, 4.0)
+    assert out.score[1] == score(1.0, 2.0)
+
+
+def test_bm25_topk_tie_breaks_by_doc_id_and_caps_k(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kgray.stages.corpus_stats import bm25_topk
+
+    # five identical docs → identical scores; rank must follow doc_id
+    docs = pa.table({
+        "doc_id": pa.array([5, 3, 9, 1, 7], pa.int64()),
+        "text": ["hash map"] * 5,
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+    out = bm25_topk(
+        str(tmp_path), queries=(("hash",),), k=3
+    ).to_pandas().sort_values("rank")
+    assert list(out.doc_id) == [1, 3, 5]
+    assert out.score.nunique() == 1
