@@ -1421,6 +1421,24 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(sf_dir)
 
 
+def _q_part_skyline(sf_dir: str):
+    """2-D Pareto skyline of parts minimising (retailprice, size):
+    block-local frontier combiner, frontier-bounded final scan,
+    comparison-only semantics (bit-exact vs the NOT EXISTS oracle)."""
+    from kgray.pipelines.tpch_extra import part_skyline
+
+    return part_skyline(sf_dir)
+
+
+def _q_lineitem_profile(sf_dir: str):
+    """One-pass numeric column profiler over lineitem's four measures;
+    exact-cents moment partials as hi/lo int64 pairs (HUGEINT
+    discipline), closed forms in arbitrary precision."""
+    from kgray.pipelines.analytics import lineitem_profile
+
+    return lineitem_profile(sf_dir)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """PageRank (4 power iterations, d=0.85) over the KG's distinct
     subj→obj edge graph; oracle unrolls the identical iterations in SQL
@@ -2028,6 +2046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_deciles": _q_length_deciles,
         "ccnet_buckets": _q_ccnet_buckets,
         "bm25_topk": _q_bm25_topk,
+        "part_skyline": _q_part_skyline,
+        "lineitem_profile": _q_lineitem_profile,
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
         "kg_two_hop": _q_kg_two_hop,
@@ -3953,6 +3973,42 @@ r AS (SELECT q_id, doc_id, s,
 SELECT CAST(q_id AS BIGINT) AS q_id, doc_id,
        floor(s * 1e6 + 0.5) / 1e6 AS score, rk AS rank
 FROM r WHERE rk <= 10
+""",
+        # skyline: dominance comparisons only, no arithmetic — exact
+        "part_skyline": """
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+""",
+        # profiler: exact-cents HUGEINT moments, same cast/divide/sqrt
+        # op order as pipelines/analytics.lineitem_profile
+        "lineitem_profile": """
+WITH raw AS (
+  SELECT 'l_quantity' AS col, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+), c AS (
+  SELECT col,
+         count(v) AS n,
+         count(*) - count(v) AS n_null,
+         min(v) AS vmin,
+         max(v) AS vmax,
+         sum(CAST(floor(v * 100.0 + 0.5) AS HUGEINT)) AS s,
+         sum(CAST(floor(v * 100.0 + 0.5) AS HUGEINT)
+             * CAST(floor(v * 100.0 + 0.5) AS HUGEINT)) AS ss
+  FROM raw GROUP BY col
+)
+SELECT col, n, n_null, vmin, vmax,
+       floor((CAST(s AS DOUBLE) / (100.0 * n)) * 1e6 + 0.5) / 1e6 AS mean,
+       floor(sqrt(CAST(n * ss - s * s AS DOUBLE)
+                  / CAST(n * n AS DOUBLE) / 10000.0) * 1e6 + 0.5) / 1e6
+         AS std
+FROM c
 """,
         "kg_pagerank": _pagerank_sql(),
         "kg_hits": _hits_sql(),

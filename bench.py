@@ -254,6 +254,8 @@ def run_bench() -> dict:
         "ccnet_buckets",
         "kg_hits",
         "bm25_topk",
+        "part_skyline",
+        "lineitem_profile",
     ]:
         best = None
         for _ in range(repeats):

@@ -1799,3 +1799,130 @@ def event_value_trend(
         )
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# One-pass numeric column profiler (data-quality audit)
+# ---------------------------------------------------------------------------
+
+def lineitem_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Per-column statistical profile of lineitem's numeric measures —
+    the single-pass audit (count / nulls / min / max / mean / population
+    std) a pipeline runs before trusting a new data vintage.
+
+    One pass over the fact table, ALL columns profiled simultaneously:
+    each batch melts its four measures into per-column ARBITRARY-
+    PRECISION moment partials (n, n_null, min, max, Σcents, Σcents²) —
+    values integerized to exact cents so the sums are order-independent,
+    the two moment sums carried as Python ints and shipped as hi/lo
+    int64 pairs (exact until 2⁹⁵; Σcents² over web-scale row counts
+    wraps int64 by design, same HUGEINT discipline as
+    ``event_value_trend``).  The keyed reduce sees ≤ 4 rows per block;
+    the closed forms evaluate in exact ints before one double division
+    per statistic, matching the DuckDB oracle's HUGEINT→DOUBLE ops
+    bit-for-bit.  Output: (col, n, n_null, vmin, vmax, mean, std).
+    """
+    import math
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem", columns=cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = batch[c]
+            n_null = int(v.isna().sum())
+            vv = v.dropna().to_numpy(np.float64)
+            cents = [int(x) for x in np.floor(vv * 100.0 + 0.5)]
+            s = sum(cents)
+            ss = sum(x * x for x in cents)
+            s_hi, s_lo = divmod(s, 1 << 32)
+            ss_hi, ss_lo = divmod(ss, 1 << 32)
+            rows.append(
+                (
+                    c,
+                    len(vv),
+                    n_null,
+                    float(vv.min()) if len(vv) else np.nan,
+                    float(vv.max()) if len(vv) else np.nan,
+                    s_hi,
+                    s_lo,
+                    ss_hi,
+                    ss_lo,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "col", "n", "n_null", "vmin", "vmax",
+                "s_hi", "s_lo", "ss_hi", "ss_lo",
+            ],
+        )
+
+    def reduce_finish(df: pd.DataFrame) -> pd.DataFrame:
+        rec = pd.DataFrame(
+            {
+                "col": df.col,
+                "n": df.n.astype(np.int64),
+                "n_null": df.n_null.astype(np.int64),
+                "vmin": df.vmin,
+                "vmax": df.vmax,
+                "s": pd.Series(
+                    [
+                        (int(h) << 32) + int(lo)
+                        for h, lo in zip(df.s_hi, df.s_lo)
+                    ],
+                    index=df.index,
+                    dtype=object,
+                ),
+                "ss": pd.Series(
+                    [
+                        (int(h) << 32) + int(lo)
+                        for h, lo in zip(df.ss_hi, df.ss_lo)
+                    ],
+                    index=df.index,
+                    dtype=object,
+                ),
+            }
+        )
+        g = rec.groupby("col", as_index=False).agg(
+            n=("n", "sum"),
+            n_null=("n_null", "sum"),
+            vmin=("vmin", "min"),
+            vmax=("vmax", "max"),
+            s=("s", "sum"),
+            ss=("ss", "sum"),
+        )
+        rows = []
+        for r in g.itertuples():
+            n, s, ss = int(r.n), int(r.s), int(r.ss)
+            if n == 0:
+                mean = std = float("nan")
+            else:
+                # same op order as the oracle: HUGEINT→DOUBLE casts,
+                # then two double divisions, then libm sqrt
+                mean = float(s) / (100.0 * n)
+                var = float(n * ss - s * s) / float(n * n) / 10000.0
+                std = math.sqrt(var)
+            rows.append(
+                (
+                    r.col,
+                    np.int64(n),
+                    np.int64(r.n_null),
+                    r.vmin,
+                    r.vmax,
+                    np.floor(mean * 1e6 + 0.5) / 1e6,
+                    np.floor(std * 1e6 + 0.5) / 1e6,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["col", "n", "n_null", "vmin", "vmax", "mean", "std"],
+        )
+
+    return coarse_grouped_map(
+        li.map_batches(partial, batch_format="pandas"),
+        "col",
+        reduce_finish,
+        num_partitions=4,
+    )

@@ -387,3 +387,70 @@ def ship_latency_quantiles(
         quantiles_partition,
         num_partitions=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (2-D dominance frontier)
+# ---------------------------------------------------------------------------
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Rows NOT dominated on (p_retailprice, p_size), minimising both.
+
+    q dominates p iff q.price <= p.price AND q.size <= p.size with at
+    least one strict.  Vectorized sort-scan: order by (price, size),
+    compute each equal-price run's min size and the running min over all
+    strictly cheaper runs; a row survives iff it ties its run's min AND
+    beats every cheaper run's min strictly.  Duplicate (price, size)
+    points never dominate each other, so whole tie groups survive
+    together — the same semantics as the NOT EXISTS oracle.
+    """
+    if len(df) == 0:
+        return df
+    d = df.sort_values(
+        ["p_retailprice", "p_size", "p_partkey"]
+    ).reset_index(drop=True)
+    price = d.p_retailprice.to_numpy(np.float64)
+    size = d.p_size.to_numpy(np.int64)
+    starts = np.empty(len(d), dtype=bool)
+    starts[0] = True
+    starts[1:] = price[1:] != price[:-1]
+    gid = np.cumsum(starts) - 1
+    run_min = np.minimum.reduceat(size, np.flatnonzero(starts))
+    cheaper_min = np.concatenate(
+        ([np.iinfo(np.int64).max], np.minimum.accumulate(run_min)[:-1])
+    )
+    keep = (size == run_min[gid]) & (size < cheaper_min[gid])
+    return d[keep]
+
+
+def part_skyline(sf_dir: str) -> "ray.data.Dataset":
+    """Pareto frontier of parts minimising (p_retailprice, p_size) — the
+    SKYLINE operator (Borzsony et al., ICDE 2001): every part for which
+    no other part is at most as expensive AND at most as large with one
+    strict improvement.
+
+    Distributed as a frontier COMBINER: the skyline of a union is a
+    subset of the union of per-block skylines, so each block reduces to
+    its local frontier map-side (sort-scan, vectorized) and only those
+    survivors — bounded by the number of distinct sizes per block, ~50
+    for TPC-H-shaped data, regardless of block row count — move to a
+    single final partition for the same scan.  No full-table shuffle,
+    no driver collection; comparisons only (no float arithmetic), so
+    results are bit-exact vs the NOT EXISTS oracle.
+    """
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def local(batch: pa.Table) -> pa.Table:
+        out = _skyline_2d(batch.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return _skyline_2d(batch)
+
+    return (
+        part.map_batches(local, batch_format="pyarrow")
+        .repartition(1)  # frontier-bounded rows, not data-bounded
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
