@@ -69,12 +69,40 @@ def entry() -> Any:
 # query implementations
 # ---------------------------------------------------------------------------
 
+_KG_CACHE: dict = {}
+
+
 def _kg_result(sf_dir: str):
+    """KG pipeline result for ``sf_dir``, memoized per Ray session.
+
+    A dozen downstream queries (edges/nodes/urls, every graph
+    algorithm) share the same deterministic extraction prefix; without
+    the memo each one re-runs the LLM/annotation stages from scratch.
+    The shared tables are materialized ONCE (they are KG-sized —
+    entity/edge rows, not corpus-sized) and reused; the cache key
+    includes the Ray session address so datasets never outlive the
+    object store that holds their blocks.
+    """
+    import ray as _ray
+
     from kgray.pipelines.kg import run_kg_pipeline
     from kgray.sources.generic import generic_documents_dataset, generic_kg_config
 
+    try:
+        session = _ray.get_runtime_context().gcs_address
+    except Exception:
+        session = None
+    key = (sf_dir, session)
+    hit = _KG_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = generic_documents_dataset(sf_dir)
-    return run_kg_pipeline(docs, generic_kg_config())
+    res = run_kg_pipeline(docs, generic_kg_config())
+    res.edges = res.edges.materialize()
+    res.nodes = res.nodes.materialize()
+    res.annotation_urls = res.annotation_urls.materialize()
+    _KG_CACHE[key] = res
+    return res
 
 
 def _q_kg_edges(sf_dir: str):

@@ -47,6 +47,27 @@ def _distinct_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+# Auto fast-path bound for the ITERATIVE rank algorithms (pagerank,
+# hits): graphs with at most this many distinct edges solve in a single
+# vectorized pass over the collected edge list — the state is V+E
+# bounded (≤ a few MB at the bound) and the distributed path's per-
+# iteration fixed cost (3 shuffles × 2·iters rounds) dwarfs the actual
+# arithmetic.  Bigger graphs run the shuffle-per-iteration path, which
+# never holds the rank vector or edge list in one place.  Same policy
+# (constant bounds memory, not the corpus) as
+# stages/dedup.COMPONENTS_DRIVER_MAX_PAIRS.
+RANK_LOCAL_MAX_EDGES = 200_000
+
+
+def _rank_index(edf: "pd.DataFrame"):
+    """Sorted node vocabulary + int index arrays for a small edge list."""
+    nodes = sorted(set(edf.src) | set(edf.dst))
+    idx = {n: i for i, n in enumerate(nodes)}
+    s = edf.src.map(idx).to_numpy(np.int64)
+    d = edf.dst.map(idx).to_numpy(np.int64)
+    return nodes, s, d
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     damping: float = 0.85,
@@ -64,8 +85,40 @@ def pagerank(
 
     ``num_partitions`` sizes every per-iteration shuffle — one partition
     per cluster core at small scale, ≈ edge_bytes/256 MB at web scale.
+
+    AUTO-dispatched on the exact distinct-edge count
+    (RANK_LOCAL_MAX_EDGES): small graphs run the identical recurrence as
+    one vectorized bincount pass (V+E-bounded state, no per-iteration
+    shuffle rounds); large graphs keep the fully distributed path.  Both
+    paths round only on the final iteration, and both rely on the same
+    1e-6 rounding to absorb float re-association (summation order is
+    engine-arbitrary either way).
     """
     e = _distinct_edges(edges).materialize()
+    if e.count() <= RANK_LOCAL_MAX_EDGES:
+        edf = e.to_pandas()  # bounded by the dispatch constant
+        if len(edf) == 0:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.string()),
+                          "pr": pa.array([], pa.float64())})
+            )
+        nodes, s, d = _rank_index(edf)
+        n = float(len(nodes))
+        outdeg = np.bincount(s, minlength=len(nodes)).astype(np.float64)
+        dangling = outdeg == 0
+        r = np.full(len(nodes), 1.0 / n)
+        base = (1 - damping) / n
+        for _ in range(iters):
+            m = float(r[dangling].sum())
+            c = np.bincount(
+                d, weights=r[s] / outdeg[s], minlength=len(nodes)
+            )
+            r = base + damping * (c + m / n)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"node": nodes, "pr": np.floor(r * 1e6 + 0.5) / 1e6}
+            )
+        )
 
     deg = coarse_grouped_map(
         e.map_batches(
@@ -480,6 +533,11 @@ def hits(
     rank vectors are never broadcast and the driver holds two floats.
     The per-iteration state (V rows) is the one pinned intermediate,
     exactly like :func:`pagerank`.
+
+    AUTO-dispatched on the exact distinct-edge count
+    (RANK_LOCAL_MAX_EDGES), same policy and float posture as
+    :func:`pagerank`: the small path runs the identical max-normalized
+    recurrence as vectorized bincounts.
     """
     e = _distinct_edges(edges).materialize()
     if e.count() == 0:
@@ -487,6 +545,28 @@ def hits(
             pa.table({"node": pa.array([], pa.string()),
                       "authority": pa.array([], pa.float64()),
                       "hub": pa.array([], pa.float64())})
+        )
+    if e.count() <= RANK_LOCAL_MAX_EDGES:
+        edf = e.to_pandas()  # bounded by the dispatch constant
+        nodes, s, d = _rank_index(edf)
+        nv = len(nodes)
+        h = np.ones(nv)
+        a = np.zeros(nv)
+        for _ in range(iters):
+            a = np.bincount(d, weights=h[s], minlength=nv)
+            mx = a.max()
+            a = a / (mx if mx > 0 else 1.0)
+            h = np.bincount(s, weights=a[d], minlength=nv)
+            mx = h.max()
+            h = h / (mx if mx > 0 else 1.0)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": nodes,
+                    "authority": np.floor(a * 1e6 + 0.5) / 1e6,
+                    "hub": np.floor(h * 1e6 + 0.5) / 1e6,
+                }
+            )
         )
 
     def node_halves(batch: pa.Table) -> pa.Table:

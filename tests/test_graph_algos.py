@@ -290,3 +290,32 @@ def test_hits_max_normalized_and_empty():
         {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
     )
     assert hits(ray.data.from_arrow(empty)).count() == 0
+
+
+def test_rank_distributed_path_equals_local_fast_path(monkeypatch):
+    """The RANK_LOCAL_MAX_EDGES auto dispatch must not change results:
+    force the distributed per-iteration shuffle path on the same graph
+    and require identical (1e-6-rounded) scores from both."""
+    import kgray.stages.graph_algos as ga
+
+    rng = np.random.default_rng(3)
+    src = [f"n{i}" for i in rng.integers(0, 30, 150)]
+    dst = [f"n{i}" for i in rng.integers(0, 30, 150)]
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    )
+
+    pr_local = ga.pagerank(edges, iters=4).to_pandas()
+    hits_local = ga.hits(edges, iters=4).to_pandas()
+
+    monkeypatch.setattr(ga, "RANK_LOCAL_MAX_EDGES", 0)
+    pr_dist = ga.pagerank(edges, iters=4).to_pandas()
+    hits_dist = ga.hits(edges, iters=4).to_pandas()
+
+    for a, b, cols in (
+        (pr_local, pr_dist, ["node", "pr"]),
+        (hits_local, hits_dist, ["node", "authority", "hub"]),
+    ):
+        a = a[cols].sort_values("node").reset_index(drop=True)
+        b = b[cols].sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
