@@ -372,11 +372,21 @@ def copurchase_components(
     The edge list is ``part_copurchase_pairs`` filtered map-side (the
     count threshold is what keeps the graph sparse — unthresholded
     co-purchase is near-complete and components degenerate to one
-    blob); the solve is stages/graph_algos.connected_components, the
-    distributed min-label-propagation loop every keep-one dedup uses.
-    SQL-checkable end to end: the oracle replays the propagation as a
-    recursive CTE (min reachable label == component minimum).
+    blob); the solve AUTO-dispatches on the exact edge count exactly
+    like stages/dedup.components_assign: under
+    COMPONENTS_DRIVER_MAX_PAIRS the bounded driver union-find wins
+    (the LP loop's per-round shuffles are pure fixed cost on a
+    few-thousand-edge graph), above it the distributed
+    min-label-propagation loop (graph_algos.connected_components —
+    itself oracle-verified by ``near_dup_dedup_lp``) runs with no
+    driver state.  SQL-checkable end to end either way: the oracle
+    replays the propagation as a recursive CTE (min reachable label ==
+    component minimum).
     """
+    from ..stages.dedup import (
+        COMPONENTS_DRIVER_MAX_PAIRS,
+        pair_components,
+    )
     from ..stages.graph_algos import connected_components
 
     pairs = part_copurchase_pairs(sf_dir)
@@ -394,7 +404,26 @@ def copurchase_components(
         )
         return keep.select(["part_a", "part_b"])
 
-    edges = pairs.map_batches(threshold, batch_format="pyarrow")
+    edges = pairs.map_batches(
+        threshold, batch_format="pyarrow"
+    ).materialize()  # consumed by the dispatch count + one solver
+    if edges.count() <= COMPONENTS_DRIVER_MAX_PAIRS:
+        rep = pair_components(edges, "part_a", "part_b")
+        nodes: set = set()  # ≤ 2×bound ints, same memory contract
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            nodes.update(b.column("part_a").to_pylist())
+            nodes.update(b.column("part_b").to_pylist())
+        keys = sorted(nodes)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_partkey": pa.array(keys, pa.int64()),
+                    "component_id": pa.array(
+                        [rep.get(k, k) for k in keys], pa.int64()
+                    ),
+                }
+            )
+        )
     cc = connected_components(
         edges, left_col="part_a", right_col="part_b"
     )

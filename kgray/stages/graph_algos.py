@@ -299,6 +299,11 @@ def connected_components(
     ).materialize()
 
     for it in range(max_iters):
+        # FUSED relaxation round (2 all-to-alls, was 3): the per-node
+        # min over received labels and the merge with the node's own
+        # label are both node-keyed, so they share ONE shuffle — the
+        # label table rides along tagged is_self=1 and the grouped
+        # reducer computes min + changed in the same pass.
         received = repartition_join(
             edges,
             labels,
@@ -309,59 +314,57 @@ def connected_components(
             num_partitions=num_partitions,
         )
 
-        def min_partial(df: pd.DataFrame) -> pd.DataFrame:
+        def recv_partial(df: pd.DataFrame) -> pd.DataFrame:
             g = df.groupby("dst", as_index=False).agg(
-                new_label=("label", "min")
+                lab=("label", "min")
             )
-            return g.rename(columns={"dst": "node"})
+            g = g.rename(columns={"dst": "node"})
+            g["is_self"] = np.int64(0)
+            return g
 
-        candidate = coarse_grouped_map(
-            received.map_batches(
-                min_partial, batch_format="pandas", batch_size=None
-            ),
-            "node",
-            lambda df: df.groupby("node", as_index=False).agg(
-                new_label=("new_label", "min")
-            ),
-            num_partitions=num_partitions,
-        )
-
-        merged = repartition_join(
-            labels,
-            candidate,
-            "node",
-            "node",
-            {"node": node_type, "label": node_type},
-            {"node": node_type, "new_label": node_type},
-            num_partitions=num_partitions,
-            how="left",
-        )
-
-        def take_min(df: pd.DataFrame) -> pd.DataFrame:
-            if is_int:
-                # unmatched left rows null-pad new_label → float64;
-                # fillna + int cast restores the exact id domain
-                lab = df.label.astype("int64")
-                nl = df.new_label.fillna(df.label).astype("int64")
-                node = df.node.astype("int64")
-            else:
-                lab = df.label.astype(object)
-                nl = df.new_label.where(
-                    df.new_label.notna(), df.label
-                ).astype(object)
-                node = df.node.astype(object)
-            hit = nl < lab
-            out = pd.DataFrame(
+        def self_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
                 {
-                    "node": node,
-                    "label": lab.where(~hit, nl),
-                    "changed": hit.astype("int64"),
+                    "node": df.node,
+                    "lab": df.label,
+                    "is_self": np.int64(1),
                 }
             )
-            return out
 
-        new_labels = merged.map_batches(
-            take_min, batch_format="pandas"
+        tagged = labels.map_batches(
+            self_rows, batch_format="pandas"
+        ).union(
+            received.map_batches(
+                recv_partial, batch_format="pandas", batch_size=None
+            )
+        )
+
+        def fused_min(df: pd.DataFrame) -> pd.DataFrame:
+            if is_int:
+                lab = df.lab.astype("int64")
+                node = df.node.astype("int64")
+            else:
+                lab = df.lab.astype(object)
+                node = df.node.astype(object)
+            d = pd.DataFrame(
+                {"node": node, "lab": lab, "is_self": df.is_self}
+            )
+            g = d.groupby("node", as_index=False).agg(
+                label=("lab", "min")
+            )
+            old = d[d.is_self == 1][["node", "lab"]].rename(
+                columns={"lab": "old"}
+            )
+            g = g.merge(old, on="node", how="left")
+            # every node has a self row; min(received ∪ self) ≤ old
+            g["changed"] = (g.label < g.old).astype("int64")
+            return g[["node", "label", "changed"]]
+
+        new_labels = coarse_grouped_map(
+            tagged,
+            "node",
+            fused_min,
+            num_partitions=num_partitions,
         ).materialize()
         n_changed = new_labels.sum("changed") or 0
         labels = new_labels.drop_columns(["changed"]).materialize()
