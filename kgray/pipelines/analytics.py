@@ -1037,40 +1037,16 @@ def integrity_audit(sf_dir: str) -> "ray.data.Dataset":
     relationship, the total child rows and the count whose parent key
     is MISSING (orphans).
 
-    Each relationship is one anti semi repartition join (child keys vs
-    parent keys, both sides shuffled once on hash(key); the parent side
-    is reduced to per-batch distinct keys first) followed by a count()
-    metadata aggregate — no driver-side key sets, no broadcasts that
-    scale with a fact table.  Rows: one per relationship.
+    ALL seven relationships audit through ONE all-to-all: every table
+    contributes per-batch-distinct (rel_id, key, is_child) rows tagged
+    with its relationship and side, the union shuffles once on
+    hash(rel_id, key) — a key's child and parent sightings land in the
+    same partition — and a single grouped pass computes per-
+    relationship distinct-child and orphan counts as partition-local
+    partials (≤ 7 rows each), finished by a 7-row reduce.  No
+    driver-side key sets, and no per-relationship sequential pipelines
+    (the previous shape paid 7 × 3 sequential shuffle fixed costs).
     """
-
-    def distinct_keys(ds, col):
-        # per-batch distinct bounds the shuffle to one row per
-        # (key, block); the coarse keyed reduce makes it GLOBALLY
-        # distinct (a batch-local pass alone would overcount)
-        def f(batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()[[col]].drop_duplicates()
-            return pa.Table.from_pandas(df, preserve_index=False)
-
-        return coarse_grouped_map(
-            ds.map_batches(f, batch_format="pyarrow"),
-            col,
-            lambda d: d.drop_duplicates(col),
-            num_partitions=16,
-        )
-
-    def orphan_count(child_distinct, child_key, parent, parent_key):
-        anti = repartition_join(
-            child_distinct,
-            distinct_keys(parent, parent_key),
-            left_on=child_key,
-            right_on=parent_key,
-            left_types={child_key: pa.int64()},
-            right_types={parent_key: pa.int64()},
-            how="anti",
-            num_partitions=16,
-        )
-        return int(anti.count())
 
     rels = [
         ("lineitem.l_orderkey", "orders.o_orderkey"),
@@ -1081,26 +1057,86 @@ def integrity_audit(sf_dir: str) -> "ray.data.Dataset":
         ("supplier.s_nationkey", "nation.n_nationkey"),
         ("nation.n_regionkey", "region.r_regionkey"),
     ]
-    rows = []
-    for child_ref, parent_ref in rels:
+
+    # one READ per table: a table contributes every (relationship,
+    # side) role it plays from a single column-pruned scan — lineitem's
+    # three FK columns tag in one map rather than three pipelines
+    # (union input count is what sets the fixed cost here)
+    roles: dict = {}
+    for i, (child_ref, parent_ref) in enumerate(rels):
         ct, ck = child_ref.split(".")
         pt, pk = parent_ref.split(".")
-        child = _read(sf_dir, ct, columns=[ck])
-        parent = _read(sf_dir, pt, columns=[pk])
-        # two consumers (count + anti join): materialize the small
-        # distinct-key set once instead of re-running the shuffle
-        child_d = distinct_keys(child, ck).materialize()
-        rows.append(
+        roles.setdefault(ct, []).append((i, ck, 1))
+        roles.setdefault(pt, []).append((i, pk, 0))
+
+    parts = []
+    for tbl, rs in roles.items():
+        ds = _read(sf_dir, tbl, columns=sorted({c for _, c, _ in rs}))
+
+        def tag(batch: pa.Table, _roles=tuple(rs)) -> pa.Table:
+            # per-batch distinct bounds the shuffle to one row per
+            # (key, block); global dedup happens in the keyed pass
+            df = batch.to_pandas()
+            outs = []
+            for rid, col, is_child in _roles:
+                keys = df[[col]].drop_duplicates()[col].to_numpy(np.int64)
+                outs.append(
+                    pa.table(
+                        {
+                            "rel_id": pa.array(
+                                np.full(len(keys), rid, np.int64)
+                            ),
+                            "key": pa.array(keys, pa.int64()),
+                            "is_child": pa.array(
+                                np.full(len(keys), is_child, np.int64)
+                            ),
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        parts.append(ds.map_batches(tag, batch_format="pyarrow"))
+
+    unioned = parts[0].union(*parts[1:])
+
+    def audit_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["rel_id", "key"], as_index=False).agg(
+            mx=("is_child", "max"), mn=("is_child", "min")
+        )
+        has_child = g.mx == 1
+        orphan = has_child & (g.mn == 1)  # no parent sighting
+        return pd.DataFrame(
+            {"rel_id": g.rel_id, "child": has_child, "orph": orphan}
+        ).groupby("rel_id", as_index=False).agg(
+            n_child_keys=("child", "sum"), n_orphan_keys=("orph", "sum")
+        )
+
+    partials = coarse_grouped_map(
+        unioned,
+        ["rel_id", "key"],
+        audit_partition,
+        num_partitions=16,
+    )
+
+    names = [f"{c}->{p}" for c, p in rels]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("rel_id", as_index=False).agg(
+            n_child_keys=("n_child_keys", "sum"),
+            n_orphan_keys=("n_orphan_keys", "sum"),
+        )
+        return pd.DataFrame(
             {
-                "relationship": f"{child_ref}->{parent_ref}",
-                "n_child_keys": int(child_d.count()),
-                "n_orphan_keys": orphan_count(child_d, ck, parent, pk),
+                "relationship": [names[i] for i in g.rel_id],
+                "n_child_keys": g.n_child_keys.astype(np.int64),
+                "n_orphan_keys": g.n_orphan_keys.astype(np.int64),
             }
         )
-    df = pd.DataFrame(rows)
-    df["n_child_keys"] = df.n_child_keys.astype(np.int64)
-    df["n_orphan_keys"] = df.n_orphan_keys.astype(np.int64)
-    return ray.data.from_pandas(df)
+
+    return (
+        partials.repartition(1)  # <= 7 x partitions tiny rows
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+    )
 
 
 # ---------------------------------------------------------------------------
