@@ -1449,6 +1449,14 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(sf_dir)
 
 
+def _q_user_journeys(sf_dir: str):
+    """Ordered string aggregation: per-user '>'-joined event-type
+    sequence in (ts, event_id) order — string_agg ORDER BY parity."""
+    from kgray.pipelines.relational import user_journeys
+
+    return user_journeys(sf_dir)
+
+
 def _q_part_skyline(sf_dir: str):
     """2-D Pareto skyline of parts minimising (retailprice, size):
     block-local frontier combiner, frontier-bounded final scan,
@@ -2076,6 +2084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "part_skyline": _q_part_skyline,
         "lineitem_profile": _q_lineitem_profile,
+        "user_journeys": _q_user_journeys,
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
         "kg_two_hop": _q_kg_two_hop,
@@ -4001,6 +4010,14 @@ r AS (SELECT q_id, doc_id, s,
 SELECT CAST(q_id AS BIGINT) AS q_id, doc_id,
        floor(s * 1e6 + 0.5) / 1e6 AS score, rk AS rank
 FROM r WHERE rk <= 10
+""",
+        # ordered string_agg: ties in ts break by event_id on both sides
+        "user_journeys": """
+SELECT user_id,
+       count(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+FROM events
+GROUP BY user_id
 """,
         # skyline: dominance comparisons only, no arithmetic — exact
         "part_skyline": """

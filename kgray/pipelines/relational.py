@@ -1416,3 +1416,46 @@ def events_cube(sf_dir: str) -> "ray.data.Dataset":
         cube_reduce,
         num_partitions=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (user journey sequences)
+# ---------------------------------------------------------------------------
+
+def user_journeys(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user ordered event-type journey: the '>'-joined sequence of a
+    user's event types in (ts, event_id) order — SQL
+    ``string_agg(event_type, '>' ORDER BY ts, event_id)`` exactly.  The
+    ORDER-SENSITIVE aggregation class: unlike sums, the result depends
+    on within-group order, so the group must be assembled in one place.
+
+    One user-keyed coarse shuffle; each partition sorts its users' rows
+    vectorized ((user_id, ts, event_id) — ts as int64 epoch micros) and
+    joins per user.  The per-user join IS the payload construction (not
+    an avoidable inner loop, same rationale as chunk assembly in
+    dedup.word_chunks).  Partitioning assumption: one user's events fit
+    in a worker — the same bound every sessionization op here carries.
+    Output: (user_id, n_events, journey).
+    """
+    from ..utils import coarse_grouped_map
+
+    ev = _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        g = d.groupby("user_id", sort=False)
+        out = pd.DataFrame(
+            {
+                "n_events": g.event_id.size(),
+                "journey": g.event_type.agg(">".join),
+            }
+        ).reset_index()
+        out["user_id"] = out.user_id.astype(np.int64)
+        out["n_events"] = out.n_events.astype(np.int64)
+        return out[["user_id", "n_events", "journey"]]
+
+    return coarse_grouped_map(ev, "user_id", per_partition,
+                              num_partitions=16)

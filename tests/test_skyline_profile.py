@@ -133,3 +133,20 @@ def test_lineitem_profile_moments_survive_int64_scale():
     assert ss > np.iinfo(np.int64).max  # the trap exists...
     hi, lo = divmod(ss, 1 << 32)
     assert (int(hi) << 32) + int(lo) == ss  # ...and the transport is exact
+
+
+def test_user_journeys_order_and_counts():
+    """Ordered string_agg parity: journeys follow (ts, event_id) order
+    and every user's event count is conserved."""
+    from kgray.pipelines.relational import user_journeys
+
+    got = user_journeys(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(
+        SF + "/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["ts", "event_id"])
+    want = ev.groupby("user_id").event_type.agg(">".join)
+    assert len(got) == ev.user_id.nunique()
+    for uid, j in want.items():
+        assert got.loc[uid, "journey"] == j
+        assert got.loc[uid, "n_events"] == (ev.user_id == uid).sum()
