@@ -429,15 +429,22 @@ def part_skyline(sf_dir: str) -> "ray.data.Dataset":
     no other part is at most as expensive AND at most as large with one
     strict improvement.
 
-    Distributed as a frontier COMBINER: the skyline of a union is a
-    subset of the union of per-block skylines, so each block reduces to
-    its local frontier map-side (sort-scan, vectorized) and only those
-    survivors — bounded by the number of distinct sizes per block, ~50
-    for TPC-H-shaped data, regardless of block row count — move to a
-    single final partition for the same scan.  No full-table shuffle,
-    no driver collection; comparisons only (no float arithmetic), so
-    results are bit-exact vs the NOT EXISTS oracle.
+    Distributed as a frontier COMBINER with a DISTINCT-PAIR final scan:
+    (1) each block reduces to its local row frontier map-side
+    (sort-scan, vectorized; skyline(A∪B) ⊆ skyline(A)∪skyline(B));
+    (2) the final scan runs over the DISTINCT surviving (price, size)
+    coordinates only — duplicate-heavy degenerate inputs (every point
+    tied, nothing dominated) collapse to one row per coordinate instead
+    of landing the whole table on one worker; (3) surviving rows attach
+    back with a distributed semi join on the coordinate key.  Note the
+    skyline is OUTPUT-SIZED by definition (fully anti-correlated
+    distinct coordinates keep everything) — step 2 is bounded by
+    distinct surviving coordinates, never by tie multiplicity.
+    Comparisons only (no float arithmetic), so results are bit-exact vs
+    the NOT EXISTS oracle.
     """
+    from ..utils import repartition_join
+
     part = _read(
         sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"]
     )
@@ -446,11 +453,53 @@ def part_skyline(sf_dir: str) -> "ray.data.Dataset":
         out = _skyline_2d(batch.to_pandas())
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def final(batch: pd.DataFrame) -> pd.DataFrame:
-        return _skyline_2d(batch)
+    # two consumers (pair frontier + semi join back); bounded by the
+    # union of per-block frontiers
+    local_rows = part.map_batches(
+        local, batch_format="pyarrow"
+    ).materialize()
 
-    return (
-        part.map_batches(local, batch_format="pyarrow")
-        .repartition(1)  # frontier-bounded rows, not data-bounded
-        .map_batches(final, batch_format="pandas", batch_size=None)
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["p_retailprice", "p_size"]].drop_duplicates()
+        d["p_partkey"] = np.int64(0)  # _skyline_2d sort filler
+        return d
+
+    def final_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = _skyline_2d(to_pairs(df))
+        return _with_sky_key(d)[["sk"]]
+
+    pair_frontier = (
+        local_rows.map_batches(
+            lambda df: to_pairs(df), batch_format="pandas"
+        )
+        .repartition(1)  # distinct-coordinate rows, never tie-multiplied
+        .map_batches(final_pairs, batch_format="pandas", batch_size=None)
     )
+
+    keyed = local_rows.map_batches(_with_sky_key, batch_format="pandas")
+    survivors = repartition_join(
+        keyed,
+        pair_frontier,
+        "sk",
+        "sk",
+        {"sk": pa.string(), "p_partkey": pa.int64(),
+         "p_size": pa.int32(), "p_retailprice": pa.float64()},
+        {"sk": pa.string()},
+        num_partitions=16,
+        how="semi",
+    )
+    return survivors.map_batches(
+        lambda df: df[["p_partkey", "p_size", "p_retailprice"]],
+        batch_format="pandas",
+    )
+
+
+def _with_sky_key(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact string key for a (price, size) coordinate: float64 hex is
+    lossless, so equal keys ⟺ equal coordinates (no float re-encoding)."""
+    out = df.copy()
+    out["sk"] = [
+        float(p).hex() + "|" + str(int(s))
+        for p, s in zip(out.p_retailprice, out.p_size)
+    ]
+    return out

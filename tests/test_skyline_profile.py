@@ -150,3 +150,22 @@ def test_user_journeys_order_and_counts():
     for uid, j in want.items():
         assert got.loc[uid, "journey"] == j
         assert got.loc[uid, "n_events"] == (ev.user_id == uid).sum()
+
+
+def test_skyline_degenerate_all_ties_survive(tmp_path):
+    """All-identical coordinates dominate nothing — every row must
+    survive, and the final scan sees ONE distinct coordinate, not the
+    tie multiplicity (the single-worker blowup guard)."""
+    from kgray.pipelines.tpch_extra import part_skyline
+
+    deg = pd.DataFrame(
+        {
+            "p_partkey": np.arange(2000, dtype=np.int64),
+            "p_size": np.full(2000, 3, np.int64),
+            "p_retailprice": np.full(2000, 9.5),
+        }
+    )
+    deg.to_parquet(tmp_path / "part.parquet")
+    out = part_skyline(str(tmp_path)).to_pandas()
+    assert len(out) == 2000
+    assert set(out.p_partkey) == set(range(2000))
