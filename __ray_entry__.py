@@ -1449,6 +1449,16 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(sf_dir)
 
 
+def _q_events_twap(sf_dir: str):
+    """Time-weighted average per event type (trapezoid integral /
+    duration): global (type, t, id) sort, block partials with exact
+    python-int cents×micros sums, driver stitches only block
+    boundaries."""
+    from kgray.pipelines.analytics import events_twap
+
+    return events_twap(sf_dir)
+
+
 def _q_user_journeys(sf_dir: str):
     """Ordered string aggregation: per-user '>'-joined event-type
     sequence in (ts, event_id) order — string_agg ORDER BY parity."""
@@ -2085,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": _q_part_skyline,
         "lineitem_profile": _q_lineitem_profile,
         "user_journeys": _q_user_journeys,
+        "events_twap": _q_events_twap,
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
         "kg_two_hop": _q_kg_two_hop,
@@ -4010,6 +4021,30 @@ r AS (SELECT q_id, doc_id, s,
 SELECT CAST(q_id AS BIGINT) AS q_id, doc_id,
        floor(s * 1e6 + 0.5) / 1e6 AS score, rk AS rank
 FROM r WHERE rk <= 10
+""",
+        # TWAP: HUGEINT trapezoid sum over integerized cents × micros,
+        # identical cast/divide order as pipelines/analytics.events_twap
+        "events_twap": """
+WITH s AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS HUGEINT) AS vc,
+         epoch_us(ts) AS t,
+         lead(CAST(floor(value * 100.0 + 0.5) AS HUGEINT))
+           OVER w AS vc2,
+         lead(epoch_us(ts)) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), agg AS (
+  SELECT event_type,
+         sum((vc + vc2) * (t2 - t)) AS S,
+         min(t) AS tmin, max(t) AS tmax,
+         count(*) AS n
+  FROM s GROUP BY event_type
+)
+SELECT event_type, n AS n_events,
+       floor((CAST(S AS DOUBLE) / (200.0 * CAST(tmax - tmin AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS twap
+FROM agg
 """,
         # ordered string_agg: ties in ts break by event_id on both sides
         "user_journeys": """

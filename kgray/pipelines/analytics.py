@@ -1991,3 +1991,94 @@ def lineitem_profile(sf_dir: str) -> "ray.data.Dataset":
         reduce_finish,
         num_partitions=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (trapezoid integral per event type)
+# ---------------------------------------------------------------------------
+
+def events_twap(sf_dir: str) -> "ray.data.Dataset":
+    """Time-weighted average value per event type: the trapezoid
+    integral of value over time divided by the observed duration —
+    twap = Σ (vᵢ+vᵢ₊₁)/2 · (tᵢ₊₁−tᵢ) / (t_last − t_first) with pairs in
+    (ts, event_id) order.  The neighbor-pair windowed-arithmetic class:
+    each term needs ADJACENT rows of a global per-type order.
+
+    Distributed with the same block-partial + boundary-stitch shape as
+    the pack.py prefix sums: ONE global sort on (type, t, event_id),
+    then each block folds its within-block trapezoid terms to one
+    partial row per type segment (exact python-int sums of integerized
+    cents × micros — per-term products exceed int64 by construction,
+    HUGEINT discipline), and the driver stitches only the
+    blocks × types boundary rows (one extra term where consecutive
+    blocks share a type) — bounded by the block count, never the data.
+    The closed form divides once in float64 with the same op order as
+    the oracle.  Output: (event_type, n_events, twap) rounded 1e-6.
+    """
+    ev = _read(
+        sf_dir, "events",
+        columns=["event_type", "ts", "event_id", "value"],
+    )
+
+    def to_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df.event_type,
+                "t": df.ts.astype("datetime64[us]").astype("int64"),
+                "event_id": df.event_id.astype(np.int64),
+                "vc": np.floor(
+                    df.value.to_numpy(np.float64) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    s = ev.map_batches(to_cols, batch_format="pandas").sort(
+        ["event_type", "t", "event_id"]
+    )
+
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            t = [int(x) for x in g.t]          # python ints: products
+            v = [int(x) for x in g.vc]         # exceed int64 at scale
+            S = sum(
+                (v[i] + v[i + 1]) * (t[i + 1] - t[i])
+                for i in range(len(t) - 1)
+            )
+            hi, lo = divmod(S, 1 << 32)
+            rows.append(
+                (et, len(t), t[0], int(g.event_id.iloc[0]), v[0],
+                 t[-1], v[-1], hi, lo)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "n", "t_first", "id_first",
+                     "v_first", "t_last", "v_last", "s_hi", "s_lo"],
+        )
+
+    partials = s.map_batches(
+        block_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()  # blocks × types rows — block-bounded driver state
+
+    out_rows = []
+    p = partials.sort_values(["event_type", "t_first", "id_first"])
+    for et, g in p.groupby("event_type", sort=False):
+        S = 0
+        for _, r in g.iterrows():
+            S += (int(r.s_hi) << 32) + int(r.s_lo)
+        # boundary terms between consecutive blocks of the same type
+        for (_, a), (_, b) in zip(g[:-1].iterrows(), g[1:].iterrows()):
+            S += (int(a.v_last) + int(b.v_first)) * (
+                int(b.t_first) - int(a.t_last)
+            )
+        n = int(g.n.sum())
+        dur = int(g.t_last.iloc[-1]) - int(g.t_first.iloc[0])
+        twap = (
+            float(S) / (200.0 * float(dur)) if dur > 0 else float("nan")
+        )
+        out_rows.append(
+            (et, np.int64(n), np.floor(twap * 1e6 + 0.5) / 1e6)
+        )
+    return ray.data.from_pandas(
+        pd.DataFrame(out_rows, columns=["event_type", "n_events", "twap"])
+    )

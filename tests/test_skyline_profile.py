@@ -169,3 +169,31 @@ def test_skyline_degenerate_all_ties_survive(tmp_path):
     out = part_skyline(str(tmp_path)).to_pandas()
     assert len(out) == 2000
     assert set(out.p_partkey) == set(range(2000))
+
+
+def test_events_twap_matches_pandas_reference():
+    """Trapezoid integral / duration per type, pairs in (ts, event_id)
+    order, exact integer accumulation."""
+    from kgray.pipelines.analytics import events_twap
+
+    got = events_twap(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(
+        SF + "/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+    )
+    ev["t"] = ev.ts.astype("datetime64[us]").astype("int64")
+    ev["vc"] = np.floor(ev.value.to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["t", "event_id"])
+        t = [int(x) for x in g.t]
+        v = [int(x) for x in g.vc]
+        S = sum(
+            (v[i] + v[i + 1]) * (t[i + 1] - t[i])
+            for i in range(len(t) - 1)
+        )
+        twap = float(S) / (200.0 * float(t[-1] - t[0]))
+        r = got.loc[et]
+        assert r.n_events == len(t)
+        assert r.twap == np.floor(twap * 1e6 + 0.5) / 1e6
