@@ -256,6 +256,8 @@ def run_bench() -> dict:
         "bm25_topk",
         "part_skyline",
         "lineitem_profile",
+        "user_journeys",
+        "events_twap",
     ]:
         best = None
         for _ in range(repeats):
