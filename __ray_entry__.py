@@ -1403,6 +1403,18 @@ def _q_lineitem_corr(sf_dir: str):
     return lineitem_qty_price_corr(sf_dir)
 
 
+def _q_spearman_corr(sf_dir: str):
+    from kgray.pipelines.analytics import spearman_qty_price
+
+    return spearman_qty_price(sf_dir)
+
+
+def _q_events_acf(sf_dir: str):
+    from kgray.pipelines.analytics import events_acf
+
+    return events_acf(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -2113,6 +2125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": _q_copurchase_triangles,
         "dedup_incremental": _q_dedup_incremental,
         "lineitem_corr": _q_lineitem_corr,
+        "spearman_corr": _q_spearman_corr,
+        "events_acf": _q_events_acf,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)
@@ -4237,6 +4251,65 @@ SELECT CAST(n AS BIGINT) AS n,
        floor((n * sxy - sx * sy)
              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
              * 1e6 + 0.5) / 1e6 AS corr_qty_price
+FROM m
+""",
+        # lag-k ACF of hourly counts on the gap-filled grid; integer-hour
+        # spine (epoch of date_trunc is exactly divisible), BIGINT moment
+        # sums -> HUGEINT, same closed form + rounding as the engine
+        "events_acf": """
+WITH b AS (SELECT CAST(epoch(date_trunc('hour', min(ts))) AS BIGINT) // 3600 h0,
+                  CAST(epoch(date_trunc('hour', max(ts))) AS BIGINT) // 3600 h1
+           FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (SELECT t.event_type, gs.h
+          FROM types t CROSS JOIN
+          (SELECT unnest(generate_series((SELECT h0 FROM b),
+                                         (SELECT h1 FROM b))) AS h) gs),
+cnt AS (SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+ser AS (SELECT s.event_type, s.h, CAST(coalesce(c.c, 0) AS BIGINT) AS x
+        FROM spine s LEFT JOIN cnt c USING (event_type, h)),
+lg AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+pairs AS (SELECT a.event_type, l.lag, a.x AS ax, b2.x AS bx
+          FROM ser a CROSS JOIN lg l
+          JOIN ser b2 ON b2.event_type = a.event_type
+                     AND b2.h = a.h + l.lag),
+m AS (SELECT event_type, lag, count(*) n, sum(ax) sx, sum(bx) sy,
+             sum(ax * ax) sxx, sum(bx * bx) syy, sum(ax * bx) sxy
+      FROM pairs GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       * 1e6 + 0.5) / 1e6
+            ELSE NULL END AS acf
+FROM m
+""",
+        # Spearman ρ from DOUBLED average ranks (2·avg_rank = 2·min_rank
+        # + tie_count - 1, an exact integer; the 2× cancels in the closed
+        # form).  HUGEINT moment sums mirror the engine's python-int
+        # partials; both sides round half-up to 1e-6.
+        "spearman_corr": """
+WITH t AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY l_quantity)
+              + count(*) OVER (PARTITION BY l_quantity) - 1
+         AS BIGINT) AS rx2,
+         CAST(2 * rank() OVER (ORDER BY l_extendedprice)
+              + count(*) OVER (PARTITION BY l_extendedprice) - 1
+         AS BIGINT) AS ry2
+  FROM lineitem),
+m AS (SELECT count(*) n, sum(rx2) sx, sum(ry2) sy,
+             sum(rx2 * rx2) sxx, sum(ry2 * ry2) syy,
+             sum(rx2 * ry2) sxy
+      FROM t)
+SELECT CAST(n AS BIGINT) AS n,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS spearman_qty_price
 FROM m
 """,
     }

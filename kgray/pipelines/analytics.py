@@ -2082,3 +2082,251 @@ def events_twap(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.from_pandas(
         pd.DataFrame(out_rows, columns=["event_type", "n_events", "twap"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Spearman rank correlation (average-rank ties)
+# ---------------------------------------------------------------------------
+
+def spearman_qty_price(sf_dir: str, n_bins: int = 64) -> "ray.data.Dataset":
+    """Spearman rank correlation between l_quantity and l_extendedprice
+    — the outlier-robust monotonic-association check run alongside the
+    Pearson ``lineitem_corr``.  ρ = Pearson correlation of the two
+    columns' AVERAGE ranks (ties share the mean of their rank range),
+    which needs a global ranking of every row on BOTH columns — the
+    genuinely distributed part.
+
+    Ranks are never materialized per row on the driver; each column is
+    ranked by the strategy its domain allows:
+
+    - l_quantity is DOMAIN-bounded (integral 1..50): a combiner-first
+      value-count reduce yields the ≤50-row (value, count) table, whose
+      prefix sums give every value's average rank.  Broadcast is
+      bounded by the domain, not the corpus.
+    - l_extendedprice is continuous (distinct ≈ rows): rows are
+      range-BINNED on value (equal values always share a bin, so ties
+      never straddle partitions), per-bin totals give bin rank offsets
+      (n_bins driver rows — the only driver state for this column),
+      and each bin ranks its own rows vectorized.  The same distributed
+      prefix-sum shape as pack_sequences.
+
+    Working in DOUBLED ranks (2·avg_rank = 2·offset + count + 1) keeps
+    everything integral, so the five moment sums accumulate as exact
+    Python ints (hi/lo int64 transport, HUGEINT in the oracle — the
+    same arbitrary-precision discipline as event_value_trend; Σ(2r)²
+    ~ 4n³ wraps int64 at n ≈ 2M by design).  The 2× scale cancels in
+    the closed form.  Output: one row (n, spearman_qty_price), rounded
+    half-up to 1e-6 in both engines.
+    """
+    li = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    # -- pass 1: global y-range for binning (tiny: one row per batch)
+    def minmax(batch: pa.Table) -> pa.Table:
+        y = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({"ymin": pa.array([float(y.min())]),
+                         "ymax": pa.array([float(y.max())])})
+
+    mm = li.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    ymin, ymax = float(mm.ymin.min()), float(mm.ymax.max())
+    width = (ymax - ymin) / n_bins if ymax > ymin else 1.0
+
+    def bin_of(y: np.ndarray) -> np.ndarray:
+        b = np.floor((y - ymin) / width).astype(np.int64)
+        return np.clip(b, 0, n_bins - 1)
+
+    # -- pass 2 (fused): x value counts + y bin counts, one keyed reduce
+    def count_partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        y = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        xv, xc = np.unique(x.astype(np.int64), return_counts=True)
+        bv, bc = np.unique(bin_of(y), return_counts=True)
+        return pa.table({
+            "kind": pa.array(["x"] * len(xv) + ["b"] * len(bv)),
+            "key": pa.array(np.concatenate([xv, bv]), pa.int64()),
+            "c": pa.array(np.concatenate([xc, bc]), pa.int64()),
+        })
+
+    counts = coarse_grouped_map(
+        li.map_batches(count_partial, batch_format="pyarrow"),
+        ["kind", "key"],
+        lambda d: d.groupby(["kind", "key"], as_index=False).agg(
+            c=("c", "sum")
+        ),
+        num_partitions=8,
+    ).to_pandas()  # ≤ |x domain| + n_bins rows — never corpus-sized
+
+    xs = counts[counts.kind == "x"].sort_values("key")
+    x_off = np.concatenate([[0], xs.c.cumsum().to_numpy()[:-1]])
+    # 2·avg_rank(v) = 2·offset + count + 1 — exact integer
+    rx2_map = {
+        int(k): 2 * int(o) + int(c) + 1
+        for k, o, c in zip(xs.key, x_off, xs.c)
+    }
+    bs = counts[counts.kind == "b"].sort_values("key")
+    b_off = dict(zip(
+        bs.key.astype(int),
+        np.concatenate([[0], bs.c.cumsum().to_numpy()[:-1]]).astype(int),
+    ))
+    state = ray.put((rx2_map, b_off))
+
+    # -- pass 3: per-bin rank + exact integer moment partials
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        rx2_map_, b_off_ = ray.get(state)
+        rows = []
+        for b, g in df.groupby("bin", sort=False):
+            y = g.l_extendedprice.to_numpy(np.float64)
+            order = np.argsort(y, kind="stable")
+            ys = y[order]
+            # local value-count prefix sums -> doubled average ranks
+            uniq, start, cnt = np.unique(
+                ys, return_index=True, return_counts=True
+            )
+            off0 = int(b_off_[int(b)])
+            r2_per_uniq = 2 * (off0 + start) + cnt + 1
+            r2_sorted = np.repeat(r2_per_uniq, cnt)
+            ry2 = np.empty(len(y), dtype=np.int64)
+            ry2[order] = r2_sorted
+            # vectorized domain-table lookup (≤50 entries)
+            lut = np.zeros(max(rx2_map_) + 1, dtype=np.int64)
+            for k_, v_ in rx2_map_.items():
+                lut[k_] = v_
+            rx2 = lut[g.l_quantity.to_numpy(np.int64)]
+            # exact python-int partials (Σ(2r)² wraps int64 at scale)
+            lx = [int(v) for v in rx2]
+            ly = [int(v) for v in ry2]
+            sx, sy = sum(lx), sum(ly)
+            sxx = sum(v * v for v in lx)
+            syy = sum(v * v for v in ly)
+            sxy = sum(a * c for a, c in zip(lx, ly))
+            rec = {"n": len(lx)}
+            for nm, s in (("sx", sx), ("sy", sy), ("sxx", sxx),
+                          ("syy", syy), ("sxy", sxy)):
+                hi, lo = divmod(int(s), 1 << 32)
+                rec[nm + "_hi"], rec[nm + "_lo"] = hi, lo
+            rows.append(rec)
+        return pd.DataFrame(rows)
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        y = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return batch.append_column("bin", pa.array(bin_of(y), pa.int64()))
+
+    parts = coarse_grouped_map(
+        li.map_batches(add_bin, batch_format="pyarrow"),
+        "bin",
+        moments,
+        num_partitions=8,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df.n.sum())
+        tot = {}
+        for nm in ("sx", "sy", "sxx", "syy", "sxy"):
+            tot[nm] = sum(
+                (int(h) << 32) + int(lo)
+                for h, lo in zip(df[nm + "_hi"], df[nm + "_lo"])
+            )
+        num = n * tot["sxy"] - tot["sx"] * tot["sy"]
+        dx = n * tot["sxx"] - tot["sx"] * tot["sx"]
+        dy = n * tot["syy"] - tot["sy"] * tot["sy"]
+        import math
+        rho = (
+            float(num) / math.sqrt(float(dx) * float(dy))
+            if dx > 0 and dy > 0 else float("nan")
+        )
+        return pd.DataFrame({
+            "n": [np.int64(n)],
+            "spearman_qty_price": [np.floor(rho * 1e6 + 0.5) / 1e6],
+        })
+
+    return parts.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation over a gap-filled hourly series
+# ---------------------------------------------------------------------------
+
+def events_acf(
+    sf_dir: str, lags: List[int] = (1, 2, 3, 6, 12, 24)
+) -> "ray.data.Dataset":
+    """Autocorrelation function of HOURLY event counts per event type at
+    the given lags — the periodicity diagnostic (is there a daily
+    cycle?) run before any seasonal model is trusted.  acf(k) = Pearson
+    correlation of the pairs (x_t, x_{t+k}) over the GAP-FILLED hourly
+    grid (missing hours count 0 — skipping them would silently shift
+    every lag).
+
+    Only the (type, hour)-count reduce touches the fact table: per-batch
+    partials then one coarse keyed reduce, the events_gapfill shape.
+    The reduced series is DIMENSION-bounded (types × hours), so each
+    type's full series fits a worker: a coarse partition by event_type
+    densifies its own grid from the broadcast global [h0, h1] bounds and
+    evaluates all lags vectorized.  Counts are integers, so the moment
+    sums accumulate as exact Python ints (hours-bounded, cheap) and the
+    closed form matches the oracle's HUGEINT arithmetic bit-for-bit
+    after one double division, rounded half-up to 1e-6.  Output:
+    (event_type, lag, n_pairs, acf) — acf NULL when a window is
+    constant.
+    """
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    US_PER_H = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = (
+            df.ts.astype("datetime64[us]").astype("int64") // US_PER_H
+        ).to_numpy(np.int64)
+        g = pd.DataFrame({"event_type": df.event_type, "h": h}).groupby(
+            ["event_type", "h"], as_index=False
+        ).size()
+        g.columns = ["event_type", "h", "c"]
+        g["c"] = g.c.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"],
+        lambda d: d.groupby(["event_type", "h"], as_index=False).agg(
+            c=("c", "sum")
+        ),
+        num_partitions=8,
+    ).materialize()  # dimension-bounded (types × hours); feeds bounds + ACF
+
+    h0, h1 = int(counts.min("h")), int(counts.max("h"))
+    lags_t = tuple(int(k) for k in lags)
+
+    def acf_for_types(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            x = np.zeros(h1 - h0 + 1, dtype=np.int64)
+            x[g.h.to_numpy(np.int64) - h0] = g.c.to_numpy(np.int64)
+            xl = [int(v) for v in x]  # python ints: exact at any count
+            for k in lags_t:
+                if k >= len(xl):
+                    continue
+                a, b = xl[:-k], xl[k:]
+                n = len(a)
+                sx, sy = sum(a), sum(b)
+                sxx = sum(v * v for v in a)
+                syy = sum(v * v for v in b)
+                sxy = sum(p * q for p, q in zip(a, b))
+                dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+                if dx > 0 and dy > 0:
+                    import math
+                    r = float(n * sxy - sx * sy) / math.sqrt(
+                        float(dx) * float(dy)
+                    )
+                    acf = np.floor(r * 1e6 + 0.5) / 1e6
+                else:
+                    acf = None
+                rows.append((et, np.int64(k), np.int64(n), acf))
+        return pd.DataFrame(
+            rows, columns=["event_type", "lag", "n_pairs", "acf"]
+        )
+
+    return coarse_grouped_map(
+        counts, "event_type", acf_for_types, num_partitions=4
+    )

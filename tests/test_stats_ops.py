@@ -1,0 +1,97 @@
+"""Semantics tests for the distributed rank/time-series statistics:
+Spearman rank correlation (average-rank ties, doubled-rank integer
+moments) and the gap-filled hourly autocorrelation function."""
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _spearman_ref(x: np.ndarray, y: np.ndarray) -> float:
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(y).rank(method="average").to_numpy()
+    return float(np.corrcoef(rx, ry)[0, 1])
+
+
+def test_spearman_matches_pandas_rank_corr():
+    from kgray.pipelines.analytics import spearman_qty_price
+
+    out = spearman_qty_price(SF).to_pandas()
+    li = pd.read_parquet(SF + "/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice"])
+    ref = _spearman_ref(li.l_quantity.to_numpy(),
+                        li.l_extendedprice.to_numpy())
+    assert int(out.n.iloc[0]) == len(li)
+    assert abs(float(out.spearman_qty_price.iloc[0]) - ref) < 2e-6
+
+
+def test_spearman_heavy_ties_and_few_bins(tmp_path):
+    """Ties dominating both columns (every value repeated) must rank by
+    the average method on every replica, across bin boundaries too."""
+    from kgray.pipelines.analytics import spearman_qty_price
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    q = rng.randint(1, 6, n)                      # 5 distinct values
+    price = np.round(q * 10.0 + rng.randint(0, 3, n) * 0.5, 2)  # ~15
+    pd.DataFrame({
+        "l_quantity": q.astype(np.int64),
+        "l_extendedprice": price,
+    }).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    out = spearman_qty_price(str(tmp_path), n_bins=4).to_pandas()
+    ref = _spearman_ref(q, price)
+    got = float(out.spearman_qty_price.iloc[0])
+    assert abs(got - np.floor(ref * 1e6 + 0.5) / 1e6) < 2e-6
+    assert got > 0.9  # monotone by construction
+
+
+def test_events_acf_matches_dense_numpy():
+    from kgray.pipelines.analytics import events_acf
+
+    out = events_acf(SF).to_pandas()
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["event_type", "ts"])
+    h = ev.ts.astype("datetime64[us]").astype("int64") // 3_600_000_000
+    h0, h1 = int(h.min()), int(h.max())
+    for et, g in pd.DataFrame({"event_type": ev.event_type, "h": h}).groupby(
+        "event_type"
+    ):
+        x = np.zeros(h1 - h0 + 1)
+        vc = g.h.value_counts()
+        x[vc.index.to_numpy() - h0] = vc.to_numpy()
+        for k in (1, 2, 3, 6, 12, 24):
+            row = out[(out.event_type == et) & (out.lag == k)]
+            assert len(row) == 1
+            ref = float(np.corrcoef(x[:-k], x[k:])[0, 1])
+            assert abs(float(row.acf.iloc[0]) - ref) < 2e-6
+            assert int(row.n_pairs.iloc[0]) == len(x) - k
+
+
+def test_events_acf_perfect_daily_cycle(tmp_path):
+    """A strictly 24h-periodic signal has acf(24) = 1 and the gap-filled
+    zeros must participate (hours with no events are the signal)."""
+    from kgray.pipelines.analytics import events_acf
+
+    hours = np.arange(0, 24 * 14)  # 14 days
+    active = hours[hours % 24 < 6]  # events only in hours 0..5 each day
+    rows = []
+    for hh in active:
+        for i in range(3):  # 3 events in each active hour
+            rows.append((
+                pd.Timestamp("2024-03-01")
+                + pd.Timedelta(hours=int(hh), minutes=10 * i + 1)
+            ))
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.int64(1),
+        "event_type": "cycle",
+        "ts": pd.Series(rows).astype("datetime64[us]"),
+        "value": 1.0,
+        "props": "{}",
+    })
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    out = events_acf(str(tmp_path)).to_pandas().set_index("lag")
+    assert float(out.loc[24, "acf"]) == 1.0
+    # half-period anticorrelation: active block vs quiet block overlap
+    assert float(out.loc[12, "acf"]) < 0.0
