@@ -1661,6 +1661,13 @@ def _q_kg_neighbor_jaccard(sf_dir: str):
     return neighbor_jaccard(_kg_edge_graph(sf_dir))
 
 
+def _q_kg_closeness(sf_dir: str):
+    from kgray.stages.graph_algos import harmonic_closeness
+
+    return harmonic_closeness(_kg_edge_graph(sf_dir), n_landmarks=5,
+                              max_depth=3)
+
+
 def _q_copurchase_kcore(sf_dir: str):
     import pyarrow as pa
 
@@ -2176,6 +2183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": _q_kg_degrees,
         "kg_clustering": _q_kg_clustering,
         "kg_bfs": _q_kg_bfs,
+        "kg_closeness": _q_kg_closeness,
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         "copurchase_kcore": _q_copurchase_kcore,
     }
@@ -4148,6 +4156,34 @@ lv AS (SELECT node, 0 AS d FROM n0
        UNION ALL SELECT node, 2 FROM r2
        UNION ALL SELECT node, 3 FROM r3)
 SELECT node, CAST(min(d) AS BIGINT) AS dist FROM lv GROUP BY node
+""",
+        # landmark harmonic closeness: unrolled multi-seed BFS levels
+        # (min d per seed,node), EXACT rational sum via lcm(1..3)=6
+        # integer weights — one double division at the end, same as the
+        # engine
+        "kg_closeness": _KG_CTE + """
+, eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,
+                         'w(X:' || tb || ')' AS dst FROM pairs),
+sd AS (SELECT src AS s FROM
+       (SELECT DISTINCT src FROM eg ORDER BY src LIMIT 5)),
+l0 AS (SELECT s, s AS node, 0 AS d FROM sd),
+l1 AS (SELECT DISTINCT l.s, e.dst AS node, 1 AS d
+       FROM l0 l JOIN eg e ON e.src = l.node),
+l2 AS (SELECT DISTINCT l.s, e.dst AS node, 2 AS d
+       FROM l1 l JOIN eg e ON e.src = l.node),
+l3 AS (SELECT DISTINCT l.s, e.dst AS node, 3 AS d
+       FROM l2 l JOIN eg e ON e.src = l.node),
+lv AS (SELECT s, node, min(d) AS d FROM
+       (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+       GROUP BY s, node),
+w AS (SELECT node,
+             CASE d WHEN 1 THEN 6 WHEN 2 THEN 3 WHEN 3 THEN 2 END AS w
+      FROM lv WHERE d > 0)
+SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
+       floor(CAST(sum(w) AS DOUBLE) / 6.0 * 1e6 + 0.5) / 1e6
+         AS closeness
+FROM w GROUP BY node
 """,
         "kg_neighbor_jaccard": _KG_CTE + """
 , eg AS (SELECT DISTINCT 'w(X:' || ta || ')' AS src,

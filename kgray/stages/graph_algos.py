@@ -1276,3 +1276,219 @@ def comention_graph(
                               as_index=False).agg(n_docs=("n_docs", "sum")),
         num_partitions=num_partitions,
     )
+
+
+def multi_source_bfs(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    max_depth: int = 3,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Minimum directed hop distance from EACH seed independently →
+    (seed, node, dist) for every (seed, reached-node) pair within
+    ``max_depth`` (seeds at 0; unreached pairs absent) — the landmark
+    distance table behind closeness/harmonic centrality and graph
+    sketches (Boldi & Vigna's HyperBall runs this exact shape).
+
+    All seeds advance through the SAME BSP rounds: the frontier is the
+    composite (seed, node) set, so k landmarks cost the identical
+    3×(join + reduce + anti-join) pipeline as one — never k sequential
+    BFS loops.  The edge table joins by src and is never broadcast; the
+    visited set is keyed on a fused seed\\x1fnode string so the anti
+    join stays a single-key repartition join.
+    """
+    e = _distinct_edges(edges).materialize()
+    SEP = "\x1f"
+
+    def fuse(s: pa.ChunkedArray, n: pa.ChunkedArray) -> pa.Array:
+        import pyarrow.compute as pc
+        return pc.binary_join_element_wise(
+            s.cast(pa.string()), n.cast(pa.string()), SEP
+        )
+
+    def init_seeds(b: pa.Table) -> pa.Table:
+        node = b.column("node")
+        return pa.table({
+            "s": node.cast(pa.string()),
+            "node": node.cast(pa.string()),
+            "dist": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+        })
+
+    visited = seeds.map_batches(init_seeds,
+                                batch_format="pyarrow").materialize()
+    frontier = visited.select_columns(["s", "node"]).materialize()
+
+    def keyed(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        def add_key(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": fuse(b.column("s"), b.column("node")),
+                "s": b.column("s"),
+                "node": b.column("node"),
+            })
+        return ds.map_batches(add_key, batch_format="pyarrow")
+
+    for depth in range(1, max_depth + 1):
+        if frontier.count() == 0:
+            break
+        # expand: every (s, u) frontier pair × every u→v edge
+        reached = repartition_join(
+            frontier,
+            e,
+            "node",
+            "src",
+            {"node": pa.string(), "s": pa.string()},
+            {"src": pa.string(), "dst": pa.string()},
+            num_partitions=num_partitions,
+            how="inner",
+        )
+        nxt = coarse_grouped_map(
+            reached.map_batches(
+                lambda b: pa.table(
+                    {"s": b.column("s"), "node": b.column("dst")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["s", "node"],
+            lambda df: df.drop_duplicates(["s", "node"]),
+            num_partitions=num_partitions,
+        )
+        fresh = repartition_join(
+            keyed(nxt),
+            keyed(visited),
+            "k",
+            "k",
+            {"k": pa.string(), "s": pa.string(), "node": pa.string()},
+            {"k": pa.string()},
+            num_partitions=num_partitions,
+            how="anti",
+        ).map_batches(
+            lambda b, _d=depth: pa.table({
+                "s": b.column("s"),
+                "node": b.column("node"),
+                "dist": pa.array(np.full(b.num_rows, _d, np.int64)),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        visited = visited.union(fresh).materialize()
+        frontier = fresh.select_columns(["s", "node"]).materialize()
+
+    from ..utils import schema_floor
+
+    return schema_floor(
+        visited,
+        pa.schema([("s", pa.string()), ("node", pa.string()),
+                   ("dist", pa.int64())]),
+    )
+
+
+def harmonic_closeness(
+    edges: "ray.data.Dataset",
+    n_landmarks: int = 5,
+    max_depth: int = 3,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Landmark harmonic closeness: H(v) = Σ_s 1/dist(s→v) over the
+    ``n_landmarks`` lexicographically-smallest source nodes (dist > 0,
+    bounded by ``max_depth``) — the centrality that, unlike classic
+    closeness, is defined on disconnected graphs (Boldi & Vigna 2014).
+
+    Landmark selection is a per-block top-L + tiny driver finish
+    (blocks×L rows); distances come from ONE multi_source_bfs (all
+    landmarks share the BSP rounds).  The harmonic sum is EXACT: with
+    dists in 1..max_depth, Σ 1/d = (Σ lcm/d)/lcm accumulates as an
+    integer weight per pair and divides once — no float summation
+    order anywhere, so the DuckDB oracle matches bit-for-bit.  Output:
+    (node, n_sources, closeness) rounded half-up to 1e-6.
+
+    AUTO-dispatched on the exact distinct-edge count
+    (RANK_LOCAL_MAX_EDGES, same policy as pagerank/HITS): small graphs
+    run the identical BFS as a vectorized local pass instead of
+    3×(join + reduce + anti-join) fixed-cost shuffle rounds.
+    """
+    import math
+
+    e = _distinct_edges(edges).materialize()
+    lcm = math.lcm(*range(1, max_depth + 1))
+    if e.count() <= RANK_LOCAL_MAX_EDGES:
+        edf = e.to_pandas()  # bounded by the dispatch constant
+        if len(edf) == 0:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.string()),
+                          "n_sources": pa.array([], pa.int64()),
+                          "closeness": pa.array([], pa.float64())})
+            )
+        nodes, s, d = _rank_index(edf)
+        lms = sorted(set(edf.src))[:n_landmarks]
+        nv = len(nodes)
+        wsum = np.zeros(nv, np.int64)
+        nsrc = np.zeros(nv, np.int64)
+        idx = {n: i for i, n in enumerate(nodes)}
+        for lmn in lms:
+            dist = np.full(nv, -1, np.int64)
+            dist[idx[lmn]] = 0
+            frontier = np.array([idx[lmn]], np.int64)
+            for depth in range(1, max_depth + 1):
+                mask = np.isin(s, frontier)
+                cand = np.unique(d[mask])
+                fresh = cand[dist[cand] < 0]
+                if len(fresh) == 0:
+                    break
+                dist[fresh] = depth
+                frontier = fresh
+            reached = dist > 0
+            wsum[reached] += lcm // dist[reached]
+            nsrc[reached] += 1
+        keep = nsrc > 0
+        return ray.data.from_pandas(pd.DataFrame({
+            "node": np.asarray(nodes, dtype=object)[keep],
+            "n_sources": nsrc[keep],
+            "closeness": np.floor(
+                wsum[keep] / float(lcm) * 1e6 + 0.5
+            ) / 1e6,
+        }))
+
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            df.src.drop_duplicates().sort_values().head(n_landmarks)
+            if len(df) else pd.Series([], dtype="object")
+        )
+        return pd.DataFrame({"src": u})
+
+    lm = (
+        e.map_batches(block_min, batch_format="pandas", batch_size=None)
+        .to_pandas()  # ≤ blocks × L rows — never edge-scale
+        .src.drop_duplicates()
+        .sort_values()
+        .head(n_landmarks)
+    )
+    seeds = ray.data.from_pandas(pd.DataFrame({"node": lm}))
+
+    dists = multi_source_bfs(e, seeds, max_depth=max_depth,
+                             num_partitions=num_partitions)
+
+    def weight(b: pa.Table) -> pa.Table:
+        d = b.column("dist").to_numpy(zero_copy_only=False)
+        keep = d > 0
+        return pa.table({
+            "node": b.column("node").filter(pa.array(keep)),
+            "w": pa.array((lcm // d[keep]).astype(np.int64)),
+            "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+        })
+
+    def reduce_node(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False).agg(
+            w=("w", "sum"), n=("n", "sum")
+        )
+        g["closeness"] = np.floor(
+            g.w.to_numpy(np.int64) / float(lcm) * 1e6 + 0.5
+        ) / 1e6
+        return g[["node", "n", "closeness"]].rename(
+            columns={"n": "n_sources"}
+        )
+
+    return coarse_grouped_map(
+        dists.map_batches(weight, batch_format="pyarrow"),
+        "node",
+        reduce_node,
+        num_partitions=num_partitions,
+    )

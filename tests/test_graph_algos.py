@@ -319,3 +319,49 @@ def test_rank_distributed_path_equals_local_fast_path(monkeypatch):
         a = a[cols].sort_values("node").reset_index(drop=True)
         b = b[cols].sort_values("node").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_harmonic_closeness_chain_semantics():
+    """a->b->c->d->e chain, landmarks = all srcs (a..d), depth 3:
+    hand-computable harmonic sums with exact 1/d rationals."""
+    from kgray.stages.graph_algos import harmonic_closeness
+
+    edges = pa.table({
+        "src": pa.array(["a", "b", "c", "d"]),
+        "dst": pa.array(["b", "c", "d", "e"]),
+    })
+    out = (
+        harmonic_closeness(ray.data.from_arrow(edges), n_landmarks=4)
+        .to_pandas().set_index("node")
+    )
+    # b: from a at 1 -> 1.0 ; c: a@2, b@1 -> 1.5 ; d: a@3,b@2,c@1 -> 11/6
+    # e: b@3, c@2, d@1 -> 11/6 (a@4 beyond depth 3)
+    assert float(out.loc["b", "closeness"]) == 1.0
+    assert float(out.loc["c", "closeness"]) == 1.5
+    assert abs(float(out.loc["d", "closeness"]) - 11 / 6) < 2e-6
+    assert abs(float(out.loc["e", "closeness"]) - 11 / 6) < 2e-6
+    assert int(out.loc["e", "n_sources"]) == 3
+    assert "a" not in out.index  # nothing reaches a
+
+
+def test_harmonic_closeness_distributed_equals_local(monkeypatch):
+    """multi_source_bfs + distributed reduce must agree with the
+    vectorized local fast path on the same random graph."""
+    import kgray.stages.graph_algos as ga
+
+    rng = np.random.default_rng(11)
+    src = [f"n{i}" for i in rng.integers(0, 25, 120)]
+    dst = [f"n{i}" for i in rng.integers(0, 25, 120)]
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    )
+
+    local = ga.harmonic_closeness(edges, n_landmarks=5).to_pandas()
+    monkeypatch.setattr(ga, "RANK_LOCAL_MAX_EDGES", 0)
+    dist = ga.harmonic_closeness(edges, n_landmarks=5).to_pandas()
+
+    cols = ["node", "n_sources", "closeness"]
+    a = local[cols].sort_values("node").reset_index(drop=True)
+    b = dist[cols].sort_values("node").reset_index(drop=True)
+    b["n_sources"] = b.n_sources.astype(a.n_sources.dtype)
+    pd.testing.assert_frame_equal(a, b)
