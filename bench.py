@@ -258,6 +258,9 @@ def run_bench() -> dict:
         "lineitem_profile",
         "user_journeys",
         "events_twap",
+        "spearman_corr",
+        "events_acf",
+        "kg_closeness",
     ]:
         best = None
         for _ in range(repeats):
