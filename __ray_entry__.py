@@ -1415,6 +1415,12 @@ def _q_events_acf(sf_dir: str):
     return events_acf(sf_dir)
 
 
+def _q_lineitem_unpivot(sf_dir: str):
+    from kgray.pipelines.analytics import lineitem_unpivot
+
+    return lineitem_unpivot(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -2134,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": _q_lineitem_corr,
         "spearman_corr": _q_spearman_corr,
         "events_acf": _q_events_acf,
+        "lineitem_unpivot": _q_lineitem_unpivot,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)
@@ -4288,6 +4295,21 @@ SELECT CAST(n AS BIGINT) AS n,
              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
              * 1e6 + 0.5) / 1e6 AS corr_qty_price
 FROM m
+""",
+        # wide->long melt via UNPIVOT, grouped aggregate on the long
+        # form; exact-cents HUGEINT sums, one division at the end
+        "lineitem_unpivot": """
+WITH long AS (
+  UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+                  l_discount, l_tax
+           FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE v
+)
+SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
+FROM long GROUP BY 1, 2
 """,
         # lag-k ACF of hourly counts on the gap-filled grid; integer-hour
         # spine (epoch of date_trunc is exactly divisible), BIGINT moment

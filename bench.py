@@ -261,6 +261,7 @@ def run_bench() -> dict:
         "spearman_corr",
         "events_acf",
         "kg_closeness",
+        "lineitem_unpivot",
     ]:
         best = None
         for _ in range(repeats):

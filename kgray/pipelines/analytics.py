@@ -2330,3 +2330,61 @@ def events_acf(
     return coarse_grouped_map(
         counts, "event_type", acf_for_types, num_partitions=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide-to-long reshaping (UNPIVOT / melt) with grouped aggregation
+# ---------------------------------------------------------------------------
+
+def lineitem_unpivot(sf_dir: str) -> "ray.data.Dataset":
+    """Melt lineitem's four numeric measures into long form and
+    aggregate per (returnflag, measure) — the UNPIVOT the events_pivot
+    operator mirrors, closing the reshaping pair.  The melt itself is
+    FREE at scale: it happens inside the per-batch partial (each batch
+    emits ≤ |flags|×4 pre-aggregated rows), so the 4× row expansion a
+    naive melt-then-shuffle would pay never reaches the exchange.
+
+    Measures are integerized to exact cents; per-batch sums accumulate
+    as Python ints and travel as hi/lo int64 pairs (Σcents over a
+    web-scale fact table wraps int64 — same HUGEINT discipline as
+    lineitem_profile).  Output: (l_returnflag, measure, n, total) with
+    total = cents/100 after one exact division, matching the DuckDB
+    UNPIVOT oracle bit-for-bit.
+    """
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag"] + cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in batch.groupby("l_returnflag", sort=False):
+            for c in cols:
+                cents = np.floor(
+                    g[c].to_numpy(np.float64) * 100.0 + 0.5
+                ).astype(np.int64)
+                s = sum(int(x) for x in cents)  # exact python int
+                hi, lo = divmod(s, 1 << 32)
+                rows.append((flag, c, len(cents), hi, lo))
+        return pd.DataFrame(
+            rows,
+            columns=["l_returnflag", "measure", "n", "s_hi", "s_lo"],
+        )
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (flag, c), g in df.groupby(["l_returnflag", "measure"],
+                                       sort=False):
+            s = sum(
+                (int(h) << 32) + int(lo)
+                for h, lo in zip(g.s_hi, g.s_lo)
+            )
+            out.append((flag, c, np.int64(g.n.sum()), float(s) / 100.0))
+        return pd.DataFrame(
+            out, columns=["l_returnflag", "measure", "n", "total"]
+        )
+
+    return coarse_grouped_map(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "measure"],
+        reduce_group,
+        num_partitions=4,
+    )

@@ -95,3 +95,21 @@ def test_events_acf_perfect_daily_cycle(tmp_path):
     assert float(out.loc[24, "acf"]) == 1.0
     # half-period anticorrelation: active block vs quiet block overlap
     assert float(out.loc[12, "acf"]) < 0.0
+
+
+def test_lineitem_unpivot_conserves_and_melts():
+    from kgray.pipelines.analytics import lineitem_unpivot
+
+    out = lineitem_unpivot(SF).to_pandas()
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    assert set(out.measure) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    }
+    # every (flag, measure) cell counts exactly the flag's rows
+    for flag, g in out.groupby("l_returnflag"):
+        assert (g.n == (li.l_returnflag == flag).sum()).all()
+    # exact-cents conservation per measure across flags
+    for m in out.measure.unique():
+        cents = np.floor(li[m].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        got = out[out.measure == m].total.sum()
+        assert abs(got - cents.sum() / 100.0) < 1e-6
