@@ -191,11 +191,11 @@ def _q_lang_id(sf_dir: str):
 
     import ray.data
 
-    from kgray.stages.text_analysis import LangId
+    from kgray.stages.text_analysis import LangId, lang_pool
 
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    ).map_batches(LangId, batch_format="pyarrow", concurrency=lang_pool())
 
 
 def _q_fingerprints(sf_dir: str):

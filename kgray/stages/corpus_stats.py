@@ -810,12 +810,12 @@ def ccnet_buckets(
     (cells shrink linearly).  Ties at equal avg_nll break by doc_id on
     both engines, so the tiling is bit-deterministic.
     """
-    from .text_analysis import LangId
+    from .text_analysis import LangId, lang_pool
 
     nll = unigram_nll(sf_dir)  # doc_id, n_tok, avg_nll (rounded 1e-6)
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     langs = docs.map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
+        LangId, batch_format="pyarrow", concurrency=lang_pool()
     )
     joined = repartition_join(
         nll.select_columns(["doc_id", "avg_nll"]),

@@ -95,6 +95,22 @@ _PROFILES = {
 }
 
 
+def lang_pool() -> tuple:
+    """Autoscaling pool bounds for the LangId stage: min 1 actor (a
+    fixed minimum that sums to the CPU budget deadlocks upstream
+    repartition on small test sessions), max proportional to the
+    cluster (~CPU/4 — the stage shares the node with the read and the
+    downstream reduce) so the stage neither starves at 32+ CPUs nor
+    over-spawns actors for a corpus smaller than its ramp-up."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(4, cpus // 4))
+
+
 class LangId:
     """Stopword-profile language guesser (actor pool stage).
 
