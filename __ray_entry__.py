@@ -111,6 +111,16 @@ def _q_kg_edges(sf_dir: str):
     )
 
 
+def _q_kg_edge_evidence(sf_dir: str):
+    from kgray.stages.graph import consolidate_edges
+
+    return consolidate_edges(
+        _kg_result(sf_dir).edges.select_columns(
+            ["doc_id", "subj", "pred", "obj"]
+        )
+    )
+
+
 def _q_kg_nodes(sf_dir: str):
     return _kg_result(sf_dir).nodes.select_columns(
         ["name", "label", "type", "url"]
@@ -2191,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": _q_kg_clustering,
         "kg_bfs": _q_kg_bfs,
         "kg_closeness": _q_kg_closeness,
+        "kg_edge_evidence": _q_kg_edge_evidence,
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         "copurchase_kcore": _q_copurchase_kcore,
     }
@@ -2382,6 +2393,20 @@ SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
        'cooccurs' AS pred,
        'w(X:' || tb || ')' AS obj
 FROM pairs
+""",
+        # corpus-level edge consolidation: evidence stats per distinct
+        # triple (doc_id format matches the engine's D-prefixed ids)
+        "kg_edge_evidence": _KG_CTE + """
+, ev AS (SELECT 'w(X:' || ta || ')' AS subj,
+                'cooccurs' AS pred,
+                'w(X:' || tb || ')' AS obj,
+                'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id
+         FROM pairs)
+SELECT subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS n_evidence,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc
+FROM ev GROUP BY 1, 2, 3
 """,
         "kg_nodes": _KG_CTE + """
 , terms AS (

@@ -262,6 +262,7 @@ def run_bench() -> dict:
         "events_acf",
         "kg_closeness",
         "lineitem_unpivot",
+        "kg_edge_evidence",
     ]:
         best = None
         for _ in range(repeats):

@@ -251,3 +251,59 @@ def merge_graphs(
         ignore_index=True,
     )
     return out_nodes, out_edges
+
+
+def consolidate_edges(
+    edges: "ray.data.Dataset", num_partitions: int = 8
+) -> "ray.data.Dataset":
+    """Corpus-level edge consolidation: the same (subj, pred, obj)
+    triple extracted from many paragraphs/documents collapses into ONE
+    edge carrying its evidence statistics — n_evidence (extraction
+    count), n_docs (distinct supporting documents), first_doc (stable
+    provenance anchor).  This is the materialization step between the
+    per-extraction edge stream and a queryable KG: downstream consumers
+    rank relations by support, not by how often a crawl duplicated the
+    sentence.
+
+    One all-to-all: per-batch partials pre-count (triple, doc) pairs
+    (the combiner — a triple extracted 50× from one doc crosses the
+    wire once), then a single coarse reduce keyed on the TRIPLE
+    finishes Σcount / distinct-doc / min-doc with every row of a triple
+    co-located.  Partitioning assumption: one triple's distinct-doc
+    rows fit in a worker — for a planet-scale hot triple, pre-salt by
+    doc hash and re-reduce (the utils.coarse_grouped_map two-phase
+    pattern canonicalization uses).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..utils import coarse_grouped_map
+
+    KEY = ["subj", "pred", "obj"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(KEY + ["doc_id"]).to_pandas()
+        g = df.groupby(KEY + ["doc_id"], as_index=False).size()
+        g.columns = KEY + ["doc_id", "c"]
+        g["c"] = g.c.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_triples(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(KEY + ["doc_id"], as_index=False).agg(
+            c=("c", "sum")
+        )
+        out = g.groupby(KEY, as_index=False).agg(
+            n_evidence=("c", "sum"),
+            n_docs=("doc_id", "nunique"),
+            first_doc=("doc_id", "min"),
+        )
+        out["n_evidence"] = out.n_evidence.astype(np.int64)
+        out["n_docs"] = out.n_docs.astype(np.int64)
+        return out
+
+    return coarse_grouped_map(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        KEY,
+        reduce_triples,
+        num_partitions=num_partitions,
+    )

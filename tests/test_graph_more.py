@@ -131,3 +131,26 @@ def test_comention_graph_counts_documents_once():
     # d1 mentions {a,b,c} → 3 pairs; d2 mentions {a,b}; duplicate edges
     # within a doc count once; d3's self-loop yields no pair
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_consolidate_edges_evidence_stats():
+    from kgray.stages.graph import consolidate_edges
+
+    rows = [
+        # triple (s,p,o): 3 extractions across 2 docs
+        ("d1", "s", "p", "o"), ("d1", "s", "p", "o"), ("d2", "s", "p", "o"),
+        # triple (a,r,b): once
+        ("d2", "a", "r", "b"),
+    ]
+    doc, s, p, o = zip(*rows)
+    edges = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(doc), "subj": pa.array(s),
+        "pred": pa.array(p), "obj": pa.array(o),
+    }))
+    out = consolidate_edges(edges).to_pandas().set_index("subj")
+    assert int(out.loc["s", "n_evidence"]) == 3
+    assert int(out.loc["s", "n_docs"]) == 2
+    assert out.loc["s", "first_doc"] == "d1"
+    assert int(out.loc["a", "n_evidence"]) == 1
+    # conservation: evidence counts sum to the raw edge-row count
+    assert int(out.n_evidence.sum()) == len(rows)
