@@ -1431,6 +1431,12 @@ def _q_lineitem_unpivot(sf_dir: str):
     return lineitem_unpivot(sf_dir)
 
 
+def _q_diversified_topk(sf_dir: str):
+    from kgray.pipelines.analytics import diversified_topk
+
+    return diversified_topk(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -2151,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_corr": _q_spearman_corr,
         "events_acf": _q_events_acf,
         "lineitem_unpivot": _q_lineitem_unpivot,
+        "diversified_topk": _q_diversified_topk,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)
@@ -4320,6 +4327,20 @@ SELECT CAST(n AS BIGINT) AS n,
              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
              * 1e6 + 0.5) / 1e6 AS corr_qty_price
 FROM m
+""",
+        # greedy diversity quota == per-customer top-q then global top-k;
+        # ties (price DESC, orderkey ASC) make the selection deterministic
+        "diversified_topk": """
+WITH q AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+       AS BIGINT) AS rnk,
+       o_orderkey, o_custkey, o_totalprice
+FROM q WHERE rn <= 2
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
         # wide->long melt via UNPIVOT, grouped aggregate on the long
         # form; exact-cents HUGEINT sums, one division at the end

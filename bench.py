@@ -263,6 +263,7 @@ def run_bench() -> dict:
         "kg_closeness",
         "lineitem_unpivot",
         "kg_edge_evidence",
+        "diversified_topk",
     ]:
         best = None
         for _ in range(repeats):

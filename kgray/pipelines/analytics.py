@@ -2388,3 +2388,68 @@ def lineitem_unpivot(sf_dir: str) -> "ray.data.Dataset":
         reduce_group,
         num_partitions=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversified top-k (global selection under a per-group quota)
+# ---------------------------------------------------------------------------
+
+def diversified_topk(
+    sf_dir: str, k: int = 10, per_customer: int = 2
+) -> "ray.data.Dataset":
+    """The k highest-value orders subject to a DIVERSITY quota — at most
+    ``per_customer`` orders from any one customer (the result-diversity
+    constraint every leaderboard/retrieval surface applies so one whale
+    doesn't fill the page).  Greedy quota semantics: scanning the global
+    value order and skipping quota-exhausted customers selects exactly
+    each customer's top-``per_customer`` rows, so the answer is
+    (per-customer top-q) ∩ (global top-k of that pool) — and
+    per-group-top-q IS mergeable, which makes the whole thing two
+    combiner passes:
+
+    1. per-block per-customer top-q partial (≤ q rows per customer per
+       block cross the wire);
+    2. one customer-keyed coarse reduce re-takes top-q per customer
+       (full groups co-located);
+    3. global top-k over the quota pool: per-block top-k, then a ≤
+       blocks×k-row driver finish — the sanctioned top-k shape.
+
+    Ties break by (o_totalprice DESC, o_orderkey ASC) everywhere, so
+    the selection is bit-deterministic.  Output adds the global rank.
+    """
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    BY = ["o_totalprice", "o_orderkey"]
+    ASC = [False, True]
+
+    def per_cust_topq(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(BY, ascending=ASC)
+            .groupby("o_custkey", sort=False)
+            .head(per_customer)
+        )
+
+    pool = coarse_grouped_map(
+        orders.map_batches(per_cust_topq, batch_format="pandas"),
+        "o_custkey",
+        per_cust_topq,
+        num_partitions=8,
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(BY, ascending=ASC).head(k)
+
+    t = (
+        pool.map_batches(block_topk, batch_format="pandas",
+                         batch_size=None)
+        .to_pandas()  # ≤ blocks × k rows — never order-scale
+        .sort_values(BY, ascending=ASC)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    t["rnk"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    return ray.data.from_pandas(
+        t[["rnk", "o_orderkey", "o_custkey", "o_totalprice"]]
+    )

@@ -113,3 +113,29 @@ def test_lineitem_unpivot_conserves_and_melts():
         cents = np.floor(li[m].to_numpy() * 100.0 + 0.5).astype(np.int64)
         got = out[out.measure == m].total.sum()
         assert abs(got - cents.sum() / 100.0) < 1e-6
+
+
+def test_diversified_topk_quota_semantics(tmp_path):
+    """A whale customer owning the 5 highest-value orders may place at
+    most ``per_customer`` rows; the greedy-quota answer equals
+    per-customer top-q then global top-k."""
+    from kgray.pipelines.analytics import diversified_topk
+
+    rows = []
+    # whale: customer 1 has the five biggest orders
+    for i in range(5):
+        rows.append((100 + i, 1, 1000.0 - i))
+    # long tail: customers 2..9, one order each
+    for c in range(2, 10):
+        rows.append((200 + c, c, 500.0 - c))
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice"])
+    df.to_parquet(tmp_path / "orders.parquet", index=False)
+
+    out = diversified_topk(str(tmp_path), k=6, per_customer=2).to_pandas()
+    assert len(out) == 6
+    # whale capped at 2 (its two best), tail fills the rest in value order
+    assert (out.o_custkey == 1).sum() == 2
+    assert set(out.o_orderkey.head(2)) == {100, 101}
+    assert list(out.rnk) == [1, 2, 3, 4, 5, 6]
+    assert out.o_totalprice.is_monotonic_decreasing
