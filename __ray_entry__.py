@@ -1437,6 +1437,12 @@ def _q_diversified_topk(sf_dir: str):
     return diversified_topk(sf_dir)
 
 
+def _q_weighted_median(sf_dir: str):
+    from kgray.pipelines.analytics import weighted_median
+
+    return weighted_median(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -2158,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_acf": _q_events_acf,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "diversified_topk": _q_diversified_topk,
+        "weighted_median": _q_weighted_median,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)
@@ -4327,6 +4334,20 @@ SELECT CAST(n AS BIGINT) AS n,
              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
              * 1e6 + 0.5) / 1e6 AS corr_qty_price
 FROM m
+""",
+        # weighted median = min v with cumweight(<=v) >= ceil(W/2); the
+        # selected v is an input value, so parity needs no rounding
+        "weighted_median": """
+WITH s AS (SELECT l_returnflag, l_extendedprice AS v,
+                  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+g AS (SELECT l_returnflag, v, sum(w) AS w FROM s GROUP BY 1, 2),
+c AS (SELECT l_returnflag, v,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g)
+SELECT l_returnflag, min(v) AS wmedian,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM c WHERE cw >= (tw + 1) // 2 GROUP BY l_returnflag
 """,
         # greedy diversity quota == per-customer top-q then global top-k;
         # ties (price DESC, orderkey ASC) make the selection deterministic

@@ -264,6 +264,7 @@ def run_bench() -> dict:
         "lineitem_unpivot",
         "kg_edge_evidence",
         "diversified_topk",
+        "weighted_median",
     ]:
         best = None
         for _ in range(repeats):

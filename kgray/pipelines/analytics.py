@@ -2453,3 +2453,130 @@ def diversified_topk(
     return ray.data.from_pandas(
         t[["rnk", "o_orderkey", "o_custkey", "o_totalprice"]]
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed weighted median (two-pass bin selection)
+# ---------------------------------------------------------------------------
+
+def weighted_median(sf_dir: str, n_bins: int = 64) -> "ray.data.Dataset":
+    """Per returnflag: the l_quantity-WEIGHTED median of
+    l_extendedprice — min v with cumulative weight(≤v) ≥ ceil(W/2) —
+    the robust "typical price actually shipped" statistic (each row
+    votes its quantity, not once).
+
+    Unlike the exact-quantile operators (which document a key's-values-
+    fit-in-a-worker assumption), this is exact WITHOUT that assumption —
+    the two-pass distributed-selection shape:
+
+    1. per-(flag, value-BIN) weight sums — combiner partials, one coarse
+       reduce, flags×bins driver rows; the per-flag bin cumsum locates
+       the single bin containing the crossing and the weight W0 before
+       it (equal values share a bin, so the crossing can't straddle);
+    2. only that bin's rows are re-read and reduced per (flag, value) —
+       bin-bounded, ~1/n_bins of the key's rows — and one co-located
+       per-flag cumsum picks min v with W0 + cum ≥ T.
+
+    Weights are integers (quantity ≤ 50 ⇒ Σ fits int64 to ~10¹⁷ rows;
+    the oracle sums in HUGEINT), T = (W+1)//2 in exact ints, and the
+    selected v is an INPUT value — no averaging — so parity is
+    bit-exact with no rounding step.  Output:
+    (l_returnflag, wmedian, total_weight).
+    """
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    # pass 0: per-flag value range for binning (blocks×flags rows)
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            lo=("l_extendedprice", "min"), hi=("l_extendedprice", "max")
+        )
+        return g
+
+    mm = (
+        li.map_batches(minmax, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .groupby("l_returnflag", as_index=False)
+        .agg(lo=("lo", "min"), hi=("hi", "max"))
+    )
+    lo_map = dict(zip(mm.l_returnflag, mm.lo))
+    wid_map = {
+        f: max((hi - lo) / n_bins, 1e-12)
+        for f, lo, hi in zip(mm.l_returnflag, mm.lo, mm.hi)
+    }
+
+    def bin_col(df: pd.DataFrame) -> np.ndarray:
+        lo = df.l_returnflag.map(lo_map).to_numpy(np.float64)
+        wd = df.l_returnflag.map(wid_map).to_numpy(np.float64)
+        v = df.l_extendedprice.to_numpy(np.float64)
+        return np.clip(
+            ((v - lo) / wd).astype(np.int64), 0, n_bins - 1
+        )
+
+    # pass 1: (flag, bin) weight sums -> crossing bin per flag
+    def bin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "l_returnflag": df.l_returnflag,
+            "bin": bin_col(df),
+            "w": df.l_quantity.to_numpy(np.int64),
+        })
+        return d.groupby(["l_returnflag", "bin"], as_index=False).agg(
+            w=("w", "sum")
+        )
+
+    bw = coarse_grouped_map(
+        li.map_batches(bin_partial, batch_format="pandas"),
+        ["l_returnflag", "bin"],
+        lambda d: d.groupby(["l_returnflag", "bin"], as_index=False).agg(
+            w=("w", "sum")
+        ),
+        num_partitions=4,
+    ).to_pandas().sort_values(["l_returnflag", "bin"])  # flags×bins
+
+    sel = {}  # flag -> (target bin, W0 weight before it, threshold T, W)
+    for f, g in bw.groupby("l_returnflag"):
+        W = int(g.w.sum())
+        T = (W + 1) // 2
+        cum = g.w.cumsum().to_numpy()
+        i = int(np.searchsorted(cum, T))
+        sel[f] = (int(g.bin.iloc[i]), int(cum[i - 1]) if i else 0, T, W)
+
+    # pass 2: only the crossing bin's rows, per-(flag, value) weights,
+    # one co-located per-flag cumsum
+    def inbin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = bin_col(df)
+        tgt = df.l_returnflag.map({f: s[0] for f, s in sel.items()})
+        d = df[b == tgt.to_numpy(np.int64)]
+        if d.empty:
+            return pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype=object),
+                "v": pd.Series([], dtype=np.float64),
+                "w": pd.Series([], dtype=np.int64),
+            })
+        g = pd.DataFrame({
+            "l_returnflag": d.l_returnflag,
+            "v": d.l_extendedprice.to_numpy(np.float64),
+            "w": d.l_quantity.to_numpy(np.int64),
+        }).groupby(["l_returnflag", "v"], as_index=False).agg(
+            w=("w", "sum")
+        )
+        return g
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for f, g in df.groupby("l_returnflag", sort=False):
+            _, w0, t, wtot = sel[f]
+            g = g.groupby("v", as_index=False).agg(w=("w", "sum")).sort_values("v")
+            cum = w0 + g.w.cumsum().to_numpy()
+            i = int(np.searchsorted(cum, t))
+            rows.append((f, float(g.v.iloc[i]), np.int64(wtot)))
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "wmedian", "total_weight"]
+        )
+
+    return coarse_grouped_map(
+        li.map_batches(inbin_partial, batch_format="pandas"),
+        "l_returnflag",
+        pick,
+        num_partitions=4,
+    )

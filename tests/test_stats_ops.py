@@ -139,3 +139,57 @@ def test_diversified_topk_quota_semantics(tmp_path):
     assert set(out.o_orderkey.head(2)) == {100, 101}
     assert list(out.rnk) == [1, 2, 3, 4, 5, 6]
     assert out.o_totalprice.is_monotonic_decreasing
+
+
+def _wmedian_ref(v: np.ndarray, w: np.ndarray) -> float:
+    order = np.argsort(v, kind="stable")
+    vs, ws = v[order], w[order]
+    # merge ties
+    uv, inv = np.unique(vs, return_inverse=True)
+    uw = np.bincount(inv, weights=ws).astype(np.int64)
+    cum = uw.cumsum()
+    t = (int(uw.sum()) + 1) // 2
+    return float(uv[np.searchsorted(cum, t)])
+
+
+def test_weighted_median_matches_bruteforce():
+    from kgray.pipelines.analytics import weighted_median
+
+    out = weighted_median(SF).to_pandas().set_index("l_returnflag")
+    li = pd.read_parquet(
+        SF + "/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    for f, g in li.groupby("l_returnflag"):
+        ref = _wmedian_ref(
+            g.l_extendedprice.to_numpy(np.float64),
+            g.l_quantity.to_numpy(np.int64),
+        )
+        assert float(out.loc[f, "wmedian"]) == ref
+        assert int(out.loc[f, "total_weight"]) == int(g.l_quantity.sum())
+
+
+def test_weighted_median_ties_and_degenerate_bins(tmp_path):
+    """Heavy ties around the crossing + one flag whose values are all
+    identical (bin width collapses to the epsilon floor)."""
+    from kgray.pipelines.analytics import weighted_median
+
+    rng = np.random.RandomState(5)
+    v = np.concatenate([
+        np.repeat([10.0, 20.0, 30.0], 300),          # flag A: 3 values
+        np.full(500, 7.0),                           # flag B: constant
+        rng.uniform(0, 100, 700).round(1),           # flag C: continuous
+    ])
+    f = np.array(["A"] * 900 + ["B"] * 500 + ["C"] * 700)
+    w = rng.randint(1, 6, len(v))
+    pd.DataFrame({
+        "l_returnflag": f, "l_extendedprice": v,
+        "l_quantity": w.astype(np.int64),
+    }).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    out = weighted_median(str(tmp_path), n_bins=8).to_pandas()
+    out = out.set_index("l_returnflag")
+    for flag in ("A", "B", "C"):
+        m = f == flag
+        assert float(out.loc[flag, "wmedian"]) == _wmedian_ref(v[m], w[m])
+    assert float(out.loc["B", "wmedian"]) == 7.0
