@@ -1443,6 +1443,18 @@ def _q_weighted_median(sf_dir: str):
     return weighted_median(sf_dir)
 
 
+def _q_lines_in_flight(sf_dir: str):
+    from kgray.pipelines.analytics import lines_in_flight
+
+    return lines_in_flight(sf_dir)
+
+
+def _q_user_modal_event(sf_dir: str):
+    from kgray.pipelines.analytics import user_modal_event
+
+    return user_modal_event(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -1576,9 +1588,23 @@ def _q_fuzzy_part_names(sf_dir: str):
         os.path.join(sf_dir, "part.parquet"),
         columns=["p_brand", "p_size", "p_name"],
     )
-    return fuzzy_name_pairs(
+    res = fuzzy_name_pairs(
         part, ["p_brand", "p_size"], "p_name", max_dist=2
     )
+    # Threshold joins are legitimately empty at tiny scale (sf0.001 has no
+    # within-block name pair at distance <= 2); Ray 2.49's to_pandas() on a
+    # fully-empty dataset drops all columns (see utils.schema_floor), so
+    # hand the driver a TYPED empty Arrow table instead of the Dataset.
+    import pyarrow as pa
+
+    m = res.materialize()
+    if m.count() == 0:
+        return pa.schema(
+            [("p_brand", pa.string()), ("p_size", pa.int32()),
+             ("name_a", pa.string()), ("name_b", pa.string()),
+             ("dist", pa.int64())]
+        ).empty_table()
+    return m
 
 
 def _q_sliding_chunks(sf_dir: str):
@@ -2165,6 +2191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": _q_lineitem_unpivot,
         "diversified_topk": _q_diversified_topk,
         "weighted_median": _q_weighted_median,
+        "lines_in_flight": _q_lines_in_flight,
+        "user_modal_event": _q_user_modal_event,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)
@@ -4348,6 +4376,33 @@ c AS (SELECT l_returnflag, v,
 SELECT l_returnflag, min(v) AS wmedian,
        CAST(min(tw) AS BIGINT) AS total_weight
 FROM c WHERE cw >= (tw + 1) // 2 GROUP BY l_returnflag
+""",
+        # sweep line: interval endpoints -> day deltas -> running sum;
+        # day grain makes ORDER BY d tie-free (grouped first), so the
+        # window frame question never arises
+        "lines_in_flight": """
+WITH ln AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),
+opens AS (SELECT o_orderdate AS d, sum(n) AS delta
+          FROM orders JOIN ln ON l_orderkey = o_orderkey GROUP BY 1),
+closes AS (SELECT l_shipdate AS d, -count(*) AS delta
+           FROM lineitem GROUP BY 1),
+g AS (SELECT d, sum(delta) AS delta
+      FROM (SELECT * FROM opens UNION ALL SELECT * FROM closes)
+      GROUP BY d)
+SELECT strftime(d, '%Y-%m-%d') AS day, CAST(delta AS BIGINT) AS delta,
+       CAST(sum(delta) OVER (ORDER BY d) AS BIGINT) AS in_flight
+FROM g
+""",
+        # grouped mode with deterministic ties (count DESC, type ASC)
+        "user_modal_event": """
+WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS modal_type, CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE rn = 1
 """,
         # greedy diversity quota == per-customer top-q then global top-k;
         # ties (price DESC, orderkey ASC) make the selection deterministic

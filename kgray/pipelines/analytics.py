@@ -2580,3 +2580,130 @@ def weighted_median(sf_dir: str, n_bins: int = 64) -> "ray.data.Dataset":
         pick,
         num_partitions=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency: order lines in flight per calendar day
+# ---------------------------------------------------------------------------
+
+def lines_in_flight(sf_dir: str) -> "ray.data.Dataset":
+    """(day, delta, in_flight): how many order lines are OPEN — ordered but
+    not yet shipped — at each calendar day, the classic sweep-line /
+    interval-concurrency operator (cf. max-concurrent-sessions, inventory
+    in transit).  An order line is open on day d iff
+    o_orderdate <= d < l_shipdate.
+
+    Distributed shape: interval endpoints become +/-1 deltas —
+    +n(order lines) at the order date, -1 at each ship date — so the
+    whole interval table collapses to one row per boundary DAY before any
+    ordering happens.  The open side needs the order date, which lives on
+    the orders fact: lineitem is pre-counted per order key inside
+    map_batches (<= one row per (orderkey x block)) and repartition-joined
+    to orders, the close side maps straight off lineitem.  Both delta
+    streams reduce day-keyed; the running sum runs on the driver over the
+    CALENDAR-bounded day table (~2.5k rows at any corpus size — same
+    documented small side as running_distinct_users).  Negative dips are
+    possible when a line ships before its order date (the testdata's
+    'early' bucket, see latency_priority_counts) — the cumulative count
+    is still exact.
+    """
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(
+            n=("l_orderkey", "size")
+        )
+
+    li_counts = li.map_batches(count_partial, batch_format="pandas")
+
+    joined = repartition_join(
+        li_counts,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "n": pa.int64()},
+        right_types={"o_orderkey": pa.int64(),
+                     "o_orderdate": pa.timestamp("us")},
+    )
+
+    def open_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.o_orderdate.astype("datetime64[us]").astype("int64") \
+            // 86_400_000_000
+        return pd.DataFrame({"d": d, "delta": df.n.to_numpy(np.int64)}) \
+            .groupby("d", as_index=False).agg(delta=("delta", "sum"))
+
+    def close_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.l_shipdate.astype("datetime64[us]").astype("int64") \
+            // 86_400_000_000
+        out = pd.DataFrame({"d": d}).groupby("d", as_index=False).agg(
+            delta=("d", "size")
+        )
+        out["delta"] = -out.delta.to_numpy(np.int64)
+        return out
+
+    deltas = joined.map_batches(
+        open_partial, batch_format="pandas"
+    ).union(li.map_batches(close_partial, batch_format="pandas"))
+
+    per_day = coarse_grouped_map(
+        deltas,
+        "d",
+        lambda df: df.groupby("d", as_index=False).agg(
+            delta=("delta", "sum")
+        ),
+        num_partitions=8,
+    ).to_pandas().sort_values("d")  # calendar-bounded
+
+    per_day["in_flight"] = per_day.delta.cumsum()
+    out = pd.DataFrame({
+        "day": pd.to_datetime(
+            per_day.d * 86_400_000_000, unit="us"
+        ).dt.strftime("%Y-%m-%d"),
+        "delta": per_day.delta.astype(np.int64),
+        "in_flight": per_day.in_flight.astype(np.int64),
+    })
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode: each user's most frequent event type
+# ---------------------------------------------------------------------------
+
+def user_modal_event(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, modal_type, cnt): the most frequent event type per user,
+    ties broken by event_type ASC — grouped MODE, the aggregate SQL spells
+    row_number()-over-count and pandas spells .mode().  Key cardinality is
+    the USER population (unbounded at scale), so the argmax itself must be
+    distributed: per-batch (user, type) partial counts collapse map-side,
+    one user-keyed all-to-all co-locates each user's <= |type| rows, and
+    the per-partition argmax is a vectorized sort + drop_duplicates over
+    thousands of users at once — never per-group Python, no driver state.
+    """
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False).agg(
+            cnt=("event_type", "size")
+        )
+
+    def modal_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            cnt=("cnt", "sum")
+        )
+        g = g.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": g.user_id.to_numpy(np.int64),
+            "modal_type": g.event_type,
+            "cnt": g.cnt.astype(np.int64),
+        })
+
+    return coarse_grouped_map(
+        ev.map_batches(pair_partial, batch_format="pandas"),
+        "user_id",
+        modal_reduce,
+    )

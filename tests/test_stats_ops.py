@@ -193,3 +193,98 @@ def test_weighted_median_ties_and_degenerate_bins(tmp_path):
         m = f == flag
         assert float(out.loc[flag, "wmedian"]) == _wmedian_ref(v[m], w[m])
     assert float(out.loc["B", "wmedian"]) == 7.0
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency (lines_in_flight)
+# ---------------------------------------------------------------------------
+
+def test_lines_in_flight_matches_bruteforce():
+    from kgray.pipelines.analytics import lines_in_flight
+
+    out = lines_in_flight(SF).to_pandas()
+    li = pd.read_parquet(SF + "/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = pd.read_parquet(SF + "/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    opens = j.groupby(j.o_orderdate.dt.strftime("%Y-%m-%d")).size()
+    closes = li.groupby(li.l_shipdate.dt.strftime("%Y-%m-%d")).size()
+    delta = opens.sub(closes, fill_value=0).astype(np.int64)
+    ref = delta.cumsum()
+
+    got = out.set_index("day")
+    assert len(got) == len(ref)
+    assert (got.delta == delta).all()
+    assert (got.in_flight == ref.loc[got.index]).all()
+    # conservation: every line that opens eventually closes
+    assert int(got.delta.sum()) == 0
+    assert int(got.in_flight.iloc[-1]) == 0
+
+
+def test_lines_in_flight_interval_semantics(tmp_path):
+    """Open on [orderdate, shipdate): a line counts on its order day and
+    stops counting on its ship day; a ship-before-order line dips the
+    count negative transiently but conserves to zero."""
+    from kgray.pipelines.analytics import lines_in_flight
+
+    d = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_orderdate": [d, d + day, d + 3 * day],
+    })
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 3],
+        # order 1: two lines ship on day 2 and day 4; order 2 ships day 2;
+        # order 3 ships BEFORE its order date (day 2 < day 3)
+        "l_shipdate": [d + 2 * day, d + 4 * day, d + 2 * day, d + 2 * day],
+    })
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    out = lines_in_flight(str(tmp_path)).to_pandas().set_index("day")
+    assert out.loc["2024-01-01", "in_flight"] == 2   # order 1 opens x2
+    assert out.loc["2024-01-02", "in_flight"] == 3   # order 2 opens
+    # Jan 3: all three early lines ship, including order 3's line BEFORE
+    # its own order date — its -1 lands here, its +1 lands on Jan 4
+    assert out.loc["2024-01-03", "in_flight"] == 0
+    assert out.loc["2024-01-04", "in_flight"] == 1   # o1 line2 still open
+    assert out.loc["2024-01-05", "in_flight"] == 0
+    assert int(out.delta.sum()) == 0
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode (user_modal_event)
+# ---------------------------------------------------------------------------
+
+def test_user_modal_event_matches_pandas():
+    from kgray.pipelines.analytics import user_modal_event
+
+    out = user_modal_event(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["user_id", "event_type"])
+    c = ev.groupby(["user_id", "event_type"]).size().reset_index(name="cnt")
+    c = c.sort_values(["user_id", "cnt", "event_type"],
+                      ascending=[True, False, True], kind="mergesort")
+    ref = c.drop_duplicates("user_id").set_index("user_id").sort_index()
+    out = out.sort_index()
+    assert len(out) == len(ref)
+    assert (out.index == ref.index).all()
+    assert (out.modal_type.to_numpy() == ref.event_type.to_numpy()).all()
+    assert (out.cnt.to_numpy() == ref.cnt.to_numpy()).all()
+
+
+def test_user_modal_event_tie_breaks_ascending(tmp_path):
+    from kgray.pipelines.analytics import user_modal_event
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "event_type": ["view", "view", "click", "click", "zzz", "aaa"],
+    })
+    ev["ts"] = pd.Timestamp("2024-01-01")
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    out = user_modal_event(str(tmp_path)).to_pandas().set_index("user_id")
+    assert out.loc[1, "modal_type"] == "click"   # 2-2 tie -> ASC wins
+    assert out.loc[1, "cnt"] == 2
+    assert out.loc[2, "modal_type"] == "aaa"     # 1-1 tie -> ASC wins
