@@ -350,6 +350,30 @@ def _q_knn_cosine(sf_dir: str):
     return knn_cosine(emb, qm, qids, k=5)
 
 
+def _q_knn_filtered(sf_dir: str):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from kgray.stages.similarity import knn_cosine_filtered
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    vid = np.asarray(t.column("vec_id").to_pylist())
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    lab = np.asarray(t.column("label").to_pylist(), dtype=object)
+    mask = vid < 10
+    corpus = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    return knn_cosine_filtered(corpus, emb[mask], vid[mask], lab[mask], k=5)
+
+
 def _q_knn_lsh(sf_dir: str):
     import os
 
@@ -1455,6 +1479,18 @@ def _q_user_modal_event(sf_dir: str):
     return user_modal_event(sf_dir)
 
 
+def _q_open_lines_at_order(sf_dir: str):
+    from kgray.pipelines.analytics import open_lines_at_order
+
+    return open_lines_at_order(sf_dir)
+
+
+def _q_user_streaks(sf_dir: str):
+    from kgray.pipelines.analytics import user_streaks
+
+    return user_streaks(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -2074,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         # similarity search
         "knn_cosine": _q_knn_cosine,
+        "knn_filtered": _q_knn_filtered,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2193,6 +2230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": _q_weighted_median,
         "lines_in_flight": _q_lines_in_flight,
         "user_modal_event": _q_user_modal_event,
+        "open_lines_at_order": _q_open_lines_at_order,
+        "user_streaks": _q_user_streaks,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)
@@ -2586,6 +2625,18 @@ SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                   e.vec_id ASC) AS BIGINT) AS rank
 FROM embeddings q, embeddings e
 WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+QUALIFY rank <= 5
+""",
+        # predicate pushed into the scoring kernel: neighbors must carry
+        # a DIFFERENT label than the query (cross-label retrieval)
+        "knn_filtered": """
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       CAST(row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                  e.vec_id ASC) AS BIGINT) AS rank
+FROM embeddings q, embeddings e
+WHERE q.vec_id < 10 AND e.label <> q.label
 QUALIFY rank <= 5
 """,
         # float aggregates use floor(x*10^d + 0.5)/10^d on BOTH sides so
@@ -4392,6 +4443,30 @@ g AS (SELECT d, sum(delta) AS delta
 SELECT strftime(d, '%Y-%m-%d') AS day, CAST(delta AS BIGINT) AS delta,
        CAST(sum(delta) OVER (ORDER BY d) AS BIGINT) AS in_flight
 FROM g
+""",
+        # point-in-interval range join (the non-equi join DuckDB runs as
+        # an IEJoin); LEFT + count(iv.s) keeps match-less orders at 0
+        "open_lines_at_order": """
+WITH iv AS (SELECT o_orderdate AS s, l_shipdate AS e
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT p.o_orderkey, CAST(count(iv.s) AS BIGINT) AS open_lines
+FROM orders p LEFT JOIN iv ON iv.s <= p.o_orderdate AND p.o_orderdate < iv.e
+GROUP BY p.o_orderkey
+""",
+        # gaps-and-islands via the day - row_number() trick on epoch days
+        "user_streaks": """
+WITH d AS (SELECT DISTINCT user_id,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS day
+           FROM events),
+i AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS isl
+      FROM d),
+s AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM s GROUP BY user_id
 """,
         # grouped mode with deterministic ties (count DESC, type ASC)
         "user_modal_event": """

@@ -2707,3 +2707,118 @@ def user_modal_event(sf_dir: str) -> "ray.data.Dataset":
         "user_id",
         modal_reduce,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range join: order-line intervals covering each order date
+# ---------------------------------------------------------------------------
+
+def open_lines_at_order(sf_dir: str) -> "ray.data.Dataset":
+    """(o_orderkey, open_lines): for every order, how many order LINES —
+    from any order, including its own — were in flight (ordered but not
+    yet shipped) on the day that order was placed.  A point-in-interval
+    RANGE join: points are order dates, intervals are per-line
+    [o_orderdate, l_shipdate) half-open spans.
+
+    Ray Data has no non-equi join; stages/rangejoin.point_in_interval_count
+    implements the bucketed range join — intervals replicate only to the
+    grid buckets they overlap (partitioning assumption: bucket width ~
+    typical line open-span, here span/64 over a ~7-year domain vs ~3-month
+    typical spans), points route to exactly one bucket, and each bucket
+    counts covers with two sorted-endpoint searchsorteds — matched pairs
+    are NEVER materialized, so output is one row per order no matter how
+    many lines are open.  The interval table itself needs the order date
+    on every line, which is one key-equi repartition join lineitem<->orders.
+    Timestamps stay raw int64 microseconds: no day-granularity assumption.
+    """
+    from ..stages.rangejoin import point_in_interval_count
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    joined = repartition_join(
+        li,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(),
+                    "l_shipdate": pa.timestamp("us")},
+        right_types={"o_orderkey": pa.int64(),
+                     "o_orderdate": pa.timestamp("us")},
+    )
+
+    def iv_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s": df.o_orderdate.astype("datetime64[us]").astype(np.int64),
+            "e": df.l_shipdate.astype("datetime64[us]").astype(np.int64),
+        })
+
+    def pt_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df.o_orderkey.to_numpy(np.int64),
+            "p": df.o_orderdate.astype("datetime64[us]").astype(np.int64),
+        })
+
+    return point_in_interval_count(
+        orders.map_batches(pt_rows, batch_format="pandas"),
+        joined.map_batches(iv_rows, batch_format="pandas"),
+        point_col="p",
+        id_col="o_orderkey",
+        start_col="s",
+        end_col="e",
+        out_col="open_lines",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+def user_streaks(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, longest_streak, active_days): the longest run of
+    CONSECUTIVE calendar days on which each user produced at least one
+    event, plus their total distinct active days — the classic
+    gaps-and-islands operator (SQL spells it day - row_number()).
+
+    Distributed shape: per-batch distinct (user, day) pairs collapse
+    map-side, one user-keyed all-to-all co-locates each user's <= |days|
+    rows, and islands are found VECTORIZED across all users in a
+    partition at once: sort by (user, day), an island starts where the
+    user changes or the day gap exceeds 1, island ids are a cumsum of
+    starts, and streak lengths fall out of one groupby(island).size() —
+    never per-user Python, no driver state.
+    """
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.ts.astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        return pd.DataFrame(
+            {"user_id": df.user_id.to_numpy(np.int64), "day": d}
+        ).drop_duplicates()
+
+    def island_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        u = d.user_id.to_numpy(np.int64)
+        day = d.day.to_numpy(np.int64)
+        new_island = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            new_island[1:] = (u[1:] != u[:-1]) | (day[1:] - day[:-1] != 1)
+        isl = np.cumsum(new_island)
+        lens = pd.DataFrame({"user_id": u, "isl": isl}).groupby(
+            ["user_id", "isl"], as_index=False
+        ).agg(n=("isl", "size"))
+        out = lens.groupby("user_id", as_index=False).agg(
+            longest_streak=("n", "max"), active_days=("n", "sum")
+        )
+        out["longest_streak"] = out.longest_streak.astype(np.int64)
+        out["active_days"] = out.active_days.astype(np.int64)
+        return out
+
+    return coarse_grouped_map(
+        ev.map_batches(day_partial, batch_format="pandas"),
+        "user_id",
+        island_reduce,
+    )

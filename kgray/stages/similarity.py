@@ -109,6 +109,74 @@ def knn_cosine(
     )
 
 
+def knn_cosine_filtered(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    query_labels: np.ndarray,
+    k: int = 5,
+    label_col: str = "label",
+) -> "ray.data.Dataset":
+    """Predicate-filtered exact kNN: top-k cosine neighbours per query
+    among corpus vectors whose ``label_col`` DIFFERS from the query's own
+    label (cross-label retrieval — hard-negative mining, leakage checks).
+
+    The filter is pushed INTO the per-batch scoring kernel, not applied
+    after a larger unfiltered top-k (post-filtering can return < k rows
+    whenever a query's k nearest share its label).  Queries are grouped
+    by label so each batch builds one column mask per DISTINCT query
+    label (a handful), scores the masked submatrix with one matmul slice,
+    and emits a ties-inclusive shortlist; the global reduce is the same
+    (sim DESC, neighbor_id ASC) deterministic top-k as knn_cosine.
+    Returns (query_id, neighbor_id, rank).
+    """
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(
+        (qm, np.asarray(query_ids), np.asarray(query_labels, dtype=object))
+    )
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm_, qids_, qlabels_ = ray.get(q_ref)
+        vm = _normalize(_to_matrix(batch.column("embedding")))
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        vlabels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for lab in pd.unique(qlabels_):
+            qsel = np.flatnonzero(qlabels_ == lab)
+            vsel = np.flatnonzero(vlabels != lab)
+            if len(vsel) == 0:
+                continue
+            sims = qm_[qsel] @ vm[vsel].T
+            kk = min(k, sims.shape[1])
+            for row_i, qi in enumerate(qsel):
+                row = sims[row_i]
+                idx = _topk_with_ties(row, kk)
+                out_q.extend([qids_[qi]] * len(idx))
+                out_n.extend(vids[vsel[idx]])
+                out_s.extend(row[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return (
+        embeddings.map_batches(batch_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pandas")
+    )
+
+
 class HyperplaneBucketer:
     """Sign-pattern LSH bucket assignment (state: the hyperplane matrix)."""
 
