@@ -265,6 +265,11 @@ def run_bench() -> dict:
         "kg_edge_evidence",
         "diversified_topk",
         "weighted_median",
+        "lines_in_flight",
+        "user_modal_event",
+        "open_lines_at_order",
+        "user_streaks",
+        "knn_filtered",
     ]:
         best = None
         for _ in range(repeats):
