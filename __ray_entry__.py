@@ -1491,6 +1491,12 @@ def _q_user_streaks(sf_dir: str):
     return user_streaks(sf_dir)
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    from kgray.pipelines.tpch_more import local_supplier_volume
+
+    return local_supplier_volume(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -2232,6 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_event": _q_user_modal_event,
         "open_lines_at_order": _q_open_lines_at_order,
         "user_streaks": _q_user_streaks,
+        "local_supplier_volume": _q_local_supplier_volume,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)
@@ -3360,6 +3367,21 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation nc ON nc.n_nationkey = c.c_nationkey
 WHERE year(l.l_shipdate) BETWEEN 1995 AND 1996
 GROUP BY 1, 2, 3
+""",
+        # Q5: the c_nationkey = s_nationkey equality between two
+        # dimension hops of the same fact row; per-row integer cents
+        "local_supplier_volume": """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                      + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
 """,
         "order_priority_exists": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -641,3 +641,156 @@ def waiting_suppliers(
     ).head(k).reset_index(drop=True)
     t["numwait"] = t.numwait.astype(np.int64)
     return ray.data.from_pandas(t[["s_name", "numwait"]])
+
+
+# ---------------------------------------------------------------------------
+# Q5: local supplier volume (customer nation == supplier nation)
+# ---------------------------------------------------------------------------
+
+def local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+) -> "ray.data.Dataset":
+    """(n_name, revenue): revenue from order lines where the CUSTOMER and
+    the SUPPLIER sit in the same nation of ``region``, for orders placed
+    in ``[date_lo, date_hi)`` — TPC-H Q5, whose distinctive feature is the
+    c_nationkey = s_nationkey equality between two different dimension
+    hops of the same fact row.
+
+    Shape: the two nation keys are attached on SEPARATE fact paths —
+    lineitem ⋈ supplier (repartition join; supplier scales with sf) gives
+    per-(orderkey, supp_nation) cent-exact revenue partials, while
+    orders(σ date) ⋈ customer (repartition join) gives each qualifying
+    order's cust_nation — and the equality becomes a map-side filter
+    AFTER the single orderkey-keyed join of the two paths.  The region
+    membership test uses the broadcast 25-row nation⋈region dimension.
+    Revenue is quantized to integer cents per input row, so the final sum
+    is exact and order-independent (bit-identical to the SQL oracle).
+    """
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).to_pandas()
+    dim = nation.merge(
+        reg[reg.r_name == region], left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    keys = set(dim.n_nationkey.astype(int))
+    names = dict(zip(dim.n_nationkey.astype(int), dim.n_name))
+    dim_ref = ray.put((keys, names))
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rev = df.l_extendedprice.to_numpy() * (1.0 - df.l_discount.to_numpy())
+        df["rev"] = np.floor(rev * 100.0 + 0.5).astype(np.int64)
+        g = df.groupby(["l_suppkey", "l_orderkey"], as_index=False).agg(
+            rev=("rev", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li_side = repartition_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_types={"l_suppkey": pa.int64(), "l_orderkey": pa.int64(),
+                    "rev": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_nationkey": pa.int64()},
+    )
+
+    def li_compact(batch: pa.Table) -> pa.Table:
+        keys_, _ = ray.get(dim_ref)
+        df = batch.to_pandas()
+        df = df[df.s_nationkey.isin(keys_)]
+        g = df.groupby(["l_orderkey", "s_nationkey"], as_index=False).agg(
+            rev=("rev", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_window(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df.o_orderdate >= lo) & (df.o_orderdate < hi)]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    df.o_orderkey.to_numpy(np.int64), pa.int64()
+                ),
+                "o_custkey": pa.array(
+                    df.o_custkey.to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    order_side = repartition_join(
+        orders.map_batches(o_window, batch_format="pyarrow"),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_types={"o_custkey": pa.int64(), "o_orderkey": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "c_nationkey": pa.int64()},
+    )
+
+    def o_compact(batch: pa.Table) -> pa.Table:
+        keys_, _ = ray.get(dim_ref)
+        df = batch.to_pandas()
+        df = df[df.c_nationkey.isin(keys_)]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    df.o_orderkey.to_numpy(np.int64), pa.int64()
+                ),
+                "c_nationkey": pa.array(
+                    df.c_nationkey.to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    both = repartition_join(
+        li_side.map_batches(li_compact, batch_format="pyarrow"),
+        order_side.map_batches(o_compact, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "s_nationkey": pa.int64(),
+                    "rev": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "c_nationkey": pa.int64()},
+    )
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        _, names_ = ray.get(dim_ref)
+        df = batch.to_pandas()
+        df = df[df.s_nationkey == df.c_nationkey].copy()
+        df["n_name"] = df.s_nationkey.astype(np.int64).map(names_)
+        g = df.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+        g["revenue"] = g.rev.to_numpy().astype(np.float64) / 100.0
+        return g[["n_name", "revenue"]]
+
+    return coarse_grouped_map(
+        both.map_batches(local_partial, batch_format="pyarrow"),
+        "n_name",
+        finish,
+        num_partitions=4,
+    )

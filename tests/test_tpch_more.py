@@ -216,3 +216,40 @@ def test_copurchase_components_matches_union_find():
     # every component's label is its own minimum member
     comp = out.groupby("component_id").l_partkey.min()
     assert (comp.index == comp.values).all()
+
+
+def test_local_supplier_volume_matches_pandas():
+    from kgray.pipelines.tpch_more import local_supplier_volume
+
+    out = local_supplier_volume(SF).to_pandas().set_index("n_name")
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    o = pd.read_parquet(SF + "/orders.parquet")
+    c = pd.read_parquet(SF + "/customer.parquet")
+    s = pd.read_parquet(SF + "/supplier.parquet")
+    n = pd.read_parquet(SF + "/nation.parquet")
+    r = pd.read_parquet(SF + "/region.parquet")
+    asia = n.merge(r[r.r_name == "ASIA"], left_on="n_regionkey",
+                   right_on="r_regionkey")
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[
+        (j.c_nationkey == j.s_nationkey)
+        & (j.o_orderdate >= "1995-01-01")
+        & (j.o_orderdate < "1997-01-01")
+        & j.s_nationkey.isin(asia.n_nationkey)
+    ]
+    cents = np.floor(
+        j.l_extendedprice.to_numpy() * (1.0 - j.l_discount.to_numpy())
+        * 100.0 + 0.5
+    ).astype(np.int64)
+    ref = (
+        pd.DataFrame({"k": j.s_nationkey, "rev": cents})
+        .groupby("k").rev.sum()
+    )
+    names = n.set_index("n_nationkey").n_name
+    assert len(out) == len(ref)
+    for k, v in ref.items():
+        assert out.loc[names[k], "revenue"] == v / 100.0
