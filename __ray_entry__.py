@@ -1497,6 +1497,12 @@ def _q_local_supplier_volume(sf_dir: str):
     return local_supplier_volume(sf_dir)
 
 
+def _q_concurrent_sessions(sf_dir: str):
+    from kgray.pipelines.analytics import concurrent_sessions_peak
+
+    return concurrent_sessions_peak(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -2239,6 +2245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "open_lines_at_order": _q_open_lines_at_order,
         "user_streaks": _q_user_streaks,
         "local_supplier_volume": _q_local_supplier_volume,
+        "concurrent_sessions": _q_concurrent_sessions,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)
@@ -2704,6 +2711,33 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
 FROM s GROUP BY user_id, sess_id
+""",
+        # sessionize (same CTE as events_sessions) -> boundary +/-1
+        # deltas -> global running sum -> per-hour max at change points
+        "concurrent_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+),
+sess AS (SELECT user_id, sess_id, min(ts) AS st, max(ts) AS en
+         FROM s GROUP BY user_id, sess_id),
+b AS (SELECT st AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT en + INTERVAL 1 MICROSECOND, -1 FROM sess),
+g AS (SELECT t, sum(d) AS d FROM b GROUP BY t),
+c AS (SELECT t, sum(d) OVER (ORDER BY t) AS conc FROM g)
+SELECT date_diff('hour', TIMESTAMP '1970-01-01', t) AS hour,
+       CAST(max(conc) AS BIGINT) AS peak_concurrent
+FROM c GROUP BY 1
 """,
         "supplier_balance": """
 SELECT s_nationkey, count(*) AS n_suppliers,

@@ -270,6 +270,8 @@ def run_bench() -> dict:
         "open_lines_at_order",
         "user_streaks",
         "knn_filtered",
+        "local_supplier_volume",
+        "concurrent_sessions",
     ]:
         best = None
         for _ in range(repeats):

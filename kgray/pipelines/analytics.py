@@ -2822,3 +2822,108 @@ def user_streaks(sf_dir: str) -> "ray.data.Dataset":
         "user_id",
         island_reduce,
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions per hour (sessionize -> distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def concurrent_sessions_peak(
+    sf_dir: str, gap_minutes: int = 30, n_ranges: int = 32
+) -> "ray.data.Dataset":
+    """(hour, peak_concurrent): the maximum number of SIMULTANEOUSLY open
+    user sessions observed at any session boundary within each epoch hour
+    — capacity planning's classic "max concurrent" metric, composed from
+    two scale patterns already in the engine: gap-based sessionization
+    (events_sessions) and the range-partitioned distributed prefix sum
+    (ks_statistic / pack_sequences).
+
+    Session boundary timestamps are µs-granular, so unlike
+    lines_in_flight the running sum CANNOT finish on the driver (the
+    boundary table is 2x|sessions|, data-sized).  Instead: boundaries
+    become ±1 deltas, one aggregate pass finds the time domain, deltas
+    range-partition over n_ranges uniform time slices, per-range delta
+    TOTALS (n_ranges rows, the only driver state) prefix-sum into
+    carry-in offsets, and each range independently sorts its own slice,
+    cumsums + offset (= the exact global running concurrency at each of
+    its boundaries), and emits per-hour partial maxima; a final keyed max
+    merges hours that straddle range borders.  Peak is measured AT
+    change points; hours with no session boundary emit no row (both
+    engines agree by construction).  Sessions count as open on
+    [start, end] inclusive (the -1 lands at end + 1µs).
+    """
+    from .relational import events_sessions
+    from ..stages.rangejoin import _minmax_int64
+
+    sess = events_sessions(sf_dir, gap_minutes).select_columns(
+        ["session_start", "session_end"]
+    )
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.session_start.astype("datetime64[us]").astype(np.int64)
+        e = df.session_end.astype("datetime64[us]").astype(np.int64) + 1
+        return pd.DataFrame({
+            "t": np.concatenate([s.to_numpy(), e.to_numpy()]),
+            "d": np.concatenate([
+                np.ones(len(s), np.int64), -np.ones(len(e), np.int64)
+            ]),
+        })
+
+    # pinned: three consumers (domain bounds, range totals, local pass) —
+    # lazy lineage would re-run sessionization per consumer
+    b = sess.map_batches(deltas, batch_format="pandas").materialize()
+
+    lo, hi = _minmax_int64(b, "t")
+    width = max(1, -(-(hi - lo + 1) // n_ranges))
+
+    def add_rng(batch: pa.Table) -> pa.Table:
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "rng", pa.array((t - lo) // width, pa.int64())
+        )
+
+    ranged = b.map_batches(add_rng, batch_format="pyarrow").materialize()
+
+    totals = coarse_grouped_map(
+        ranged.select_columns(["rng", "d"]),
+        "rng",
+        lambda df: df.groupby("rng", as_index=False).agg(dsum=("d", "sum")),
+        num_partitions=4,
+    ).to_pandas().sort_values("rng")  # n_ranges rows — bounded
+    carry = dict(zip(
+        totals.rng,
+        np.concatenate(([0], totals.dsum.cumsum().to_numpy()[:-1])),
+    ))
+    carry_ref = ray.put(carry)
+
+    US_PER_HOUR = 3_600_000_000
+
+    def local_peak(df: pd.DataFrame) -> pd.DataFrame:
+        carry_ = ray.get(carry_ref)
+        outs = []
+        for rng, g in df.groupby("rng", sort=False):
+            g = g.groupby("t", as_index=False).agg(d=("d", "sum"))
+            g = g.sort_values("t")
+            conc = g.d.cumsum().to_numpy(np.int64) + int(carry_.get(rng, 0))
+            hour = g.t.to_numpy(np.int64) // US_PER_HOUR
+            outs.append(
+                pd.DataFrame({"hour": hour, "peak": conc})
+                .groupby("hour", as_index=False).agg(peak=("peak", "max"))
+            )
+        if not outs:
+            return pd.DataFrame({
+                "hour": pd.Series([], dtype=np.int64),
+                "peak": pd.Series([], dtype=np.int64),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    partials = coarse_grouped_map(ranged, "rng", local_peak)
+
+    def hour_max(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("hour", as_index=False).agg(
+            peak_concurrent=("peak", "max")
+        )
+        g["peak_concurrent"] = g.peak_concurrent.astype(np.int64)
+        return g
+
+    return coarse_grouped_map(partials, "hour", hour_max, num_partitions=4)

@@ -143,9 +143,22 @@ def repartition_join(
     num_partitions: int = 64,
     coalesce_blocks="auto",
     how: str = "inner",
+    salt: int = 1,
 ):
     """Distributed hash-join via tag-union + coarse-partition groupby
     + per-partition vectorized pandas merge.
+
+    ``salt`` > 1 enables the SKEW-SALTED plan for hot join keys: every
+    LEFT row scatters to one of ``salt`` sub-keys of its join key and
+    every RIGHT row is replicated to ALL ``salt`` sub-keys, so a key
+    holding a large share of the left side spreads over ``salt``
+    partitions instead of serializing one reducer (the join itself then
+    matches on (key, salt), which each left row satisfies exactly once —
+    output is identical to the unsalted plan, row order aside).  Cost:
+    the right side's shuffle volume ×salt — use when the LEFT side is
+    the skewed fact and the right is the smaller one.  Supported for
+    inner/left/semi/anti; "outer" raises (unmatched RIGHT replicas
+    would duplicate).
 
     ``how``: "inner" | "left" | "outer" | "semi" | "anti".  Inner/left/
     outer emit [left_on] + left cols + right cols (unmatched sides pad
@@ -179,10 +192,16 @@ def repartition_join(
     rcols = [c for c in right_types if c != right_on]
     key_type = left_types[left_on]
     P = num_partitions
+    if salt > 1 and how == "outer":
+        raise ValueError("salt > 1 is not supported for outer joins")
 
-    def pkey_of(arr: pa.ChunkedArray) -> pa.Array:
+    def pkey_of(arr: pa.ChunkedArray, salts=None) -> pa.Array:
         v = arr.to_numpy(zero_copy_only=False)
-        h = hash_array(np.asarray(v)) % np.uint64(P)
+        h = hash_array(np.asarray(v))
+        if salts is not None:
+            with np.errstate(over="ignore"):
+                h = h + salts * np.uint64(0x9E3779B97F4A7C15)
+        h = h % np.uint64(P)
         return pa.array(h.astype(np.int32), pa.int32())
 
     def pad(n: int, t: pa.DataType) -> pa.Array:
@@ -196,11 +215,19 @@ def repartition_join(
 
     def tag_left(b: pa.Table) -> pa.Table:
         jkey = b.column(left_on).cast(key_type)
+        # left rows scatter round-robin over the salt sub-keys — any
+        # assignment is correct (the right side covers all of them)
+        salts = (
+            np.arange(b.num_rows, dtype=np.uint64) % np.uint64(salt)
+            if salt > 1 else None
+        )
         cols = {
-            "_pkey": pkey_of(jkey),
+            "_pkey": pkey_of(jkey, salts),
             "_side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
             "_jkey": jkey,
         }
+        if salt > 1:
+            cols["_salt"] = pa.array(salts.astype(np.int32), pa.int32())
         for c in lcols:
             cols[c] = b.column(c)
         for c in rcols:
@@ -208,12 +235,21 @@ def repartition_join(
         return pa.table(cols)
 
     def tag_right(b: pa.Table) -> pa.Table:
+        if salt > 1:
+            b = pa.concat_tables([b] * salt)
+            salts = np.repeat(
+                np.arange(salt, dtype=np.uint64), b.num_rows // salt
+            )
+        else:
+            salts = None
         jkey = b.column(right_on).cast(key_type)
         cols = {
-            "_pkey": pkey_of(jkey),
+            "_pkey": pkey_of(jkey, salts),
             "_side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
             "_jkey": jkey,
         }
+        if salt > 1:
+            cols["_salt"] = pa.array(salts.astype(np.int32), pa.int32())
         for c in lcols:
             cols[c] = pad(b.num_rows, left_types[c])
         for c in rcols:
@@ -246,6 +282,11 @@ def repartition_join(
         else [left_on] + lcols + rcols
     )
 
+    # a salted partition holds right replicas for SEVERAL salt values of
+    # the same key — matching must be on (key, salt) so each left row
+    # meets each right row exactly once
+    jk = ["_jkey", "_salt"] if salt > 1 else ["_jkey"]
+
     def merge_partition(g: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
@@ -260,19 +301,23 @@ def repartition_join(
             m = l[["_jkey"] + lcols].merge(
                 r[["_jkey"] + rcols], on="_jkey", how="outer"
             )
-        elif how == "semi":
-            m = l[l._jkey.isin(r._jkey)][["_jkey"] + lcols]
-        elif how == "anti":
-            m = l[~l._jkey.isin(r._jkey)][["_jkey"] + lcols]
+        elif how in ("semi", "anti"):
+            if salt > 1:
+                hit = pd.MultiIndex.from_frame(l[jk]).isin(
+                    pd.MultiIndex.from_frame(r[jk])
+                )
+            else:
+                hit = l._jkey.isin(r._jkey)
+            m = l[hit if how == "semi" else ~hit][["_jkey"] + lcols]
         elif how == "left":
-            m = l[["_jkey"] + lcols].merge(
-                r[["_jkey"] + rcols], on="_jkey", how="left"
+            m = l[jk + lcols].merge(
+                r[jk + rcols], on=jk, how="left"
             )
         else:
             if r.empty:
                 return pd.DataFrame()
-            m = l[["_jkey"] + lcols].merge(
-                r[["_jkey"] + rcols], on="_jkey", how="inner"
+            m = l[jk + lcols].merge(
+                r[jk + rcols], on=jk, how="inner"
             )
         if m.empty:
             return pd.DataFrame()

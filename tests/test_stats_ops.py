@@ -288,3 +288,68 @@ def test_user_modal_event_tie_breaks_ascending(tmp_path):
     assert out.loc[1, "modal_type"] == "click"   # 2-2 tie -> ASC wins
     assert out.loc[1, "cnt"] == 2
     assert out.loc[2, "modal_type"] == "aaa"     # 1-1 tie -> ASC wins
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions (concurrent_sessions_peak)
+# ---------------------------------------------------------------------------
+
+def _brute_peak(ev: pd.DataFrame, gap_min=30):
+    g = ev.sort_values(["user_id", "ts"])
+    new = g.user_id.ne(g.user_id.shift()) | (
+        g.ts.diff() > pd.Timedelta(minutes=gap_min)
+    )
+    sid = new.cumsum()
+    sess = g.groupby(sid).agg(st=("ts", "min"), en=("ts", "max"))
+    s = sess.st.to_numpy("datetime64[us]").astype(np.int64)
+    e = sess.en.to_numpy("datetime64[us]").astype(np.int64) + 1
+    b = pd.DataFrame({
+        "t": np.concatenate([s, e]),
+        "d": np.concatenate([np.ones(len(s), np.int64),
+                             -np.ones(len(e), np.int64)]),
+    }).groupby("t", as_index=False).agg(d=("d", "sum")).sort_values("t")
+    b["conc"] = b.d.cumsum()
+    b["hour"] = b.t // 3_600_000_000
+    return b.groupby("hour").conc.max()
+
+
+def test_concurrent_sessions_matches_bruteforce():
+    from kgray.pipelines.analytics import concurrent_sessions_peak
+
+    out = concurrent_sessions_peak(SF).to_pandas().set_index("hour")
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["user_id", "ts"])
+    ref = _brute_peak(ev)
+    assert len(out) == len(ref)
+    assert (out.loc[ref.index].peak_concurrent == ref).all()
+
+
+def test_concurrent_sessions_range_carry(tmp_path):
+    """Sessions spanning many range slices: with n_ranges=4 the running
+    count must carry correctly across slice borders (a long session that
+    opens in slice 0 stays counted in slice 3)."""
+    from kgray.pipelines.analytics import concurrent_sessions_peak
+
+    d = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = []
+    # user 1: one long session (events < 30 min apart) hours 0..10
+    for i in range(0, 21):
+        rows.append((1, d + i * 0.5 * h))
+    # user 2: short session at hour 5 (overlaps user 1)
+    rows.append((2, d + 5 * h))
+    # user 3: short session at hour 20 (user 1 long gone)
+    rows.append((3, d + 20 * h))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ev["event_type"] = "x"
+    ev["value"] = 1.0
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+
+    out = concurrent_sessions_peak(
+        str(tmp_path), n_ranges=4
+    ).to_pandas().set_index("hour")
+    ref = _brute_peak(ev)
+    assert (out.loc[ref.index].peak_concurrent == ref).all()
+    hour0 = int(pd.Timestamp("2024-01-01").to_datetime64().astype(
+        "datetime64[us]").astype(np.int64) // 3_600_000_000)
+    assert out.loc[hour0 + 5, "peak_concurrent"] == 2  # overlap hour
+    assert out.loc[hour0 + 20, "peak_concurrent"] == 1
