@@ -168,3 +168,35 @@ def test_knn_filtered_pushes_predicate_into_kernel():
     ).to_pandas()
     assert len(out) == 5
     assert set(out.neighbor_id) == {6, 7, 8, 9, 10}  # only label 'b'
+
+
+def test_rangejoin_no_driver_collection():
+    """Both range-join variants must stay Datasets end to end — the only
+    driver state is the two-scalar domain bound (an aggregate, not a
+    collection)."""
+    rng = np.random.RandomState(23)
+    points = rng.randint(0, 5000, size=3000)
+    starts = rng.randint(0, 5000, size=4000)
+    intervals = list(zip(starts, starts + rng.randint(1, 300, size=4000)))
+    pts, iv = _count_ds(points, intervals)
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collection inside range join")
+
+    orig_take_all = ray.data.Dataset.take_all
+    orig_to_pandas = ray.data.Dataset.to_pandas
+    ray.data.Dataset.take_all = boom
+    ray.data.Dataset.to_pandas = boom
+    try:
+        n1 = point_in_interval_count(
+            pts, iv, "p", "pid", "s", "e", n_buckets=16, num_partitions=4,
+        ).count()
+        n2 = point_in_interval_pairs(
+            pts, iv, "p", "pid", "s", "e", "iid", n_buckets=16,
+            num_partitions=4,
+        ).count()
+    finally:
+        ray.data.Dataset.take_all = orig_take_all
+        ray.data.Dataset.to_pandas = orig_to_pandas
+    assert n1 == len(points)
+    assert n2 > 0
