@@ -1503,6 +1503,18 @@ def _q_concurrent_sessions(sf_dir: str):
     return concurrent_sessions_peak(sf_dir)
 
 
+def _q_orders_above_cust_avg(sf_dir: str):
+    from kgray.pipelines.analytics import orders_above_cust_avg
+
+    return orders_above_cust_avg(sf_dir)
+
+
+def _q_revenue_mom_growth(sf_dir: str):
+    from kgray.pipelines.analytics import revenue_mom_growth
+
+    return revenue_mom_growth(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -2246,6 +2258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": _q_user_streaks,
         "local_supplier_volume": _q_local_supplier_volume,
         "concurrent_sessions": _q_concurrent_sessions,
+        "orders_above_cust_avg": _q_orders_above_cust_avg,
+        "revenue_mom_growth": _q_revenue_mom_growth,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)
@@ -2711,6 +2725,33 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
 FROM s GROUP BY user_id, sess_id
+""",
+        # correlated subquery decorrelated: aggregate per key, join
+        # back, integer cross-multiplied predicate (no division)
+        "orders_above_cust_avg": """
+WITH oc AS (SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+a AS (SELECT o_custkey, sum(cents) AS s, count(*) AS n FROM oc GROUP BY 1)
+SELECT o.o_orderkey, o.o_custkey,
+       o.cents / 100.0 AS o_totalprice,
+       floor(a.s / a.n / 100.0 * 1000000 + 0.5) / 1000000 AS cust_avg
+FROM oc o JOIN a USING (o_custkey)
+WHERE o.cents * a.n > a.s
+""",
+        # LAG window over a period aggregate (previous OBSERVED month)
+        "revenue_mom_growth": """
+WITH m AS (SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                       AS BIGINT) AS month,
+                  sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                 * 100.0 + 0.5) AS BIGINT)) AS c
+           FROM lineitem GROUP BY 1)
+SELECT month, c / 100.0 AS revenue,
+       lag(c) OVER (ORDER BY month) / 100.0 AS prev_revenue,
+       floor((c - lag(c) OVER (ORDER BY month))
+             / lag(c) OVER (ORDER BY month)
+             * 100.0 * 1000000 + 0.5) / 1000000 AS growth_pct
+FROM m
 """,
         # sessionize (same CTE as events_sessions) -> boundary +/-1
         # deltas -> global running sum -> per-hour max at change points

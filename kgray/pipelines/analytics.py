@@ -2927,3 +2927,147 @@ def concurrent_sessions_peak(
         return g
 
     return coarse_grouped_map(partials, "hour", hour_max, num_partitions=4)
+
+
+# ---------------------------------------------------------------------------
+# Decorrelated per-key subquery: orders above their customer's average
+# ---------------------------------------------------------------------------
+
+def orders_above_cust_avg(sf_dir: str) -> "ray.data.Dataset":
+    """(o_orderkey, o_custkey, o_totalprice, cust_avg): orders strictly
+    above their own customer's average order value — the classic
+    CORRELATED subquery (WHERE price > (SELECT avg .. same customer)),
+    decorrelated the way a distributed engine must: aggregate once per
+    key, join back, filter map-side.
+
+    The per-customer average is exact: per-batch (custkey, Σcents, n)
+    partials collapse map-side, one customer-keyed reduce finishes the
+    (sum, count) pair, and the join back to orders is the same
+    customer-keyed repartition join — two all-to-alls total, both moving
+    rows pre-compacted per customer.  The comparison runs on integer
+    cents cross-multiplied (cents·n > Σcents) so no division enters the
+    predicate — bit-identical to the SQL oracle with zero float slack;
+    the reported cust_avg divides only for display, rounded 1e-6.
+    """
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        c = np.floor(
+            df.o_totalprice.to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(df.o_orderkey.to_numpy(np.int64)),
+            "o_custkey": pa.array(df.o_custkey.to_numpy(np.int64)),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    oc = orders.map_batches(cents, batch_format="pyarrow").materialize()
+    # pinned: feeds the per-customer aggregate AND the join back (lazy
+    # lineage would re-run the read + quantization per consumer)
+
+    def agg_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            s=("cents", "sum"), n=("cents", "size")
+        )
+        g["s"] = g.s.astype(np.int64)
+        g["n"] = g.n.astype(np.int64)
+        return pa.Table.from_pandas(g[["o_custkey", "s", "n"]],
+                                    preserve_index=False)
+
+    per_cust = coarse_grouped_map(
+        oc.map_batches(agg_partial, batch_format="pyarrow"),
+        "o_custkey",
+        lambda d: d.groupby("o_custkey", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        ),
+    )
+
+    joined = repartition_join(
+        oc,
+        per_cust,
+        left_on="o_custkey",
+        right_on="o_custkey",
+        left_types={"o_custkey": pa.int64(), "o_orderkey": pa.int64(),
+                    "cents": pa.int64()},
+        right_types={"o_custkey": pa.int64(), "s": pa.int64(),
+                     "n": pa.int64()},
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.cents.to_numpy(np.int64)
+        s = df.s.to_numpy(np.int64)
+        n = df.n.to_numpy(np.int64)
+        keep = c * n > s  # integer cross-multiply, no division
+        d = df[keep]
+        return pd.DataFrame({
+            "o_orderkey": d.o_orderkey.to_numpy(np.int64),
+            "o_custkey": d.o_custkey.to_numpy(np.int64),
+            "o_totalprice": d.cents.to_numpy(np.int64) / 100.0,
+            "cust_avg": np.floor(
+                d.s.to_numpy(np.int64) / d.n.to_numpy(np.int64)
+                / 100.0 * 1e6 + 0.5
+            ) / 1e6,
+        })
+
+    return joined.map_batches(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period growth: month-over-month revenue with LAG
+# ---------------------------------------------------------------------------
+
+def revenue_mom_growth(sf_dir: str) -> "ray.data.Dataset":
+    """(month, revenue, prev_revenue, growth_pct): monthly lineitem
+    revenue with its previous-month value and percent change — the LAG
+    window over a period aggregate.
+
+    Per-batch cent partials collapse to ≤ |months| rows before one
+    month-keyed reduce; the LAG itself runs on the driver over the
+    CALENDAR-bounded month table (≤ a few hundred rows at any corpus
+    size — the same documented small side as running_distinct_users).
+    ``prev_revenue`` is the previous OBSERVED month (SQL LAG over the
+    aggregate, whether or not the months are consecutive); the first
+    month's prev/growth are null.  growth_pct is rounded 1e-6 on both
+    engines.
+    """
+    li = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rev = df.l_extendedprice.to_numpy() * (1.0 - df.l_discount.to_numpy())
+        c = np.floor(rev * 100.0 + 0.5).astype(np.int64)
+        m = (df.l_shipdate.dt.year * 100 + df.l_shipdate.dt.month
+             ).astype(np.int64)
+        g = pd.DataFrame({"month": m, "c": c}).groupby(
+            "month", as_index=False
+        ).agg(c=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    monthly = coarse_grouped_map(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "month",
+        lambda d: d.groupby("month", as_index=False).agg(c=("c", "sum")),
+        num_partitions=4,
+    ).to_pandas().sort_values("month")  # calendar-bounded
+
+    rev = monthly.c.to_numpy(np.int64)
+    prev = np.concatenate(([0], rev[:-1]))
+    has_prev = np.ones(len(rev), dtype=bool)
+    has_prev[0] = False
+    growth = np.where(
+        has_prev & (prev != 0),
+        np.floor((rev - prev) / np.where(prev == 0, 1, prev)
+                 * 100.0 * 1e6 + 0.5) / 1e6,
+        np.nan,
+    )
+    out = pd.DataFrame({
+        "month": monthly.month.to_numpy(np.int64),
+        "revenue": rev / 100.0,
+        "prev_revenue": np.where(has_prev, prev / 100.0, np.nan),
+        "growth_pct": growth,
+    })
+    return ray.data.from_pandas(out.reset_index(drop=True))

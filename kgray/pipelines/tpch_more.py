@@ -569,18 +569,6 @@ def waiting_suppliers(
             ["l_orderkey", "l_suppkey"], as_index=False
         ).agg(ship=("l_shipdate", "max"))
 
-    joined = repartition_join(
-        li.map_batches(ship_partial, batch_format="pandas",
-                       batch_size=None),
-        orders.map_batches(finished, batch_format="pyarrow"),
-        left_on="l_orderkey",
-        right_on="o_orderkey",
-        left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
-                    "ship": pa.timestamp("us")},
-        right_types={"o_orderkey": pa.int64(),
-                     "o_orderdate": pa.timestamp("us")},
-    )
-
     lag = pd.Timedelta(days=late_days)
 
     def lone_late(df: pd.DataFrame) -> pd.DataFrame:
@@ -596,7 +584,22 @@ def waiting_suppliers(
         keep = pair[pair.late & (ns > 1) & (nl == 1)]
         return keep[["l_suppkey"]]
 
-    culprits = coarse_grouped_map(joined, "l_orderkey", lone_late)
+    # join + grouped-reduce FUSION (utils.repartition_join post_fn): the
+    # join already co-locates every row of an order key, so the
+    # EXISTS/NOT-EXISTS pass runs inside the join's partition task —
+    # the pair table is never re-shuffled on the same key it arrived on
+    culprits = repartition_join(
+        li.map_batches(ship_partial, batch_format="pandas",
+                       batch_size=None),
+        orders.map_batches(finished, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "ship": pa.timestamp("us")},
+        right_types={"o_orderkey": pa.int64(),
+                     "o_orderdate": pa.timestamp("us")},
+        post_fn=lone_late,
+    )
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("l_suppkey", as_index=False).agg(

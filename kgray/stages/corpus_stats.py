@@ -1525,15 +1525,6 @@ def tfidf_similar_docs(
 
     max_df = max_df_frac * n_docs
 
-    weighted = repartition_join(
-        tf,
-        df_counts,
-        "token",
-        "token",
-        {"token": pa.string(), "doc_id": pa.int64(), "tf": pa.int64()},
-        {"token": pa.string(), "df": pa.int64()},
-    )
-
     def weigh(d: pd.DataFrame) -> pd.DataFrame:
         d = d[d.df.astype(float) <= max_df].copy()
         if d.empty:
@@ -1545,16 +1536,6 @@ def tfidf_similar_docs(
         idf = np.log(n_docs / d.df.to_numpy(np.float64))
         d["w"] = d.tf.to_numpy(np.float64) * idf
         return d[["token", "doc_id", "w"]]
-
-    wtf = weighted.map_batches(weigh, batch_format="pandas").materialize()
-
-    norms = coarse_grouped_map(
-        wtf,
-        "doc_id",
-        lambda d: d.assign(
-            w2=np.floor(d.w * d.w * 1e9 + 0.5).astype(np.int64)
-        ).groupby("doc_id", as_index=False).agg(norm2=("w2", "sum")),
-    )
 
     def pair_partition(d: pd.DataFrame) -> pd.DataFrame:
         m = d.merge(d, on="token")
@@ -1574,8 +1555,62 @@ def tfidf_similar_docs(
         g.columns = ["doc_a", "doc_b", "dotp"]
         return g
 
+    # join + grouped FUSION (repartition_join post_fn): the df join
+    # already co-locates every posting of a token, so the pair partial
+    # dot products AND the per-doc norm partials are both computed
+    # inside the join's partition task and emitted as one tagged frame —
+    # the weighted posting table (the op's biggest intermediate) is
+    # never materialized or re-shuffled on the token key it arrived on.
+    # Both partial kinds stay exact: int64 1e-9-grid terms sum in any
+    # order.
+    def fused(d: pd.DataFrame) -> pd.DataFrame:
+        d = weigh(d)
+        pairs = pair_partition(d)
+        pairs = pairs.assign(kind=np.int8(0), doc_id=np.int64(0),
+                             norm2=np.int64(0))
+        nrm = d.assign(
+            w2=np.floor(d.w * d.w * 1e9 + 0.5).astype(np.int64)
+        ).groupby("doc_id", as_index=False).agg(norm2=("w2", "sum"))
+        nrm = nrm.assign(kind=np.int8(1), doc_a=np.int64(0),
+                         doc_b=np.int64(0), dotp=np.int64(0))
+        cols = ["kind", "doc_a", "doc_b", "dotp", "doc_id", "norm2"]
+        return pd.concat([pairs[cols], nrm[cols]], ignore_index=True)
+
+    fused_out = repartition_join(
+        tf,
+        df_counts,
+        "token",
+        "token",
+        {"token": pa.string(), "doc_id": pa.int64(), "tf": pa.int64()},
+        {"token": pa.string(), "df": pa.int64()},
+        post_fn=fused,
+    ).materialize()  # two consumers (pair reduce, norm reduce)
+
+    def take_kind(k: int, cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.equal(batch.column("kind"), k)
+            ).select(cols)
+
+        return fn
+
+    norms = coarse_grouped_map(
+        fused_out.map_batches(
+            take_kind(1, ["doc_id", "norm2"]), batch_format="pyarrow"
+        ),
+        "doc_id",
+        lambda d: d.groupby("doc_id", as_index=False).agg(
+            norm2=("norm2", "sum")
+        ),
+    )
+
     dots = coarse_grouped_map(
-        coarse_grouped_map(wtf, "token", pair_partition),
+        fused_out.map_batches(
+            take_kind(0, ["doc_a", "doc_b", "dotp"]),
+            batch_format="pyarrow",
+        ),
         ["doc_a", "doc_b"],
         lambda d: d.groupby(["doc_a", "doc_b"], as_index=False).agg(
             dotp=("dotp", "sum")

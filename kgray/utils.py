@@ -144,6 +144,7 @@ def repartition_join(
     coalesce_blocks="auto",
     how: str = "inner",
     salt: int = 1,
+    post_fn=None,
 ):
     """Distributed hash-join via tag-union + coarse-partition groupby
     + per-partition vectorized pandas merge.
@@ -159,6 +160,13 @@ def repartition_join(
     the skewed fact and the right is the smaller one.  Supported for
     inner/left/semi/anti; "outer" raises (unmatched RIGHT replicas
     would duplicate).
+
+    ``post_fn(df) -> df``, if given, runs on each partition's joined
+    frame BEFORE it is emitted — join + grouped-reduce FUSION.  Every
+    row of a join key lands in one partition (like coarse_grouped_map),
+    so a reduce grouped by the join key is exact here and the fused
+    plan skips one full all-to-all of the joined rows.  Not valid with
+    ``salt`` > 1 (a key's left rows then span ``salt`` partitions).
 
     ``how``: "inner" | "left" | "outer" | "semi" | "anti".  Inner/left/
     outer emit [left_on] + left cols + right cols (unmatched sides pad
@@ -194,6 +202,11 @@ def repartition_join(
     P = num_partitions
     if salt > 1 and how == "outer":
         raise ValueError("salt > 1 is not supported for outer joins")
+    if salt > 1 and post_fn is not None:
+        raise ValueError(
+            "post_fn requires all rows of a key in one partition; "
+            "salt > 1 spreads them"
+        )
 
     def pkey_of(arr: pa.ChunkedArray, salts=None) -> pa.Array:
         v = arr.to_numpy(zero_copy_only=False)
@@ -322,7 +335,8 @@ def repartition_join(
         if m.empty:
             return pd.DataFrame()
         m = m.rename(columns={"_jkey": left_on})
-        return m[out_cols]
+        m = m[out_cols]
+        return post_fn(m) if post_fn is not None else m
 
     return (
         tagged.groupby("_pkey")

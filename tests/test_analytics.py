@@ -186,3 +186,44 @@ def test_user_activity_outer_covers_three_cases():
     assert (df[(df.n_events == 0) & (df.n_high_orders > 0)].shape[0] > 0)
     assert (df[(df.n_events > 0) & (df.n_high_orders > 0)].shape[0] > 0)
     assert df.key.is_unique
+
+
+def test_orders_above_cust_avg_decorrelated():
+    from kgray.pipelines.analytics import orders_above_cust_avg
+
+    out = orders_above_cust_avg(SF).to_pandas()
+    o = pd.read_parquet(SF + "/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cents = np.floor(o.o_totalprice.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    o = o.assign(cents=cents)
+    a = o.groupby("o_custkey").cents.agg(["sum", "size"])
+    j = o.join(a, on="o_custkey")
+    ref = j[j.cents * j["size"] > j["sum"]]
+    assert set(out.o_orderkey) == set(ref.o_orderkey)
+    # strictly-above: no order at exactly the average survives; every
+    # customer with >= 2 distinct order values contributes >= 1 row
+    got = out.set_index("o_orderkey")
+    for _, r in ref.head(50).iterrows():
+        assert got.loc[r.o_orderkey, "o_totalprice"] == r.cents / 100.0
+
+
+def test_revenue_mom_growth_lag_semantics(tmp_path):
+    from kgray.pipelines.analytics import revenue_mom_growth
+
+    # three observed months with a GAP: 2024-01, 2024-02, 2024-05 —
+    # May's prev must be February (LAG over observed months)
+    rows = []
+    for m, day, price in [(1, 5, 100.0), (1, 20, 50.0),
+                          (2, 10, 300.0), (5, 1, 150.0)]:
+        rows.append((pd.Timestamp(f"2024-{m:02d}-{day:02d}"), price, 0.0))
+    li = pd.DataFrame(rows, columns=["l_shipdate", "l_extendedprice",
+                                     "l_discount"])
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = revenue_mom_growth(str(tmp_path)).to_pandas().set_index("month")
+    assert list(out.index) == [202401, 202402, 202405]
+    assert out.loc[202401, "revenue"] == 150.0
+    assert np.isnan(out.loc[202401, "growth_pct"])
+    assert out.loc[202402, "prev_revenue"] == 150.0
+    assert out.loc[202402, "growth_pct"] == 100.0
+    assert out.loc[202405, "prev_revenue"] == 300.0
+    assert out.loc[202405, "growth_pct"] == -50.0

@@ -68,3 +68,47 @@ def test_salted_outer_rejected():
             how="outer",
             salt=4,
         )
+
+
+def test_post_fn_fusion_equals_join_then_reduce():
+    """repartition_join(post_fn=...) must equal the unfused
+    join -> coarse keyed reduce plan (every row of a key is in one
+    partition when the reduce runs)."""
+    from kgray.utils import coarse_grouped_map
+
+    left, right = _skewed_sides()
+
+    def reduce_fn(df):
+        return df.groupby("k", as_index=False).agg(
+            s=("lv", "sum"), m=("rv", "max"), n=("lv", "size")
+        )
+
+    def mk(post):
+        l = ray.data.from_pandas(left).repartition(5)
+        r = ray.data.from_pandas(right).repartition(2)
+        j = repartition_join(
+            l, r, "k", "rk",
+            {"k": pa.int64(), "lv": pa.int64()},
+            {"rk": pa.int64(), "rv": pa.int64()},
+            num_partitions=8,
+            post_fn=reduce_fn if post else None,
+        )
+        out = j if post else coarse_grouped_map(j, "k", reduce_fn)
+        out = out.to_pandas()
+        return out.sort_values("k").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(mk(True), mk(False), check_dtype=False)
+
+
+def test_post_fn_with_salt_rejected():
+    left, right = _skewed_sides()
+    with pytest.raises(ValueError):
+        repartition_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            "k", "rk",
+            {"k": pa.int64(), "lv": pa.int64()},
+            {"rk": pa.int64(), "rv": pa.int64()},
+            salt=4,
+            post_fn=lambda d: d,
+        )
