@@ -654,6 +654,22 @@ def unigram_nll(sf_dir: str) -> "ray.data.Dataset":
         add_logp, batch_format="pandas"
     )
 
+    # combiner THROUGH the join (post_fn): each token-keyed join
+    # partition pre-reduces its (doc, token, tf, logp) rows to per-doc
+    # (Σtf, Σtf·logp) partials, so the doc-keyed all-to-all moves
+    # ≤ docs × partitions rows instead of the full posting table.  The
+    # float Σtf·logp is summed in a different order than a flat pass —
+    # exactly the summation-order slack the 1e-6 rounding contract with
+    # the oracle already absorbs (docstring above).
+    def partial_score(d: pd.DataFrame) -> pd.DataFrame:
+        tfv = d.tf.to_numpy(np.float64)
+        g = d.assign(
+            sum_lp=tfv * d.logp.to_numpy(np.float64), n_tok=d.tf
+        ).groupby("doc_id", as_index=False).agg(
+            n_tok=("n_tok", "sum"), sum_lp=("sum_lp", "sum")
+        )
+        return g
+
     joined = repartition_join(
         tf,
         model_lp,
@@ -662,13 +678,11 @@ def unigram_nll(sf_dir: str) -> "ray.data.Dataset":
         {"token": pa.string(), "doc_id": pa.int64(), "tf": pa.int64()},
         {"token": pa.string(), "logp": pa.float64()},
         num_partitions=32,
+        post_fn=partial_score,
     )
 
     def score(d: pd.DataFrame) -> pd.DataFrame:
-        tfv = d.tf.to_numpy(np.float64)
-        g = d.assign(
-            sum_lp=tfv * d.logp.to_numpy(np.float64), n_tok=d.tf
-        ).groupby("doc_id", as_index=False).agg(
+        g = d.groupby("doc_id", as_index=False).agg(
             n_tok=("n_tok", "sum"), sum_lp=("sum_lp", "sum")
         )
         return pd.DataFrame(
