@@ -272,6 +272,8 @@ def run_bench() -> dict:
         "knn_filtered",
         "local_supplier_volume",
         "concurrent_sessions",
+        "orders_above_cust_avg",
+        "revenue_mom_growth",
     ]:
         best = None
         for _ in range(repeats):
