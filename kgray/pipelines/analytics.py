@@ -2874,6 +2874,12 @@ def concurrent_sessions_peak(
     b = sess.map_batches(deltas, batch_format="pandas").materialize()
 
     lo, hi = _minmax_int64(b, "t")
+    if lo is None:  # no events at all
+        return ray.data.from_arrow(
+            pa.schema(
+                [("hour", pa.int64()), ("peak_concurrent", pa.int64())]
+            ).empty_table()
+        )
     width = max(1, -(-(hi - lo + 1) // n_ranges))
 
     def add_rng(batch: pa.Table) -> pa.Table:

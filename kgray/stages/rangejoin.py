@@ -40,13 +40,18 @@ import ray.data
 from ..utils import coarse_grouped_map
 
 
-def _minmax_int64(ds: "ray.data.Dataset", col: str) -> tuple[int, int]:
+def _minmax_int64(ds: "ray.data.Dataset", col: str):
     """One aggregate pass for the point-domain bounds (two int64s to the
-    driver — the only driver state the bucketing needs)."""
+    driver — the only driver state the bucketing needs).  Returns
+    (None, None) for an empty dataset (callers emit a typed empty
+    result)."""
     from ray.data.aggregate import Max, Min
 
     agg = ds.aggregate(Min(col), Max(col))
-    return int(agg[f"min({col})"]), int(agg[f"max({col})"])
+    lo, hi = agg.get(f"min({col})"), agg.get(f"max({col})")
+    if lo is None or hi is None:
+        return None, None
+    return int(lo), int(hi)
 
 
 def _bucket_points(
@@ -123,6 +128,12 @@ def point_in_interval_count(
     Matched pairs are never materialized.
     """
     lo, hi = _minmax_int64(points, point_col)
+    if lo is None:  # no points at all
+        return ray.data.from_arrow(
+            pa.schema(
+                [(id_col, pa.int64()), (out_col, pa.int64())]
+            ).empty_table()
+        )
     width = max(1, -(-(hi - lo + 1) // n_buckets))
 
     tagged = _bucket_points(points, point_col, id_col, lo, width).union(
@@ -185,6 +196,12 @@ def point_in_interval_pairs(
     only multiplicity is needed.
     """
     lo, hi = _minmax_int64(points, point_col)
+    if lo is None:  # no points at all
+        return ray.data.from_arrow(
+            pa.schema(
+                [(id_col, pa.int64()), (interval_id_col, pa.int64())]
+            ).empty_table()
+        )
     width = max(1, -(-(hi - lo + 1) // n_buckets))
 
     def tag_iv(batch: pa.Table) -> pa.Table:

@@ -200,3 +200,37 @@ def test_rangejoin_no_driver_collection():
         ray.data.Dataset.to_pandas = orig_to_pandas
     assert n1 == len(points)
     assert n2 > 0
+
+
+def test_empty_points_and_empty_events():
+    """Zero-row inputs return typed empty results, not a crash on the
+    None aggregate."""
+    import pyarrow as pa
+    from kgray.pipelines.analytics import concurrent_sessions_peak
+
+    pts = ray.data.from_arrow(
+        pa.schema([("p", pa.int64()), ("pid", pa.int64())]).empty_table()
+    )
+    iv = ray.data.from_arrow(
+        pa.schema([("s", pa.int64()), ("e", pa.int64()),
+                   ("iid", pa.int64())]).empty_table()
+    )
+    out = point_in_interval_count(pts, iv, "p", "pid", "s", "e")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"pid", "n_cover"}
+    out2 = point_in_interval_pairs(pts, iv, "p", "pid", "s", "e", "iid")
+    assert out2.count() == 0
+
+
+def test_concurrent_sessions_empty_events(tmp_path):
+    from kgray.pipelines.analytics import concurrent_sessions_peak
+
+    ev = pd.DataFrame({
+        "user_id": pd.Series([], dtype=np.int64),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "event_type": pd.Series([], dtype=object),
+        "value": pd.Series([], dtype=np.float64),
+    })
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    out = concurrent_sessions_peak(str(tmp_path))
+    assert out.count() == 0
