@@ -2730,11 +2730,40 @@ def open_lines_at_order(sf_dir: str) -> "ray.data.Dataset":
     many lines are open.  The interval table itself needs the order date
     on every line, which is one key-equi repartition join lineitem<->orders.
     Timestamps stay raw int64 microseconds: no day-granularity assumption.
+
+    The point-domain bounds come from the orders parquet COLUMN
+    STATISTICS when present (a driver-side metadata read — no data
+    pass); stats min/max always cover the true values, which is exactly
+    the safety contract point_in_interval_count's ``bounds`` needs.
+    Falls back to the operator's own aggregate pass when stats are
+    absent.
     """
+    import pyarrow.parquet as pq
+
     from ..stages.rangejoin import point_in_interval_count
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    bounds = None
+    try:
+        pf = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet"))
+        idx = pf.schema_arrow.get_field_index("o_orderdate")
+        los, his = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                los = []
+                break
+            los.append(st.min)
+            his.append(st.max)
+        if los:
+            bounds = (
+                int(pd.Timestamp(min(los)).value // 1000),
+                int(pd.Timestamp(max(his)).value // 1000),
+            )
+    except Exception:
+        bounds = None
 
     joined = repartition_join(
         li,
@@ -2767,6 +2796,7 @@ def open_lines_at_order(sf_dir: str) -> "ray.data.Dataset":
         start_col="s",
         end_col="e",
         out_col="open_lines",
+        bounds=bounds,
     )
 
 

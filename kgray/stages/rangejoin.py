@@ -118,6 +118,7 @@ def point_in_interval_count(
     out_col: str = "n_cover",
     n_buckets: int = 64,
     num_partitions: int = 32,
+    bounds=None,
 ) -> "ray.data.Dataset":
     """(id_col, out_col): for every point row, how many intervals cover
     it (start <= p < end).  One row out per point row, including count 0.
@@ -126,8 +127,17 @@ def point_in_interval_count(
     side (points -> 1 row, intervals -> <= span/width + 1 replicas), one
     bucket-keyed all-to-all, vectorized per-bucket endpoint counting.
     Matched pairs are never materialized.
+
+    ``bounds=(lo, hi)`` skips the aggregate pass when the caller already
+    knows a COVERING range for the points (e.g. from parquet column
+    statistics).  A wider-than-true range is safe — points still route
+    to one bucket each and intervals replicate across the covered span;
+    a range that misses points silently undercounts them, so only pass
+    bounds that provably cover.
     """
-    lo, hi = _minmax_int64(points, point_col)
+    lo, hi = bounds if bounds is not None else _minmax_int64(
+        points, point_col
+    )
     if lo is None:  # no points at all
         return ray.data.from_arrow(
             pa.schema(
