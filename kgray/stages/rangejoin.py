@@ -196,6 +196,7 @@ def point_in_interval_pairs(
     interval_id_col: str,
     n_buckets: int = 64,
     num_partitions: int = 32,
+    bounds=None,
 ) -> "ray.data.Dataset":
     """(id_col, interval_id_col): every (point, covering interval) match.
 
@@ -203,9 +204,12 @@ def point_in_interval_pairs(
     matches via a vectorized two-pointer sweep (sort intervals by start,
     prefix-count starts <= p, then filter the candidate block on end > p).
     Output size equals the true match count — use the count variant when
-    only multiplicity is needed.
+    only multiplicity is needed.  ``bounds``: same covering-range
+    contract as point_in_interval_count.
     """
-    lo, hi = _minmax_int64(points, point_col)
+    lo, hi = bounds if bounds is not None else _minmax_int64(
+        points, point_col
+    )
     if lo is None:  # no points at all
         return ray.data.from_arrow(
             pa.schema(
