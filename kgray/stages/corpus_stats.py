@@ -1785,18 +1785,8 @@ def bm25_topk(
         for t, d in df_map.items()
     }
 
-    scored_terms = repartition_join(
-        postings,
-        dl,
-        "doc_id",
-        "doc_id",
-        {"q_id": pa.int64(), "doc_id": pa.int64(), "token": pa.string(),
-         "tf": pa.int64()},
-        {"doc_id": pa.int64(), "dl": pa.int64()},
-        num_partitions=8,
-    )
-
     _k1, _b, _avgdl = float(k1), float(b), avgdl
+    kk = int(k)
 
     def term_score(d: pd.DataFrame) -> pd.DataFrame:
         tfv = d.tf.to_numpy(np.float64)
@@ -1805,33 +1795,37 @@ def bm25_topk(
         s = idf * tfv * (_k1 + 1.0) / (
             tfv + _k1 * (1.0 - _b + _b * dlv / _avgdl)
         )
-        # per-(q,doc) partial inside the batch: ≤2 terms per query, so
-        # the sum is order-exact (IEEE addition is commutative)
+        # per-(q,doc) sum: every term row of a doc is co-located here
+        # (the join is doc-keyed), and ≤2 terms per query keep the sum
+        # order-exact (IEEE addition is commutative)
         return pd.DataFrame({"q_id": d.q_id, "doc_id": d.doc_id, "s": s}) \
             .groupby(["q_id", "doc_id"], as_index=False).agg(s=("s", "sum"))
 
-    scores = coarse_grouped_map(
-        scored_terms.map_batches(
-            term_score, batch_format="pandas", batch_size=None
-        ),
-        ["q_id", "doc_id"],
-        lambda d: d.groupby(["q_id", "doc_id"], as_index=False).agg(
-            s=("s", "sum")
-        ),
-        num_partitions=8,
-    )
-
-    kk = int(k)
-
     def batch_topk(d: pd.DataFrame) -> pd.DataFrame:
-        # combiner: per-batch top-k per query shrinks the final shuffle
-        # to ≤ k rows per (query, batch)
+        # combiner: per-partition top-k per query shrinks the final
+        # shuffle to ≤ k rows per (query, partition)
         return (
             d.sort_values(["q_id", "s", "doc_id"],
                           ascending=[True, False, True])
             .groupby("q_id", as_index=False, sort=False)
             .head(kk)
         )
+
+    # join + reduce FUSION (post_fn): the dl join co-locates every term
+    # row of a doc, so the per-(q,doc) score sum AND the per-partition
+    # top-k combiner run inside the join task — the (q,doc)-keyed
+    # all-to-all the unfused plan paid is gone entirely
+    scores = repartition_join(
+        postings,
+        dl,
+        "doc_id",
+        "doc_id",
+        {"q_id": pa.int64(), "doc_id": pa.int64(), "token": pa.string(),
+         "tf": pa.int64()},
+        {"doc_id": pa.int64(), "dl": pa.int64()},
+        num_partitions=8,
+        post_fn=lambda d: batch_topk(term_score(d)),
+    )
 
     def final_topk(d: pd.DataFrame) -> pd.DataFrame:
         d = d.sort_values(["q_id", "s", "doc_id"],
@@ -1842,8 +1836,7 @@ def bm25_topk(
         return d[["q_id", "doc_id", "score", "rank"]]
 
     return coarse_grouped_map(
-        scores.map_batches(batch_topk, batch_format="pandas",
-                           batch_size=None),
+        scores,
         "q_id",
         final_topk,
         num_partitions=4,
