@@ -1515,6 +1515,16 @@ def _q_revenue_mom_growth(sf_dir: str):
     return revenue_mom_growth(sf_dir)
 
 
+def _q_span_corrupt(sf_dir: str):
+    # rows-only by nature: the deterministic hash-seeded masking is
+    # checked by pytest invariants (byte-exact reconstruction,
+    # repartition-determinism, mask-rate band) — the sentinel string
+    # assembly has no reasonable SQL expression
+    from kgray.stages.pack import span_corrupt
+
+    return span_corrupt(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from kgray.stages.similarity import label_centroids
 
@@ -2260,6 +2270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": _q_concurrent_sessions,
         "orders_above_cust_avg": _q_orders_above_cust_avg,
         "revenue_mom_growth": _q_revenue_mom_growth,
+        "span_corrupt": _q_span_corrupt,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         # final TPC-H-shape sweep (Q6/Q13/Q15/Q17/Q19 shapes)

@@ -274,6 +274,7 @@ def run_bench() -> dict:
         "concurrent_sessions",
         "orders_above_cust_avg",
         "revenue_mom_growth",
+        "span_corrupt",
     ]:
         best = None
         for _ in range(repeats):

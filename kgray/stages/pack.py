@@ -467,3 +467,149 @@ def bpe_encode(
         )
 
     return docs.map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (deterministic, reconstruction-invariant)
+# ---------------------------------------------------------------------------
+
+def span_corrupt(
+    sf_dir: str,
+    corrupt_rate: float = 0.15,
+    mean_span: int = 3,
+    seed: int = 17,
+) -> "ray.data.Dataset":
+    """(doc_id, inputs, targets, n_tokens, n_masked, n_spans): T5-style
+    span-corruption pairs (Raffel et al. 2020, arXiv:1910.10683) — mask
+    ~``corrupt_rate`` of each document's tokens in contiguous spans of
+    mean length ``mean_span``, replace each masked span with a per-doc
+    sentinel <X0>, <X1>, ... in ``inputs``, and emit the dropped spans
+    behind the same sentinels in ``targets``.
+
+    Deterministic WITHOUT RNG state: each token's span-start decision
+    and span length derive from a splitmix-style integer hash of
+    (seed, doc_id, position), so any worker, any batch split, any retry
+    produces the same corruption — the same device-independent
+    randomness convention as shuffle_order / weighted_sample.  A span
+    starts where hash < rate/mean_span · 2^64 and runs
+    1 + hash' % (2·mean_span − 1) tokens (mean ``mean_span``);
+    overlapping spans merge into one sentinel.
+
+    PURE MAP, fully vectorized: one pass, no shuffle, no per-token
+    Python.  The mask is a SEGMENTED running maximum of span reaches
+    (doc-offset trick keeps the cummax from crossing documents), span
+    ids are the gaps-and-islands change-point cumsum, and both output
+    strings assemble through one sort + groupby-join over tagged
+    emission rows.  Invariant (pytest): splicing targets' spans into
+    inputs' sentinel slots reconstructs the original text byte-for-byte.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    p_start = corrupt_rate / mean_span
+    span_mod = np.uint64(2 * mean_span - 1)
+    M1 = np.uint64(0x9E3779B97F4A7C15)
+    M2 = np.uint64(0xBF58476D1CE4E5B9)
+    M3 = np.uint64(0x94D049BB133111EB)
+    thresh = np.uint64(int(p_start * 2.0**64))
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * M2
+            x = (x ^ (x >> np.uint64(27))) * M3
+            return x ^ (x >> np.uint64(31))
+
+    EMPTY = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "inputs": pa.array([], pa.string()),
+        "targets": pa.array([], pa.string()),
+        "n_tokens": pa.array([], pa.int64()),
+        "n_masked": pa.array([], pa.int64()),
+        "n_spans": pa.array([], pa.int64()),
+    })
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().reset_index(drop=True)
+        if df.empty:
+            return EMPTY
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        d = d[d.token.notna() & (d.token != "")].reset_index()
+        if d.empty:
+            return EMPTY
+        row = d["index"].to_numpy(np.int64)       # batch-local doc row
+        doc_ids = df.doc_id.to_numpy(np.int64)
+        n = len(d)
+
+        # position of each token within its document
+        new_doc = np.ones(n, dtype=bool)
+        new_doc[1:] = row[1:] != row[:-1]
+        first = np.where(new_doc, np.arange(n), 0)
+        np.maximum.accumulate(first, out=first)
+        pos = np.arange(n) - first
+
+        with np.errstate(over="ignore"):
+            h = _mix(
+                np.uint64(seed) * M1
+                + doc_ids[row].astype(np.uint64) * M2
+                + pos.astype(np.uint64) * M1
+            )
+        starts = h < thresh
+        span_len = (np.uint64(1) + _mix(h + M3) % span_mod).astype(np.int64)
+
+        # masked[i] <=> some span start j <= i in the same doc reaches
+        # past i: segmented running max of (pos + len), doc-offset so the
+        # cummax never crosses documents
+        BIG = np.int64(1) << np.int64(40)
+        reach = np.where(starts, row * BIG + pos + span_len, -1)
+        floor_key = row * BIG - 1
+        keyed = np.maximum.accumulate(np.where(new_doc, floor_key, -1))
+        keyed = np.maximum.accumulate(np.maximum(keyed, reach))
+        masked = keyed > row * BIG + pos
+
+        prev_masked = np.concatenate(([False], masked[:-1]))
+        span_start = masked & (~prev_masked | new_doc)
+
+        # per-doc sentinel index k for each span-start row
+        sd = np.cumsum(span_start)
+        prior = (sd - span_start)[first]  # spans before this doc
+        k = sd - prior - 1                # valid at span-start rows
+
+        tok = d.token.to_numpy(object)
+        sent = np.char.add(
+            np.char.add("<X", k.astype(np.int64).astype(str)), ">"
+        ).astype(object)
+
+        # tagged emission rows: sentinels sort before the tokens at the
+        # same position (a span-start position is always masked, so no
+        # unmasked token collides with its sentinel slot in inputs)
+        def assemble(sel_tok: np.ndarray, colname: str) -> pd.Series:
+            e_row = np.concatenate([row[span_start], row[sel_tok]])
+            e_pos = np.concatenate([pos[span_start], pos[sel_tok]])
+            e_ord = np.concatenate([
+                np.zeros(int(span_start.sum()), np.int8),
+                np.ones(int(sel_tok.sum()), np.int8),
+            ])
+            e_item = np.concatenate([sent[span_start], tok[sel_tok]])
+            f = pd.DataFrame({"r": e_row, "p": e_pos, "o": e_ord,
+                              "item": e_item})
+            f = f.sort_values(["r", "p", "o"], kind="mergesort")
+            return f.groupby("r").item.agg(" ".join).rename(colname)
+
+        inputs = assemble(~masked, "inputs")
+        targets = assemble(masked, "targets")
+
+        idx = pd.RangeIndex(len(df))
+        out = pd.DataFrame({
+            "doc_id": doc_ids,
+            "inputs": inputs.reindex(idx, fill_value=""),
+            "targets": targets.reindex(idx, fill_value=""),
+            "n_tokens": pd.Series(np.bincount(row, minlength=len(df))
+                                  .astype(np.int64)),
+            "n_masked": pd.Series(
+                np.bincount(row, weights=masked, minlength=len(df))
+                .astype(np.int64)),
+            "n_spans": pd.Series(
+                np.bincount(row, weights=span_start, minlength=len(df))
+                .astype(np.int64)),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return docs.map_batches(corrupt, batch_format="pyarrow")
