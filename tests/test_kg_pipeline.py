@@ -174,3 +174,15 @@ def test_pipeline_is_deterministic_across_runs():
     e2, n2 = run_once()
     pd.testing.assert_frame_equal(e1, e2)
     pd.testing.assert_frame_equal(n1, n2)
+
+
+def test_zero_document_corpus_yields_empty_graph():
+    """The flagship on an empty corpus: 0 edges, 0 nodes, no crash —
+    every stage must tolerate empty blocks end to end."""
+    from kgray.corpus import generate_documents
+    from kgray.pipelines.kg import run_kg_pipeline
+
+    docs, _, _ = generate_documents(3, seed=42)
+    res = run_kg_pipeline(ray.data.from_arrow(docs.slice(0, 0)))
+    assert res.edges.count() == 0
+    assert res.nodes.count() == 0
