@@ -93,6 +93,21 @@ def shipping_priority(
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    def final_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        ).agg(revenue=("revenue", "sum"))
+
+    sort_cols = ["revenue", "o_orderdate", "l_orderkey"]
+    asc = [False, True, True]
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=asc).head(k)
+
+    # join + reduce + top-k fusion (post_fn): the join co-locates every
+    # revenue partial of an order key, so the per-order sum AND the
+    # per-partition top-k combiner run inside the join task; the driver
+    # then reduces <= partitions x k candidate rows
     joined = repartition_join(
         li.map_batches(li_partial, batch_format="pyarrow"),
         o_filt,
@@ -104,24 +119,10 @@ def shipping_priority(
             "o_orderdate": pa.timestamp("us"),
             "o_orderpriority": pa.string(),
         },
+        post_fn=lambda df: block_topk(final_reduce(df)),
     )
 
-    def final_reduce(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(
-            ["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
-        ).agg(revenue=("revenue", "sum"))
-
-    agg = coarse_grouped_map(joined, "l_orderkey", final_reduce)
-
-    sort_cols = ["revenue", "o_orderdate", "l_orderkey"]
-    asc = [False, True, True]
-
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(sort_cols, ascending=asc).head(k)
-
-    cand = agg.map_batches(
-        block_topk, batch_format="pandas", batch_size=None
-    ).to_pandas()
+    cand = joined.to_pandas()
     t = cand.sort_values(sort_cols, ascending=asc).head(k).reset_index(
         drop=True
     )

@@ -264,17 +264,6 @@ def small_quantity_revenue(
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )
 
-    branded = repartition_join(
-        li,
-        part.map_batches(brand_keys, batch_format="pyarrow"),
-        left_on="l_partkey",
-        right_on="p_partkey",
-        left_types={"l_partkey": pa.int64(), "l_quantity": pa.float64(),
-                    "l_extendedprice": pa.float64()},
-        right_types={"p_partkey": pa.int64()},
-        how="semi",
-    )
-
     def per_part_filter_sum(df: pd.DataFrame) -> pd.DataFrame:
         # all rows of a part key are in this partition by construction:
         # correlated avg + threshold filter + partial sum in one pass
@@ -286,7 +275,20 @@ def small_quantity_revenue(
         cents = _cents(sel.l_extendedprice.to_numpy()).sum() if len(sel) else 0
         return pd.DataFrame({"cents": [int(cents)]})
 
-    partials = coarse_grouped_map(branded, "l_partkey", per_part_filter_sum)
+    # fused (post_fn): the semi join is part-keyed, so the correlated
+    # pass runs inside the join task — the docstring's "no second
+    # shuffle" now holds literally
+    partials = repartition_join(
+        li,
+        part.map_batches(brand_keys, batch_format="pyarrow"),
+        left_on="l_partkey",
+        right_on="p_partkey",
+        left_types={"l_partkey": pa.int64(), "l_quantity": pa.float64(),
+                    "l_extendedprice": pa.float64()},
+        right_types={"p_partkey": pa.int64()},
+        how="semi",
+        post_fn=per_part_filter_sum,
+    )
     total = partials.sum("cents")
     return ray.data.from_arrow(
         pa.table(

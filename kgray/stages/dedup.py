@@ -1006,7 +1006,16 @@ def dedup_incremental(
         seen_partial, batch_format="pyarrow"
     )
 
-    survivors = repartition_join(
+    def keep_first(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby("text", as_index=False).agg(
+            doc_id=("doc_id", "min")
+        )
+        return out[["doc_id", "text"]]
+
+    # join + reduce fusion: the anti join is text-keyed, so the
+    # keep-first reduce (also text-keyed) runs inside the join task —
+    # the survivor table never re-shuffles on the key it arrived on
+    return repartition_join(
         new_docs.select_columns(["text", "doc_id"]),
         seen_texts,
         "text",
@@ -1014,14 +1023,5 @@ def dedup_incremental(
         {"text": pa.string(), "doc_id": pa.int64()},
         {"text": pa.string()},
         how="anti",
+        post_fn=keep_first,
     )
-
-    def keep_first(df: "pd.DataFrame") -> "pd.DataFrame":
-        out = df.groupby("text", as_index=False).agg(
-            doc_id=("doc_id", "min")
-        )
-        return out[["doc_id", "text"]]
-
-    from ..utils import coarse_grouped_map
-
-    return coarse_grouped_map(survivors, "text", keep_first)
