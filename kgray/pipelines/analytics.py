@@ -49,7 +49,9 @@ def shipping_priority(
     result).  The fact↔fact hop lineitem↔orders runs as a distributed
     repartition join on the order key, with lineitem pre-aggregated per
     order inside map_batches so the join's left side carries ≤ one row per
-    (orderkey × block).
+    (orderkey × block); the per-order revenue sum and the per-partition
+    top-k combiner run FUSED inside the join task (post_fn), so the only
+    rows after the join's all-to-all are ≤ partitions × k candidates.
     """
     import pyarrow.parquet as pq
 

@@ -1501,12 +1501,14 @@ def tfidf_similar_docs(
     row); document frequencies by one term-keyed reduce; terms with
     df > ``max_df_frac``·N are DROPPED (stop-term pruning — the standard
     guard that keeps the inverted index's hot lists from going
-    quadratic, and exactly mirrored in the oracle); per-doc vector norms
-    fold map-side from the weighted tf·idf entries; pair partial dot
-    products group by the SHARED TERM (each term's posting list
-    self-merges in its partition — the neighbor_jaccard shape with
-    weights); pair-keyed reduce sums the dots; norms attach via two
-    repartition joins; final vectorized threshold filter.
+    quadratic, and exactly mirrored in the oracle); the df join is
+    token-keyed, so the weighting, each term's posting-list self-merge
+    (pair partial dot products), AND the per-doc norm partials all run
+    FUSED inside the join's partition task (repartition_join post_fn) —
+    the weighted posting table is never materialized or re-shuffled;
+    a pair-keyed reduce sums the dots, a doc-keyed reduce finishes the
+    norms, and the two norm attachments are repartition joins; final
+    vectorized threshold filter.
 
     Exactness: per-term dot/norm contributions are quantized to the
     1e-9 grid as int64 BEFORE summation (floor(x·1e9+0.5)), so the
