@@ -1515,6 +1515,12 @@ def _q_revenue_mom_growth(sf_dir: str):
     return revenue_mom_growth(sf_dir)
 
 
+def _q_association_rules(sf_dir: str):
+    from kgray.pipelines.analytics import association_rules
+
+    return association_rules(sf_dir)
+
+
 def _q_span_corrupt(sf_dir: str):
     # rows-only by nature: the deterministic hash-seeded masking is
     # checked by pytest invariants (byte-exact reconstruction,
@@ -2270,6 +2276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": _q_concurrent_sessions,
         "orders_above_cust_avg": _q_orders_above_cust_avg,
         "revenue_mom_growth": _q_revenue_mom_growth,
+        "association_rules": _q_association_rules,
         "span_corrupt": _q_span_corrupt,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
@@ -2736,6 +2743,28 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
 FROM s GROUP BY user_id, sess_id
+""",
+        # market-basket rules: basket self-join pair counts + item
+        # counts, double ratios of exact int counts rounded 1e-6
+        "association_rules": """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS N FROM lineitem),
+item AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
+pair AS (SELECT x.l_partkey AS a, y.l_partkey AS bp, count(*) AS nab
+         FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+         WHERE x.l_partkey < y.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+dir AS (SELECT a AS ante, bp AS cons, nab FROM pair
+        UNION ALL SELECT bp AS ante, a AS cons, nab FROM pair)
+SELECT d.ante, d.cons, d.nab AS n_both,
+       ia.c AS n_ante, ic.c AS n_cons,
+       floor(d.nab / n.N * 1000000 + 0.5) / 1000000 AS support,
+       floor(d.nab / ia.c * 1000000 + 0.5) / 1000000 AS confidence,
+       floor(CAST(d.nab AS DOUBLE) * n.N / (ia.c * ic.c)
+             * 1000000 + 0.5) / 1000000 AS lift
+FROM dir d, n
+JOIN item ia ON ia.l_partkey = d.ante
+JOIN item ic ON ic.l_partkey = d.cons
 """,
         # correlated subquery decorrelated: aggregate per key, join
         # back, integer cross-multiplied predicate (no division)

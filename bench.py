@@ -275,6 +275,7 @@ def run_bench() -> dict:
         "orders_above_cust_avg",
         "revenue_mom_growth",
         "span_corrupt",
+        "association_rules",
     ]:
         best = None
         for _ in range(repeats):

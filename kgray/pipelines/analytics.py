@@ -3110,3 +3110,116 @@ def revenue_mom_growth(sf_dir: str) -> "ray.data.Dataset":
         "growth_pct": growth,
     })
     return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+def association_rules(
+    sf_dir: str, min_pair_orders: int = 2
+) -> "ray.data.Dataset":
+    """(ante, cons, n_both, n_ante, n_cons, support, confidence, lift):
+    directed association rules over parts co-purchased in the same order
+    — the classic market-basket mining output (Agrawal & Srikant 1994),
+    thresholded on pair support ``min_pair_orders``.
+
+    support(a→b)    = n_ab / N          (N = distinct orders)
+    confidence(a→b) = n_ab / n_a
+    lift(a→b)       = n_ab · N / (n_a · n_b)
+
+    Distributed shape: pair counts reuse part_copurchase_pairs' bounded
+    per-order self-join (combiner inside each order-keyed partition);
+    item counts are a combiner-first keyed reduce over distinct
+    (order, part) baskets; N is one distinct-count scalar.  The two
+    count attachments are part-keyed repartition joins — the rule table
+    is the fact side, the item-count table the (part-bounded) build
+    side.  All ratios are double divisions of exact int64 counts,
+    rounded half-up to 1e-6 identically in the oracle.
+    """
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def distinct_orders_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o": batch.column("l_orderkey")})
+        return t.group_by("o").aggregate([])
+
+    n_orders = coarse_grouped_map(
+        li.map_batches(distinct_orders_partial, batch_format="pyarrow"),
+        "o",
+        lambda d: d.drop_duplicates("o"),
+        num_partitions=8,
+    ).count()
+    N = float(n_orders)
+
+    def basket_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    item_counts = coarse_grouped_map(
+        li.map_batches(basket_partial, batch_format="pyarrow"),
+        "l_partkey",
+        lambda d: d.drop_duplicates().groupby(
+            "l_partkey", as_index=False
+        ).agg(c=("l_orderkey", "size")),
+    )
+
+    thr = int(min_pair_orders)
+
+    def directed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.n_orders >= thr]
+        return pd.DataFrame({
+            "ante": np.concatenate([df.part_a.to_numpy(np.int64),
+                                    df.part_b.to_numpy(np.int64)]),
+            "cons": np.concatenate([df.part_b.to_numpy(np.int64),
+                                    df.part_a.to_numpy(np.int64)]),
+            "n_both": np.concatenate([df.n_orders.to_numpy(np.int64)] * 2),
+        })
+
+    rules = part_copurchase_pairs(sf_dir).map_batches(
+        directed, batch_format="pandas"
+    )
+
+    with_ante = repartition_join(
+        rules,
+        item_counts.map_batches(
+            lambda b: pa.table({"pa_": b.column("l_partkey"),
+                                "n_ante": b.column("c")}),
+            batch_format="pyarrow",
+        ),
+        "ante",
+        "pa_",
+        {"ante": pa.int64(), "cons": pa.int64(), "n_both": pa.int64()},
+        {"pa_": pa.int64(), "n_ante": pa.int64()},
+    )
+
+    with_both = repartition_join(
+        with_ante,
+        item_counts.map_batches(
+            lambda b: pa.table({"pc_": b.column("l_partkey"),
+                                "n_cons": b.column("c")}),
+            batch_format="pyarrow",
+        ),
+        "cons",
+        "pc_",
+        {"cons": pa.int64(), "ante": pa.int64(), "n_both": pa.int64(),
+         "n_ante": pa.int64()},
+        {"pc_": pa.int64(), "n_cons": pa.int64()},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nab = df.n_both.to_numpy(np.float64)
+        na = df.n_ante.to_numpy(np.float64)
+        nc = df.n_cons.to_numpy(np.float64)
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            "ante": df.ante.to_numpy(np.int64),
+            "cons": df.cons.to_numpy(np.int64),
+            "n_both": df.n_both.to_numpy(np.int64),
+            "n_ante": df.n_ante.to_numpy(np.int64),
+            "n_cons": df.n_cons.to_numpy(np.int64),
+            "support": r6(nab / N),
+            "confidence": r6(nab / na),
+            "lift": r6(nab * N / (na * nc)),
+        })
+
+    return with_both.map_batches(finish, batch_format="pandas")

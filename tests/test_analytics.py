@@ -227,3 +227,26 @@ def test_revenue_mom_growth_lag_semantics(tmp_path):
     assert out.loc[202402, "growth_pct"] == 100.0
     assert out.loc[202405, "prev_revenue"] == 300.0
     assert out.loc[202405, "growth_pct"] == -50.0
+
+
+def test_association_rules_hand_example(tmp_path):
+    """Baskets {1,2},{1,2},{1,3},{2}: rule 1->2 has n_both=2, n_1=3,
+    n_2=3, N=4 -> support .5, confidence 2/3, lift 8/9."""
+    from kgray.pipelines.analytics import association_rules
+
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3), (13, 2)]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    li["l_quantity"] = 1.0
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = association_rules(str(tmp_path), min_pair_orders=2).to_pandas()
+    out = out.set_index(["ante", "cons"])
+    r = out.loc[(1, 2)]
+    assert r.n_both == 2 and r.n_ante == 3 and r.n_cons == 3
+    assert r.support == 0.5
+    assert abs(r.confidence - 2 / 3) < 2e-6
+    assert abs(r.lift - 8 / 9) < 2e-6
+    # symmetric direction shares n_both but swaps the denominators
+    r2 = out.loc[(2, 1)]
+    assert r2.n_both == 2 and r2.n_ante == 3
+    # the {1,3} pair appears once -> below min_pair_orders, no rule
+    assert (1, 3) not in out.index and (3, 1) not in out.index
