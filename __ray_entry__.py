@@ -1515,6 +1515,12 @@ def _q_revenue_mom_growth(sf_dir: str):
     return revenue_mom_growth(sf_dir)
 
 
+def _q_rolling_active_users(sf_dir: str):
+    from kgray.pipelines.analytics import rolling_active_users
+
+    return rolling_active_users(sf_dir)
+
+
 def _q_association_rules(sf_dir: str):
     from kgray.pipelines.analytics import association_rules
 
@@ -2277,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": _q_orders_above_cust_avg,
         "revenue_mom_growth": _q_revenue_mom_growth,
         "association_rules": _q_association_rules,
+        "rolling_active_users": _q_rolling_active_users,
         "span_corrupt": _q_span_corrupt,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
@@ -2743,6 +2750,16 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
 FROM s GROUP BY user_id, sess_id
+""",
+        # sliding COUNT DISTINCT via bounded window expansion; epoch-day
+        # ints on both sides
+        "rolling_active_users": """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT date_diff('day', DATE '1970-01-01', d.day) AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_users
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
 """,
         # market-basket rules: basket self-join pair counts + item
         # counts, double ratios of exact int counts rounded 1e-6

@@ -276,6 +276,7 @@ def run_bench() -> dict:
         "revenue_mom_growth",
         "span_corrupt",
         "association_rules",
+        "rolling_active_users",
     ]:
         best = None
         for _ in range(repeats):

@@ -3223,3 +3223,76 @@ def association_rules(
         })
 
     return with_both.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct active users (sliding COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+def rolling_active_users(
+    sf_dir: str, window_days: int = 7
+) -> "ray.data.Dataset":
+    """(day, active_users): distinct users active in the trailing
+    ``window_days`` window ending at each observed day — the sliding
+    COUNT DISTINCT, which no subtract-the-leaving-bucket trick can
+    compute (distinct is not subtractable).
+
+    The scalable identity: user u counts toward day d iff u was active
+    on some day in [d-window+1, d], i.e. each distinct (user, day)
+    activity pair COVERS the days [day, day+window-1].  So: distinct
+    (user, day) pairs collapse map-side, each expands to its ≤ window
+    covered days (np.repeat — a bounded ×window blowup of the already
+    user×day-bounded pair table), one coverday-keyed all-to-all, and
+    each partition deduplicates (user, coverday) and counts distinct
+    users per day vectorized.  Output days clip to the OBSERVED day set
+    (calendar-bounded driver list, same documented small side as
+    running_distinct_users).
+    """
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    W = int(window_days)
+
+    def day_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.ts.astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        return pd.DataFrame(
+            {"user_id": df.user_id.to_numpy(np.int64), "day": d}
+        ).drop_duplicates()
+
+    pairs = ev.map_batches(
+        day_pairs, batch_format="pandas"
+    ).materialize()  # feeds the observed-day set AND the expansion
+
+    observed = set(
+        coarse_grouped_map(
+            pairs.select_columns(["day"]),
+            "day",
+            lambda d: d.drop_duplicates(),
+            num_partitions=4,
+        ).to_pandas().day  # calendar-bounded
+    )
+    obs_ref = ray.put(observed)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        obs = ray.get(obs_ref)
+        u = np.repeat(df.user_id.to_numpy(np.int64), W)
+        d = np.repeat(df.day.to_numpy(np.int64), W) + np.tile(
+            np.arange(W, dtype=np.int64), len(df)
+        )
+        out = pd.DataFrame({"user_id": u, "coverday": d})
+        return out[out.coverday.isin(obs)].drop_duplicates()
+
+    def count_day(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("coverday", as_index=False).agg(
+            active_users=("user_id", "nunique")
+        )
+        return pd.DataFrame({
+            "day": g.coverday.to_numpy(np.int64),
+            "active_users": g.active_users.to_numpy(np.int64),
+        })
+
+    return coarse_grouped_map(
+        pairs.map_batches(expand, batch_format="pandas"),
+        "coverday",
+        count_day,
+        num_partitions=8,
+    )

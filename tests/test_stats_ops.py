@@ -353,3 +353,34 @@ def test_concurrent_sessions_range_carry(tmp_path):
         "datetime64[us]").astype(np.int64) // 3_600_000_000)
     assert out.loc[hour0 + 5, "peak_concurrent"] == 2  # overlap hour
     assert out.loc[hour0 + 20, "peak_concurrent"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Sliding COUNT DISTINCT (rolling_active_users)
+# ---------------------------------------------------------------------------
+
+def test_rolling_active_users_gap_semantics(tmp_path):
+    """A user inactive for > window days drops out; gaps in the observed
+    day set emit no row (only observed days report)."""
+    from kgray.pipelines.analytics import rolling_active_users
+
+    d = pd.Timestamp("2024-05-01")
+    day = pd.Timedelta(days=1)
+    rows = [
+        (1, d),                 # user 1 active day 0 only
+        (2, d), (2, d + 9 * day),   # user 2 active days 0 and 9
+        (3, d + 9 * day),       # user 3 active day 9 only
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ev["event_type"] = "x"
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+
+    out = rolling_active_users(str(tmp_path), window_days=7) \
+        .to_pandas().set_index("day")
+    d0 = int(d.to_datetime64().astype("datetime64[us]").astype(np.int64)
+             // 86_400_000_000)
+    # only observed days 0 and 9 report
+    assert sorted(out.index) == [d0, d0 + 9]
+    assert out.loc[d0, "active_users"] == 2          # users 1 and 2
+    # day 9's trailing week [3..9] excludes day-0 activity
+    assert out.loc[d0 + 9, "active_users"] == 2      # users 2 and 3
