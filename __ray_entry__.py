@@ -1515,6 +1515,12 @@ def _q_revenue_mom_growth(sf_dir: str):
     return revenue_mom_growth(sf_dir)
 
 
+def _q_kwic(sf_dir: str):
+    from kgray.stages.text_analysis import kwic_snippets
+
+    return kwic_snippets(sf_dir)
+
+
 def _q_rolling_active_users(sf_dir: str):
     from kgray.pipelines.analytics import rolling_active_users
 
@@ -2284,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_mom_growth": _q_revenue_mom_growth,
         "association_rules": _q_association_rules,
         "rolling_active_users": _q_rolling_active_users,
+        "kwic": _q_kwic,
         "span_corrupt": _q_span_corrupt,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
@@ -2750,6 +2757,15 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
 FROM s GROUP BY user_id, sess_id
+""",
+        # keyword-in-context: strpos/substr parity (ASCII corpus —
+        # char positions == byte positions on both engines)
+        "kwic": """
+SELECT doc_id, CAST(strpos(text, 'window') AS BIGINT) AS pos,
+       substr(text, greatest(1, strpos(text, 'window') - 24),
+              strpos(text, 'window') + 6 + 24
+              - greatest(1, strpos(text, 'window') - 24)) AS snippet
+FROM documents WHERE strpos(text, 'window') > 0
 """,
         # sliding COUNT DISTINCT via bounded window expansion; epoch-day
         # ints on both sides

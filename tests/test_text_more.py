@@ -197,3 +197,29 @@ def test_bpe_encode_matches_reference_encoder():
     # merging can only shorten: subwords <= chars+1 per word, and
     # >= words (every word is at least one symbol)
     assert (out.n_subwords >= out.n_words).all()
+
+
+def test_kwic_window_clipping(tmp_path):
+    from kgray.stages.text_analysis import kwic_snippets
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "window at the very start of this line",   # clip left
+            "a line that puts the term window here x",  # interior
+            "no match in this one at all",              # absent
+            "ends with the word window",                # clip right
+        ],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = kwic_snippets(str(tmp_path), term="window", width=10) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [0, 1, 3]
+    assert out.loc[0, "pos"] == 1
+    assert out.loc[0, "snippet"] == "window at the ve"       # 6 + 10
+    t = docs.text[1]
+    f = t.find("window")
+    assert out.loc[1, "snippet"] == t[f - 10:f + 16]
+    t3 = docs.text[3]
+    f3 = t3.find("window")
+    assert out.loc[3, "snippet"] == t3[f3 - 10:]             # right clip
