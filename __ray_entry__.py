@@ -1515,6 +1515,12 @@ def _q_revenue_mom_growth(sf_dir: str):
     return revenue_mom_growth(sf_dir)
 
 
+def _q_events_histogram(sf_dir: str):
+    from kgray.pipelines.analytics import events_histogram
+
+    return events_histogram(sf_dir)
+
+
 def _q_kwic(sf_dir: str):
     from kgray.stages.text_analysis import kwic_snippets
 
@@ -2290,6 +2296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_mom_growth": _q_revenue_mom_growth,
         "association_rules": _q_association_rules,
         "rolling_active_users": _q_rolling_active_users,
+        "events_histogram": _q_events_histogram,
         "kwic": _q_kwic,
         "span_corrupt": _q_span_corrupt,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -2757,6 +2764,20 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
 FROM s GROUP BY user_id, sess_id
+""",
+        # equal-width histogram: identical double bin-edge arithmetic
+        # (parquet double stats are exact, so stats min/max == true)
+        "events_histogram": """
+WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (SELECT event_type,
+             CAST(least(floor((value - lo) / ((hi - lo) / 16)), 15)
+                  AS BIGINT) AS bin
+      FROM events, s)
+SELECT event_type, bin,
+       lo + bin * ((hi - lo) / 16) AS bin_lo,
+       lo + (bin + 1) * ((hi - lo) / 16) AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b, s GROUP BY 1, 2, lo, hi
 """,
         # keyword-in-context: strpos/substr parity (ASCII corpus —
         # char positions == byte positions on both engines)

@@ -277,6 +277,7 @@ def run_bench() -> dict:
         "span_corrupt",
         "association_rules",
         "rolling_active_users",
+        "events_histogram",
     ]:
         best = None
         for _ in range(repeats):

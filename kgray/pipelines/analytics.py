@@ -3296,3 +3296,76 @@ def rolling_active_users(
         count_day,
         num_partitions=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram per event type
+# ---------------------------------------------------------------------------
+
+def events_histogram(sf_dir: str, n_bins: int = 16) -> "ray.data.Dataset":
+    """(event_type, bin, bin_lo, bin_hi, n): equal-width histogram of
+    ``value`` per event type over the GLOBAL value range — the profiling
+    primitive behind every distribution dashboard.
+
+    Bounds come from the parquet column statistics when present (driver
+    metadata read, no data pass; stats always cover the true range) with
+    a distributed min/max fallback — the ks_statistic pattern.  Bin
+    assignment is one vectorized floor per batch with the top edge
+    clamped into the last bin (v == max), partial (type, bin) counts
+    collapse map-side, and the keyed reduce moves ≤ |types| × n_bins
+    rows.  Bin edges are pure double arithmetic (lo + i·width) computed
+    identically in the oracle, so the output is hash-exact.
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    idx = pf.schema_arrow.get_field_index("value")
+    lo, hi = np.inf, -np.inf
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo, hi = np.inf, -np.inf
+            break
+        lo, hi = min(lo, st.min), max(hi, st.max)
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        lo = ev.min("value")
+        hi = ev.max("value")
+        if lo is None or hi is None:
+            return ray.data.from_arrow(pa.schema([
+                ("event_type", pa.string()), ("bin", pa.int64()),
+                ("bin_lo", pa.float64()), ("bin_hi", pa.float64()),
+                ("n", pa.int64()),
+            ]).empty_table())
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / n_bins or 1.0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.value.to_numpy(np.float64)
+        b = np.minimum(
+            np.floor((v - lo) / width).astype(np.int64), n_bins - 1
+        )
+        g = pd.DataFrame({"event_type": df.event_type, "bin": b}) \
+            .groupby(["event_type", "bin"], as_index=False) \
+            .agg(n=("bin", "size"))
+        g["n"] = g.n.astype(np.int64)
+        return g
+
+    def reduce_bins(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "bin"], as_index=False).agg(
+            n=("n", "sum")
+        )
+        b = g.bin.to_numpy(np.float64)
+        g["bin_lo"] = lo + b * width
+        g["bin_hi"] = lo + (b + 1.0) * width
+        g["n"] = g.n.astype(np.int64)
+        return g[["event_type", "bin", "bin_lo", "bin_hi", "n"]]
+
+    return coarse_grouped_map(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "bin"],
+        reduce_bins,
+        num_partitions=4,
+    )

@@ -384,3 +384,26 @@ def test_rolling_active_users_gap_semantics(tmp_path):
     assert out.loc[d0, "active_users"] == 2          # users 1 and 2
     # day 9's trailing week [3..9] excludes day-0 activity
     assert out.loc[d0 + 9, "active_users"] == 2      # users 2 and 3
+
+
+# ---------------------------------------------------------------------------
+# Equal-width grouped histogram (events_histogram)
+# ---------------------------------------------------------------------------
+
+def test_events_histogram_conservation_and_edges():
+    from kgray.pipelines.analytics import events_histogram
+
+    out = events_histogram(SF).to_pandas()
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["event_type", "value"])
+    # every event lands in exactly one bin
+    assert int(out.n.sum()) == len(ev)
+    per_type = out.groupby("event_type").n.sum()
+    ref = ev.groupby("event_type").size()
+    assert (per_type.sort_index() == ref.sort_index()).all()
+    # bins tile [min, max] without gaps and the top value is included
+    lo, hi = ev.value.min(), ev.value.max()
+    w = (hi - lo) / 16
+    for _, r in out.iterrows():
+        assert abs(r.bin_lo - (lo + r.bin * w)) < 1e-9
+        assert 0 <= r.bin <= 15
