@@ -53,6 +53,33 @@ def _tf_rows(batch: pa.Table) -> pa.Table:
                                 preserve_index=False)
 
 
+_TF_CACHE: dict = {}
+
+
+def _tf_table(sf_dir: str) -> "ray.data.Dataset":
+    """The (doc_id, token, tf) table for ``sf_dir``, memoized per Ray
+    session — shared-scan elimination across the TF-IDF / unigram-LM /
+    BM25 family (same pattern as __ray_entry__._kg_result): four
+    operators tokenize the identical corpus identically, so the
+    materialized posting table is built once per session and reused.
+    The cache key includes the session address so a dataset never
+    outlives the object store holding its blocks; the table is
+    token-row-sized (already combiner-collapsed per doc), the exact
+    thing each caller materialized anyway."""
+    try:
+        session = ray.get_runtime_context().gcs_address
+    except Exception:
+        session = None
+    key = (sf_dir, session)
+    hit = _TF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    tf = docs.map_batches(_tf_rows, batch_format="pyarrow").materialize()
+    _TF_CACHE[key] = tf
+    return tf
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
     """Top-k TF-IDF terms per document: tfidf = tf · ln(N/df).
 
@@ -73,7 +100,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
 
     # pinned: feeds both the df aggregate and the join (lazy lineage
     # would re-run the tokenize+count per consumer)
-    tf = docs.map_batches(_tf_rows, batch_format="pyarrow").materialize()
+    tf = _tf_table(sf_dir)
 
     def df_partial(batch: pa.Table) -> pa.Table:
         # (doc_id, token) rows are globally unique after _tf_rows, so
@@ -625,7 +652,7 @@ def unigram_nll(sf_dir: str) -> "ray.data.Dataset":
     """
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
-    tf = docs.map_batches(_tf_rows, batch_format="pyarrow").materialize()
+    tf = _tf_table(sf_dir)
 
     def count_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -1737,7 +1764,7 @@ def bm25_topk(
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n_docs = float(docs.count())
 
-    tf = docs.map_batches(_tf_rows, batch_format="pyarrow").materialize()
+    tf = _tf_table(sf_dir)
     avgdl = float(tf.sum("tf")) / n_docs  # Σtf = Σdl, exact int sum
 
     dl = coarse_grouped_map(
