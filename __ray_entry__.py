@@ -634,7 +634,7 @@ def _q_graph_summaries(sf_dir: str):
 
     docs, _, _ = generate_documents(40, seed=42)
     res = run_kg_pipeline(ray.data.from_arrow(docs))
-    graphs = build_document_graphs(res.edges, res.unary_nodes, res.url_map)
+    graphs = build_document_graphs(res.edges, res.unary_nodes, res.annotation_urls)
     return name_graphs(graphs).select_columns(
         ["doc_id", "n_nodes", "n_edges", "pmid", "journal", "network_name"]
     )

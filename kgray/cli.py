@@ -203,7 +203,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         res = run_kg_pipeline(docs, cfg)
         graphs = build_document_graphs(
-            res.edges, res.unary_nodes, res.url_map, style=style
+            res.edges, res.unary_nodes, res.annotation_urls, style=style
         )
 
     os.makedirs(args.output_dir, exist_ok=True)

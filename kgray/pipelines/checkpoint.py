@@ -375,6 +375,12 @@ _ANN_URL_SCHEMA = pa.schema(
         pa.field("url", pa.string()),
     ]
 )
+_URL_AGG_SCHEMA = pa.schema(
+    [
+        pa.field("entry_name", pa.string()),
+        pa.field("url", pa.string()),
+    ]
+)
 _GRAPH_SCHEMA = pa.schema(
     [
         pa.field("doc_id", pa.string()),
@@ -462,42 +468,47 @@ def run_checkpointed_nodes(
     edges: "ray.data.Dataset",
     unary: "ray.data.Dataset",
     ann_urls: "ray.data.Dataset",
-) -> Tuple["ray.data.Dataset", Dict[str, str]]:
+) -> Tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Checkpointed node canonicalization (global stage): one manifest
     recording the graph_prep partition set consumed; recomputes only when
-    that set changed, else streams nodes from parquet and reloads the
-    URL map from its sidecar JSON."""
+    that set changed, else streams nodes AND the (entry_name, url)
+    aggregate from parquet.  The URL aggregate is a sidecar DATASET, not
+    a JSON dict — it is vocabulary-sized and must never transit the
+    driver (r3 verdict)."""
     from ..stages.nodes import node_tables
 
     nodes_dir = os.path.join(st.ckpt_dir, "nodes")
-    url_map_path = os.path.join(st.ckpt_dir, "url_map.json")
+    url_agg_dir = os.path.join(st.ckpt_dir, "url_agg")
     man_path = os.path.join(st.manifest_dir, "nodes.json")
     pids = sorted(_stage_completed(st, _GRAPH_PREP))
+
+    def _read_dir(d: str, schema: pa.Schema) -> "ray.data.Dataset":
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ) if os.path.isdir(d) else []
+        if not files:  # legitimately-empty stage (e.g. zero annotations)
+            return ray.data.from_arrow(schema.empty_table())
+        cols = [f.name for f in schema]
+        return ray.data.read_parquet(files).select_columns(cols)
 
     if os.path.exists(man_path):
         with open(man_path) as f:
             m = json.load(f)
         if m.get("status") == "complete" and m.get("input_partitions") == pids:
-            with open(url_map_path) as f:
-                url_map = json.load(f)
-            files = sorted(
-                os.path.join(nodes_dir, f)
-                for f in os.listdir(nodes_dir)
-                if f.endswith(".parquet")
+            return (
+                _read_dir(nodes_dir, schemas.NODES),
+                _read_dir(url_agg_dir, _URL_AGG_SCHEMA),
             )
-            cols = [f.name for f in schemas.NODES]
-            return ray.data.read_parquet(files).select_columns(cols), url_map
 
-    if os.path.isdir(nodes_dir):
-        shutil.rmtree(nodes_dir)  # stale / crashed partial
+    for d in (nodes_dir, url_agg_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)  # stale / crashed partial
     t0 = time.time()
-    nodes, url_map = node_tables(edges, unary, ann_urls)
+    nodes, url_agg = node_tables(edges, unary, ann_urls)
     nodes = nodes.materialize()
     nodes.write_parquet(nodes_dir)
-    tmp = url_map_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(url_map, f)
-    os.replace(tmp, url_map_path)
+    url_agg.write_parquet(url_agg_dir)
     manifest = {
         "version": MANIFEST_VERSION,
         "stage": "nodes",
@@ -511,17 +522,18 @@ def run_checkpointed_nodes(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, man_path)
-    return nodes, url_map
+    return nodes, url_agg
 
 
 def run_checkpointed_graphs(
     st: CheckpointState,
-    url_map: Dict[str, str],
     style=None,
 ) -> "ray.data.Dataset":
     """Checkpointed per-document CX2 assembly: computed only for
     partitions without a complete graphs manifest, reading that
-    partition's edges/unary parquet."""
+    partition's edges/unary/annotation-URL parquet (the per-document
+    URL maps are built inside each doc group from the co-partitioned
+    annotation_urls rows — no driver dict)."""
     from ..stages.graph import build_document_graphs
 
     graphs_dir = os.path.join(st.ckpt_dir, "graphs")
@@ -544,8 +556,13 @@ def run_checkpointed_graphs(
         unary = _read_stage(
             os.path.join(st.ckpt_dir, "unary"), _UNARY_SCHEMA, pids=pset
         )
+        ann_urls = _read_stage(
+            os.path.join(st.ckpt_dir, "annotation_urls"),
+            _ANN_URL_SCHEMA,
+            pids=pset,
+        )
         graphs = build_document_graphs(
-            edges, unary, url_map, style=style
+            edges, unary, ann_urls, style=style
         ).map_batches(
             _add_partition_column(st.num_partitions), batch_format="pyarrow"
         ).materialize()
@@ -583,8 +600,8 @@ def run_checkpointed_kg(
     )
     st = load_state(ckpt_dir, num_partitions)
     edges, unary, ann_urls = run_checkpointed_graph_prep(st)
-    nodes, url_map = run_checkpointed_nodes(st, edges, unary, ann_urls)
-    graphs = run_checkpointed_graphs(st, url_map, style=style)
+    nodes, url_agg = run_checkpointed_nodes(st, edges, unary, ann_urls)
+    graphs = run_checkpointed_graphs(st, style=style)
     res = KGResult(
         chunks=None,
         extractions=extractions,
@@ -592,6 +609,6 @@ def run_checkpointed_kg(
         unary_nodes=unary,
         annotation_urls=ann_urls,
         nodes=nodes,
-        url_map=url_map,
+        annotation_url_agg=url_agg,
     )
     return res, graphs

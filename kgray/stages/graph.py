@@ -89,14 +89,18 @@ def _document_cx2(
 
 
 _GRAPH_UNION_COLS = [
-    "doc_id", "span_seq", "stmt_seq", "kind", "subj", "pred", "obj",
-    "subj_label", "obj_label", "bel_expression", "text", "evidence", "name",
+    "doc_id", "span_seq", "stmt_seq", "ann_seq", "kind", "subj", "pred",
+    "obj", "subj_label", "obj_label", "bel_expression", "text", "evidence",
+    "name", "entry_name", "url",
 ]
+_GRAPH_UNION_TYPES = {"span_seq": "int32", "stmt_seq": "int32",
+                      "ann_seq": "int32"}
 
 
 def _tag_for_union(batch: "pa.Table", kind: int) -> "pa.Table":
-    """Project edge (kind=0) or unary (kind=1) rows onto the shared union
-    schema, nulling the columns the other side owns."""
+    """Project edge (kind=0), unary (kind=1) or annotation-URL (kind=2)
+    rows onto the shared union schema, nulling the columns the other
+    kinds own."""
     import pyarrow as pa
 
     n = batch.num_rows
@@ -110,36 +114,46 @@ def _tag_for_union(batch: "pa.Table", kind: int) -> "pa.Table":
                 col = col.cast(pa.string())
             cols[c] = col
         else:
-            cols[c] = pa.nulls(n, pa.string())
+            t = _GRAPH_UNION_TYPES.get(c)
+            cols[c] = pa.nulls(
+                n, pa.int32() if t == "int32" else pa.string()
+            )
     return pa.table(cols)
 
 
 def build_document_graphs(
     edges: "ray.data.Dataset",
     unary: "ray.data.Dataset",
-    url_map: Dict[str, str],
+    annotation_urls: "ray.data.Dataset",
     style: Optional[Dict[str, list]] = None,
 ) -> "ray.data.Dataset":
     """One row per document WITH ≥1 edge: (doc_id, cx2 JSON string,
     n_nodes, n_edges).
 
-    Edges and unary node records are tagged onto one shared schema and
-    unioned, so a single ``groupby(doc_id)`` co-groups both record kinds —
-    no driver-side collection, no per-group scan of a broadcast unary
-    table (the round-1 O(docs × unary_rows) pattern).  Documents whose
-    statements are all unary emit no graph row (parity with the edge-keyed
-    grouping the reference's per-document CX2 export implies).
+    Edges, unary node records AND annotation-URL records are tagged onto
+    one shared schema and unioned, so a single ``groupby(doc_id)``
+    co-groups all three record kinds — no driver-side collection, no
+    broadcast URL dict.  Each document's ``annotation_map`` is built
+    INSIDE its group from its own URL rows, first-wins in
+    (span_seq, ann_seq) order — exactly the reference's scope:
+    convert_to_cx2.py:77-82 builds the map from the one document's
+    ``extracted_results`` (convert_to_cx2 is invoked once per pmc_id,
+    main.py:82).  Documents whose statements are all unary emit no graph
+    row (parity with the edge-keyed grouping the reference's
+    per-document CX2 export implies).
 
     ``style``: pre-loaded visual aspects (``load_visual_style``) appended
     to every document's CX2 (reference --style_path / cx_style.json)."""
-    url_ref = ray.put(url_map)
     style_ref = ray.put(style)
     tagged = edges.map_batches(
         lambda b: _tag_for_union(b, 0), batch_format="pyarrow"
     ).union(
         unary.map_batches(
             lambda b: _tag_for_union(b, 1), batch_format="pyarrow"
-        )
+        ),
+        annotation_urls.map_batches(
+            lambda b: _tag_for_union(b, 2), batch_format="pyarrow"
+        ),
     )
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -147,13 +161,18 @@ def build_document_graphs(
         # C-indexed pandas groupby INSIDE the task (one Ray reduce call per
         # DOC would pay ~0.5 ms of per-group machinery each — see
         # utils.coarse_grouped_map)
-        urls = ray.get(url_ref)
         style_ = ray.get(style_ref)
         out = {"doc_id": [], "cx2": [], "n_nodes": [], "n_edges": []}
         for doc, gd in g.groupby("doc_id", sort=False):
             ge = gd[gd.kind == 0]
             if ge.empty:
                 continue
+            ga = gd[gd.kind == 2]
+            urls: Dict[str, str] = {}
+            if not ga.empty:
+                for r in ga.sort_values(["span_seq", "ann_seq"]).itertuples():
+                    if r.entry_name not in urls:
+                        urls[r.entry_name] = r.url
             cx = apply_style(
                 _document_cx2(ge, gd[gd.kind == 1], urls), style_
             )

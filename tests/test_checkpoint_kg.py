@@ -161,7 +161,7 @@ def test_nodes_manifest_tracks_partition_set(tmp_path):
     )
     assert man["input_partitions"] == prep_pids
     assert man["wall_time_sec"] >= 0
-    assert os.path.exists(os.path.join(ckpt, "url_map.json"))
+    assert os.path.isdir(os.path.join(ckpt, "url_agg"))  # sidecar DATASET, not a dict
 
 
 def test_cli_checkpoint_flag_resumes(tmp_path, ray_session):

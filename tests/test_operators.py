@@ -161,7 +161,7 @@ def test_document_graph_assembly():
     docs, _, _ = generate_documents(12, seed=9)
     res = run_kg_pipeline(ray.data.from_arrow(docs))
     graphs = build_document_graphs(
-        res.edges, res.unary_nodes, res.url_map
+        res.edges, res.unary_nodes, res.annotation_urls
     ).to_pandas()
     edges_pd = res.edges.to_pandas()
     assert set(graphs.doc_id) == set(edges_pd.doc_id)
