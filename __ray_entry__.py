@@ -79,30 +79,25 @@ def _kg_result(sf_dir: str):
     algorithm) share the same deterministic extraction prefix; without
     the memo each one re-runs the LLM/annotation stages from scratch.
     The shared tables are materialized ONCE (they are KG-sized —
-    entity/edge rows, not corpus-sized) and reused; the cache key
-    includes the Ray session address so datasets never outlive the
-    object store that holds their blocks.
+    entity/edge rows, not corpus-sized) and reused; utils.session_memo
+    evicts on session change and block-probes hits, so datasets never
+    outlive the object store that holds their blocks.
     """
-    import ray as _ray
-
     from kgray.pipelines.kg import run_kg_pipeline
     from kgray.sources.generic import generic_documents_dataset, generic_kg_config
+    from kgray.utils import session_memo
 
-    try:
-        session = _ray.get_runtime_context().gcs_address
-    except Exception:
-        session = None
-    key = (sf_dir, session)
-    hit = _KG_CACHE.get(key)
-    if hit is not None:
-        return hit
-    docs = generic_documents_dataset(sf_dir)
-    res = run_kg_pipeline(docs, generic_kg_config())
-    res.edges = res.edges.materialize()
-    res.nodes = res.nodes.materialize()
-    res.annotation_urls = res.annotation_urls.materialize()
-    _KG_CACHE[key] = res
-    return res
+    def build():
+        docs = generic_documents_dataset(sf_dir)
+        res = run_kg_pipeline(docs, generic_kg_config())
+        res.edges = res.edges.materialize()
+        res.nodes = res.nodes.materialize()
+        res.annotation_urls = res.annotation_urls.materialize()
+        return res
+
+    return session_memo(
+        _KG_CACHE, sf_dir, build, probe=lambda r: r.edges.take(1)
+    )
 
 
 def _q_kg_edges(sf_dir: str):
@@ -1686,19 +1681,24 @@ def _q_fuzzy_part_names(sf_dir: str):
         part, ["p_brand", "p_size"], "p_name", max_dist=2
     )
     # Threshold joins are legitimately empty at tiny scale (sf0.001 has no
-    # within-block name pair at distance <= 2); Ray 2.49's to_pandas() on a
-    # fully-empty dataset drops all columns (see utils.schema_floor), so
-    # hand the driver a TYPED empty Arrow table instead of the Dataset.
+    # within-block name pair at distance <= 2).  schema_floor pins the
+    # typed schema on the (possibly-empty) result — one return type, one
+    # schema definition.  Ray 2.49's to_pandas() on a fully-empty Dataset
+    # still drops columns (documented schema_floor limitation), so the
+    # empty case is handed over as a typed Arrow table.
     import pyarrow as pa
 
-    m = res.materialize()
-    if m.count() == 0:
-        return pa.schema(
-            [("p_brand", pa.string()), ("p_size", pa.int32()),
-             ("name_a", pa.string()), ("name_b", pa.string()),
-             ("dist", pa.int64())]
-        ).empty_table()
-    return m
+    from kgray.utils import schema_floor
+
+    schema = pa.schema(
+        [("p_brand", pa.string()), ("p_size", pa.int32()),
+         ("name_a", pa.string()), ("name_b", pa.string()),
+         ("dist", pa.int64())]
+    )
+    floored = schema_floor(res, schema)
+    if floored.count() == 0:
+        return schema.empty_table()
+    return floored
 
 
 def _q_sliding_chunks(sf_dir: str):

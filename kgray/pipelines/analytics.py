@@ -2127,10 +2127,18 @@ def spearman_qty_price(sf_dir: str, n_bins: int = 64) -> "ray.data.Dataset":
     # -- pass 1: global y-range for binning (tiny: one row per batch)
     def minmax(batch: pa.Table) -> pa.Table:
         y = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        if len(y) == 0:  # empty block: contribute nothing to the range
+            return pa.table({"ymin": pa.array([], pa.float64()),
+                             "ymax": pa.array([], pa.float64())})
         return pa.table({"ymin": pa.array([float(y.min())]),
                          "ymax": pa.array([float(y.max())])})
 
     mm = li.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if len(mm) == 0:  # empty lineitem table: typed single-NaN result
+        return ray.data.from_arrow(pa.table({
+            "n": pa.array([0], pa.int64()),
+            "spearman_qty_price": pa.array([float("nan")], pa.float64()),
+        }))
     ymin, ymax = float(mm.ymin.min()), float(mm.ymax.max())
     width = (ymax - ymin) / n_bins if ymax > ymin else 1.0
 
@@ -3344,10 +3352,19 @@ def events_histogram(sf_dir: str, n_bins: int = 16) -> "ray.data.Dataset":
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df.value.to_numpy(np.float64)
-        b = np.minimum(
-            np.floor((v - lo) / width).astype(np.int64), n_bins - 1
+        # NaN values have no bin (the oracle's comparisons drop NULLs);
+        # floor(NaN) would otherwise cast to an arbitrary int64.  Clip
+        # TWO-sided: stats-derived bounds can be narrower than a value
+        # only through float rounding, but a below-lo value must land in
+        # bin 0, not bin -1.
+        keep = ~np.isnan(v)
+        v = v[keep]
+        b = np.clip(
+            np.floor((v - lo) / width).astype(np.int64), 0, n_bins - 1
         )
-        g = pd.DataFrame({"event_type": df.event_type, "bin": b}) \
+        g = pd.DataFrame(
+            {"event_type": df.event_type.to_numpy()[keep], "bin": b}
+        ) \
             .groupby(["event_type", "bin"], as_index=False) \
             .agg(n=("bin", "size"))
         g["n"] = g.n.astype(np.int64)

@@ -62,22 +62,20 @@ def _tf_table(sf_dir: str) -> "ray.data.Dataset":
     BM25 family (same pattern as __ray_entry__._kg_result): four
     operators tokenize the identical corpus identically, so the
     materialized posting table is built once per session and reused.
-    The cache key includes the session address so a dataset never
+    utils.session_memo owns staleness: entries are dropped when the Ray
+    session changes and a hit is block-probed, so a dataset never
     outlives the object store holding its blocks; the table is
     token-row-sized (already combiner-collapsed per doc), the exact
     thing each caller materialized anyway."""
-    try:
-        session = ray.get_runtime_context().gcs_address
-    except Exception:
-        session = None
-    key = (sf_dir, session)
-    hit = _TF_CACHE.get(key)
-    if hit is not None:
-        return hit
-    docs = _read_docs(sf_dir, ["doc_id", "text"])
-    tf = docs.map_batches(_tf_rows, batch_format="pyarrow").materialize()
-    _TF_CACHE[key] = tf
-    return tf
+    from ..utils import session_memo
+
+    def build():
+        docs = _read_docs(sf_dir, ["doc_id", "text"])
+        return docs.map_batches(
+            _tf_rows, batch_format="pyarrow"
+        ).materialize()
+
+    return session_memo(_TF_CACHE, sf_dir, build)
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":

@@ -39,6 +39,45 @@ def zip_with_index(
     return ray.data.from_arrow_refs(out)
 
 
+def _session_token():
+    """Identity of the CURRENT Ray session: (gcs_address, job_id).  The
+    address alone is not enough — after ray.shutdown()/re-init in one
+    process the OS can hand the new GCS the same port, and a dataset
+    cached under that address would point at object-store blocks that
+    died with the old session."""
+    try:
+        ctx = ray.get_runtime_context()
+        return (ctx.gcs_address, ctx.get_job_id())
+    except Exception:
+        return None
+
+
+def session_memo(cache: dict, key, builder, probe=None):
+    """Per-Ray-session memoization with stale-session eviction.
+
+    ``cache`` is a module-level dict owned by the caller.  When the Ray
+    session changes (``_session_token``), every entry is dropped — dead
+    sessions must not leak entries forever.  A hit is additionally
+    PROBED (default: ``hit.take(1)``) so a dataset whose blocks are gone
+    invalidates and rebuilds instead of erroring downstream; pass
+    ``probe`` for non-Dataset cached values.
+    """
+    token = _session_token()
+    if cache.get("_session") != token:
+        cache.clear()
+        cache["_session"] = token
+    hit = cache.get(key)
+    if hit is not None:
+        try:
+            (probe or (lambda v: v.take(1)))(hit)
+            return hit
+        except Exception:
+            cache.pop(key, None)
+    val = builder()
+    cache[key] = val
+    return val
+
+
 def ensure_join_resources(
     ds: "ray.data.Dataset" = None, cpus_per_partition: float = 0.05
 ) -> None:
@@ -156,9 +195,12 @@ def repartition_join(
     partitions instead of serializing one reducer (the join itself then
     matches on (key, salt), which each left row satisfies exactly once —
     output is identical to the unsalted plan, row order aside).  Cost:
-    the right side's shuffle volume ×salt — use when the LEFT side is
-    the skewed fact and the right is the smaller one.  Supported for
-    inner/left/semi/anti; "outer" raises (unmatched RIGHT replicas
+    the right side's shuffle volume ×salt — ``salt`` therefore ASSUMES
+    THE RIGHT SIDE IS THE SMALL ONE (a dimension/aggregate table, not a
+    fact table); use it when the LEFT side is the skewed fact.  Replicas
+    are emitted one salt value at a time so a map task's heap stays ~1×
+    its input batch, but the shuffled bytes still grow ×salt.  Supported
+    for inner/left/semi/anti; "outer" raises (unmatched RIGHT replicas
     would duplicate).
 
     ``post_fn(df) -> df``, if given, runs on each partition's joined
@@ -247,27 +289,36 @@ def repartition_join(
             cols[c] = pad(b.num_rows, right_types[c])
         return pa.table(cols)
 
-    def tag_right(b: pa.Table) -> pa.Table:
-        if salt > 1:
-            b = pa.concat_tables([b] * salt)
-            salts = np.repeat(
-                np.arange(salt, dtype=np.uint64), b.num_rows // salt
-            )
-        else:
-            salts = None
+    def tag_right_one(b: pa.Table, s) -> pa.Table:
+        salts = (
+            np.full(b.num_rows, s, dtype=np.uint64) if s is not None
+            else None
+        )
         jkey = b.column(right_on).cast(key_type)
         cols = {
             "_pkey": pkey_of(jkey, salts),
             "_side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
             "_jkey": jkey,
         }
-        if salt > 1:
+        if s is not None:
             cols["_salt"] = pa.array(salts.astype(np.int32), pa.int32())
         for c in lcols:
             cols[c] = pad(b.num_rows, left_types[c])
         for c in rcols:
             cols[c] = b.column(c)
         return pa.table(cols)
+
+    def tag_right(b: pa.Table):
+        # Replicas are YIELDED one salt value at a time, never built as
+        # one salt-times-wider table: a task's peak heap stays ~1× the
+        # input batch (plus the block being emitted) regardless of
+        # ``salt``.  The total shuffle volume is still ×salt by design —
+        # see the ``salt`` parameter note above.
+        if salt <= 1:
+            yield tag_right_one(b, None)
+            return
+        for s in range(salt):
+            yield tag_right_one(b, s)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
