@@ -73,7 +73,12 @@ def write_table(
     partition_cols: Optional[List[str]] = None,
 ) -> None:
     """Write a Ray Dataset as a Lance dataset when lance is importable and
-    the target names .lance, else partitioned Parquet."""
+    the target names .lance, else partitioned Parquet.
+
+    Lance has no hive-style directory partitioning: ``partition_cols``
+    ride as ordinary COLUMNS of the lance dataset and resume consumers
+    filter on them as predicates (contract pinned by
+    tests/test_lance_facade.py)."""
     if uri.endswith(".lance"):
         if not HAVE_LANCE:
             raise RuntimeError(
