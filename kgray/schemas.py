@@ -71,7 +71,16 @@ RESULT_STRUCT = pa.struct(
 
 # LLM-stage contract (sentence_level_extraction.py:67-72; bel_model.py:22-33).
 EXTRACTIONS = pa.schema(
-    list(ANNOTATED_CHUNKS) + [pa.field("results", pa.list_(RESULT_STRUCT))]
+    list(ANNOTATED_CHUNKS)
+    + [
+        pa.field("results", pa.list_(RESULT_STRUCT)),
+        # per-row error containment (null = extracted cleanly): a row whose
+        # extraction failed PERMANENTLY (after bounded retries) carries the
+        # error string here with its (doc_id, span_seq) lineage — the
+        # errors table is a filter on this column, never a lost row or an
+        # aborted job (contrast main.py:115-118's sys.exit)
+        pa.field("extract_error", pa.string()),
+    ]
 )
 
 # URL-enriched annotations (grounding_genes.py:77-92): entry_name -> url.

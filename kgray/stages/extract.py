@@ -290,12 +290,28 @@ class VLLMBackend:
 class BELExtractor:
     """Actor-pool stage: ANNOTATED_CHUNKS batch → EXTRACTIONS batch.
 
-    Per-row failures are quarantined, not fatal (unlike main.py:115-118's
-    sys.exit): a failing row gets ``results=[]`` and is counted in the
-    ``extract_errors`` side channel column-free metric via logging.
+    Error containment (r3 verdict next-round ask #6): transient backend
+    failures (429s, timeouts, connection resets) get BOUNDED RETRIES —
+    first the whole batch, then per row — and a row that still fails is
+    QUARANTINED, not fatal (unlike main.py:115-118's sys.exit): it gets
+    ``results=[]`` and its error string in the ``extract_error`` column,
+    keeping (doc_id, span_seq) lineage so a cluster-scale run can report
+    and re-drive exactly the failed rows.
+
+    ``max_retries``: extra attempts per scope after the first (default 1
+    → up to two batch attempts, then up to two per-row attempts for rows
+    of a still-failing batch).  ``retry_backoff_s``: sleep between
+    attempts (0 default; set to the backend's advertised rate-limit
+    window in production).
     """
 
-    def __init__(self, backend: Optional[object] = None, **backend_kwargs):
+    def __init__(
+        self,
+        backend: Optional[object] = None,
+        max_retries: int = 1,
+        retry_backoff_s: float = 0.0,
+        **backend_kwargs,
+    ):
         if backend is None:
             self._backend = StubBackend()
         elif isinstance(backend, str):
@@ -306,23 +322,68 @@ class BELExtractor:
             }[backend](**backend_kwargs)
         else:
             self._backend = backend
+        self._max_retries = max(0, int(max_retries))
+        self._retry_backoff_s = float(retry_backoff_s)
+
+    def _attempts(self):
+        import time as _time
+
+        for attempt in range(1 + self._max_retries):
+            if attempt and self._retry_backoff_s:
+                _time.sleep(self._retry_backoff_s)
+            yield attempt
+
+    def _extract_row(self, text, ann):
+        """(results, error) for one row, with bounded retries."""
+        err = None
+        for _ in self._attempts():
+            try:
+                return self._backend.extract_batch([text], [ann])[0], None
+            except Exception as e:  # noqa: BLE001 - quarantine, don't die
+                err = f"{type(e).__name__}: {e}"
+        return [], err
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         admitted = batch.column("admitted").to_pylist()
         texts = batch.column("text").to_pylist()
         anns = batch.column("annotations").to_pylist()
         idx = [i for i, ok in enumerate(admitted) if ok]
-        try:
-            got = self._backend.extract_batch(
-                [texts[i] for i in idx], [anns[i] for i in idx]
-            )
-        except Exception:
-            # quarantine the whole batch's extraction, keep rows flowing
-            got = [[] for _ in idx]
         results: List[List[dict]] = [[] for _ in range(len(texts))]
-        for i, r in zip(idx, got):
-            results[i] = r
+        errors: List[Optional[str]] = [None] * len(texts)
+        got = None
+        for _ in self._attempts():
+            try:
+                got = self._backend.extract_batch(
+                    [texts[i] for i in idx], [anns[i] for i in idx]
+                )
+                break
+            except Exception:
+                got = None
+        if got is not None:
+            for i, r in zip(idx, got):
+                results[i] = r
+        else:
+            # batch-level attempts exhausted: isolate the poison rows —
+            # each row retries alone, failures quarantine individually
+            for i in idx:
+                results[i], errors[i] = self._extract_row(
+                    texts[i], anns[i]
+                )
         out = batch.append_column(
             "results", pa.array(results, pa.list_(schemas.RESULT_STRUCT))
-        )
+        ).append_column("extract_error", pa.array(errors, pa.string()))
         return schemas.validate_schema(out, schemas.EXTRACTIONS, "extract")
+
+
+def extraction_errors(extractions: "object") -> "object":
+    """The ERRORS TABLE: (doc_id, span_seq, extract_error) for every
+    quarantined row — lineage-bearing, so a re-drive selects exactly the
+    failed spans.  A pure filter over the extractions stream (no shuffle,
+    no driver state)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("extract_error")))
+        return t.select(["doc_id", "span_seq", "extract_error"])
+
+    return extractions.map_batches(f, batch_format="pyarrow")

@@ -29,6 +29,15 @@ class _MockOpenAI(http.server.BaseHTTPRequestHandler):
              if m.get("role") == "user"),
             "",
         )
+        if "/down/" in self.path:  # permanent outage: every attempt 500s
+            self.send_error(500, "backend down")
+            return
+        if "/flaky/" in self.path:  # transient 429: first hit per prompt
+            key = hashlib.sha256(user.encode()).hexdigest()
+            if key not in self.server.flaky_seen:
+                self.server.flaky_seen.add(key)
+                self.send_error(429, "rate limited")
+                return
         if self.path.endswith("/broken/chat/completions"):
             content = "NOT JSON {{{"
         elif "AKT1" in user:
@@ -63,6 +72,7 @@ class _MockOpenAI(http.server.BaseHTTPRequestHandler):
 def mock_server():
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _MockOpenAI)
     srv.requests = []
+    srv.flaky_seen = set()
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv
@@ -152,6 +162,69 @@ def test_full_pipeline_through_mock_backend(mock_server, ray_session):
     assert (edges.subj_label == "AKT1").any()
     assert (edges.bel_expression ==
             "p(HGNC:AKT1) increases act(p(HGNC:HSF1))").any()
+
+
+def _annotated_batch(text="AKT1 activates HSF1 in stressed cells. This "
+                          "paragraph is long enough to be admitted."):
+    """ANNOTATED_CHUNKS batch for driving BELExtractor directly."""
+    import pyarrow as pa
+
+    from kgray.sources.textfile import raw_text_to_documents
+    from kgray.stages.annotate import DictionaryAnnotator
+    from kgray.stages.chunk import explode_spans
+
+    docs = raw_text_to_documents(
+        pa.table({"doc_id": ["d1"], "raw_text": [text]})
+    )
+    return DictionaryAnnotator()(explode_spans(docs))
+
+
+def test_transient_failure_retries_then_extracts(mock_server):
+    """r3 verdict ask #6, transient half: a 429 on the first attempt must
+    retry (bounded) and then extract normally — rows lose nothing."""
+    from kgray.stages.extract import BELExtractor
+
+    ext = BELExtractor(
+        backend=OpenAIChatBackend(
+            prompt_text="p", base_url=_base(mock_server) + "/flaky",
+            api_key="k",
+        ),
+        max_retries=1,
+    )
+    out = ext(_annotated_batch())
+    errors = [e for e in out.column("extract_error").to_pylist() if e]
+    assert errors == []  # retried through the 429, no quarantine
+    stmts = [
+        r["bel_statement"]
+        for res in out.column("results").to_pylist() for r in res
+    ]
+    assert "p(HGNC:AKT1) increases act(p(HGNC:HSF1))" in stmts
+
+
+def test_permanent_failure_quarantines_with_lineage(mock_server):
+    """r3 verdict ask #6, permanent half: a backend that keeps failing
+    lands the row in the errors table WITH (doc_id, span_seq) lineage and
+    empty results — never a crash, never a dropped row."""
+    import ray.data
+
+    from kgray.stages.extract import BELExtractor, extraction_errors
+
+    batch = _annotated_batch()
+    ext = BELExtractor(
+        backend=OpenAIChatBackend(
+            prompt_text="p", base_url=_base(mock_server) + "/down",
+            api_key="k",
+        ),
+        max_retries=1,
+    )
+    out = ext(batch)
+    assert out.num_rows == batch.num_rows  # no dropped rows
+    errs = [e for e in out.column("extract_error").to_pylist() if e]
+    assert errs and "500" in errs[0]
+    assert all(res == [] for res in out.column("results").to_pylist())
+    table = extraction_errors(ray.data.from_arrow(out)).to_pandas()
+    assert set(table.columns) == {"doc_id", "span_seq", "extract_error"}
+    assert (table.doc_id == "d1").all()
 
 
 # ---------------------------------------------------------------------------
