@@ -545,7 +545,8 @@ def _q_media_features(sf_dir: str):
         explode_spans, batch_format="pyarrow"
     )
     return decode_media(chunks).select_columns(
-        ["doc_id", "span_seq", "media_ref", "width", "height"]
+        ["doc_id", "span_seq", "media_ref", "width", "height",
+         "unsupported"]
     )
 
 
