@@ -1,4 +1,4 @@
-"""Baseline JPEG codec in pure python + numpy — no native codec library.
+"""Baseline + progressive JPEG codec in pure python + numpy — no native codec library.
 
 Closes the reference's last honestly-gated image format in-sandbox
 (reference media handling enters through convert_to_cx2 / figure refs;
@@ -10,9 +10,12 @@ majority of real-world JPEGs):
 
 * decode: SOI/APPn/COM/DQT (8- and 16-bit tables)/DHT/SOF0/DRI/SOS/EOI,
   interleaved single-scan MCUs, sampling factors 1-2 per axis (4:4:4,
-  4:2:2, 4:2:0, and grayscale), restart markers, byte unstuffing.
-  Progressive (SOF2), arithmetic coding and 12-bit precision raise
-  ``UnsupportedJPEGError`` — honest gates, not silent garbage.
+  4:2:2, 4:2:0, and grayscale), restart markers, byte unstuffing; PLUS
+  (round 4) PROGRESSIVE (SOF2) and multi-scan sequential streams —
+  spectral selection, successive approximation (DC/AC first and
+  refinement passes, EOB runs) via the general scan machinery.
+  Arithmetic coding, hierarchical/lossless modes and 12-bit precision
+  raise ``UnsupportedJPEGError`` — honest gates, not silent garbage.
 * encode: baseline 4:4:4 or 4:2:0, quality-scaled Annex-K quantization
   tables, standard Annex-K Huffman tables — exists so tests and
   synthetic corpora can round-trip pixels through the REAL decode path
@@ -359,18 +362,10 @@ def _encode_component_blocks(
             run = 0
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 (H,W) | (H,W,1) grayscale or (H,W,3) RGB -> baseline JFIF bytes.
-
-    subsample=True emits 4:2:0 chroma (box-averaged); False emits 4:4:4.
-    restart_interval>0 emits DRI + RSTn markers every that many MCUs
-    (exercises the decoder's resynchronization path).
-    """
+def _prep_quantized(img: np.ndarray, quality: int, subsample):
+    """Shared encoder front half: color transform, subsampling, padding,
+    FDCT + quantization.  Returns everything both the baseline and the
+    progressive entropy coders need."""
     img = np.asarray(img)
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
@@ -431,12 +426,30 @@ def encode_jpeg(
         qt = qy if qtab_of[ci] == 0 else qc
         comp_blocks.append(_fdct_quant(_to_blocks(p), qt))
         comp_bx.append(tw // 8)
+    return (gray, h, w, samp, qtab_of, comp_blocks, comp_bx,
+            mcus_x, mcus_y, qy, qc)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (H,W) | (H,W,1) grayscale or (H,W,3) RGB -> baseline JFIF bytes.
+
+    subsample=True emits 4:2:0 chroma (box-averaged); False emits 4:4:4.
+    restart_interval>0 emits DRI + RSTn markers every that many MCUs
+    (exercises the decoder's resynchronization path).
+    """
+    (gray, h, w, samp, qtab_of, comp_blocks, comp_bx,
+     mcus_x, mcus_y, qy, qc) = _prep_quantized(img, quality, subsample)
 
     dc_specs = [DC_LUMA_SPEC] + ([DC_CHROMA_SPEC] if not gray else [])
     ac_specs = [AC_LUMA_SPEC] + ([AC_CHROMA_SPEC] if not gray else [])
     dc_codes_tbl = [_build_codes(*s) for s in dc_specs]
     ac_codes_tbl = [_build_codes(*s) for s in ac_specs]
-    ncomp = len(planes)
+    ncomp = len(comp_blocks)
     dc_codes = [dc_codes_tbl[0 if ci == 0 else -1] for ci in range(ncomp)]
     ac_codes = [ac_codes_tbl[0 if ci == 0 else -1] for ci in range(ncomp)]
 
@@ -507,6 +520,268 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder
+# ---------------------------------------------------------------------------
+
+# Dedicated AC table for progressive scans: EOBn (n up to 2^14) + ZRL +
+# every (run, size≤10) pair, all at a fixed 9-bit length (176 < 511
+# codes, all-ones never assigned).  Annex-K tables have exactly ONE slot
+# of spare code space, so EOBn symbols cannot be appended to them; a
+# fixed-length table is self-describing via DHT and prefix-free by
+# construction — progressive output here optimizes for decoder-path
+# coverage, not compression ratio.
+_PROG_AC_VALUES = (
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALUES), 0, 0, 0, 0, 0, 0, 0],
+    _PROG_AC_VALUES,
+)
+
+
+class _ProgACWriter:
+    """EOB-run + correction-bit bookkeeping shared by the AC scan
+    encoders (T.81 G.1.2.2-3): the run and its buffered refinement bits
+    flush together, immediately before the next emitted symbol."""
+
+    def __init__(self, writer: _BitWriter, ac_codes):
+        self.w = writer
+        self.codes = ac_codes
+        self.eobrun = 0
+        self.bits: List[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.codes[r << 4]
+            self.w.put(code, length)
+            if r:
+                self.w.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bits:
+            self.w.put(b, 1)
+        self.bits = []
+
+    def end_block(self) -> None:
+        self.eobrun += 1
+        if self.eobrun == 0x3FFF:  # r <= 14 representable
+            self.flush()
+
+
+def _encode_ac_first(
+    prog: _ProgACWriter, blk: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    w, codes = prog.w, prog.codes
+    band = [int(v) for v in blk[ss : se + 1]]
+    tvals = [
+        (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
+    ]
+    if not any(tvals):
+        prog.end_block()
+        return
+    prog.flush()
+    r = 0
+    last_nz = max(i for i, t in enumerate(tvals) if t)
+    for i, t in enumerate(tvals):
+        if i > last_nz:
+            prog.end_block()  # trailing zeros: EOB for this block
+            return
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = codes[0xF0]
+            w.put(code, length)
+            r -= 16
+        s = _category(t)
+        code, length = codes[(r << 4) | s]
+        w.put(code, length)
+        w.put(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+
+
+def _encode_ac_refine(
+    prog: _ProgACWriter, blk: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    w, codes = prog.w, prog.codes
+    band = [int(v) for v in blk[ss : se + 1]]
+    absshift = [abs(v) >> al for v in band]
+    newly = [i for i, t in enumerate(absshift) if t == 1]
+    if not newly and not any(absshift):
+        prog.end_block()
+        return
+    eob = newly[-1] if newly else -1
+    r = 0
+    pend: List[int] = []  # correction bits awaiting the next symbol
+    for i, t in enumerate(absshift):
+        if t == 0:
+            r += 1
+            continue
+        # a ZRL fires at ANY nonzero once the zero-history run exceeds
+        # 15 (libjpeg encode_mcu_AC_refine): the decoder consumes the
+        # corrections positionally while advancing through the run
+        while r > 15 and i <= eob:
+            prog.flush()
+            code, length = codes[0xF0]
+            w.put(code, length)
+            r -= 16
+            for b in pend:
+                w.put(b, 1)
+            pend = []
+        if t > 1:
+            pend.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        prog.flush()
+        code, length = codes[(r << 4) | 1]
+        w.put(code, length)
+        w.put(1 if band[i] >= 0 else 0, 1)
+        for b in pend:
+            w.put(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        # trailing zero-history zeros / buffered corrections: the block
+        # joins the (global) EOB run, its corrections buffered with it
+        prog.bits.extend(pend)
+        prog.end_block()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """uint8 grayscale/RGB -> PROGRESSIVE (SOF2) JFIF bytes.
+
+    Scan script exercises every progressive decode path: interleaved DC
+    first pass at Al=1 + DC refinement; per-component AC spectral bands
+    (1-5, 6-63) first pass at Al=1 with EOB runs; per-component AC
+    refinement passes to Al=0 (newly-significant symbols + correction
+    bits).  Coefficients after all scans equal the baseline encoder's
+    exactly, so decode(progressive) == decode(baseline) pixel-for-pixel.
+    """
+    (gray, h, w, samp, qtab_of, comp_blocks, comp_bx,
+     mcus_x, mcus_y, qy, qc) = _prep_quantized(img, quality, subsample)
+    ncomp = len(comp_blocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    comp_tbx = [-(-(-(-w * samp[k][0] // hmax)) // 8) for k in range(ncomp)]
+    comp_tby = [-(-(-(-h * samp[k][1] // vmax)) // 8) for k in range(ncomp)]
+
+    dc_specs = [DC_LUMA_SPEC] + ([DC_CHROMA_SPEC] if not gray else [])
+    dc_codes_tbl = [_build_codes(*s) for s in dc_specs]
+    dc_codes = [dc_codes_tbl[0 if ci == 0 else -1] for ci in range(ncomp)]
+    ac_codes = _build_codes(*PROG_AC_SPEC)
+
+    def entropy(fn) -> bytes:
+        writer = _BitWriter()
+        fn(writer)
+        return writer.flush()
+
+    def dc_first(writer: _BitWriter, al: int) -> None:
+        predictors = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * comp_bx[ci] + (
+                                mx * hs + bx
+                            )
+                            dc = int(comp_blocks[ci][bi][0]) >> al
+                            diff = dc - predictors[ci]
+                            predictors[ci] = dc
+                            size = _category(diff)
+                            code, length = dc_codes[ci][size]
+                            writer.put(code, length)
+                            if size:
+                                writer.put(
+                                    diff if diff >= 0
+                                    else diff + (1 << size) - 1,
+                                    size,
+                                )
+
+    def dc_refine(writer: _BitWriter, al: int) -> None:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * comp_bx[ci] + (
+                                mx * hs + bx
+                            )
+                            writer.put(
+                                (int(comp_blocks[ci][bi][0]) >> al) & 1, 1
+                            )
+
+    def ac_scan(writer: _BitWriter, ci: int, ss: int, se: int,
+                ah: int, al: int) -> None:
+        prog = _ProgACWriter(writer, ac_codes)
+        for row in range(comp_tby[ci]):
+            for col in range(comp_tbx[ci]):
+                blk = comp_blocks[ci][row * comp_bx[ci] + col]
+                if ah == 0:
+                    _encode_ac_first(prog, blk, ss, se, al)
+                else:
+                    _encode_ac_refine(prog, blk, ss, se, al)
+        prog.flush()
+
+    # ---- scan script ----
+    scans: List[Tuple[List[Tuple[int, int, int]], int, int, int, int, bytes]] = []
+    all_comps = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    scans.append((all_comps, 0, 0, 0, 1,
+                  entropy(lambda wr: dc_first(wr, 1))))
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            scans.append((
+                [(ci + 1, 0, 0)], ss, se, 0, 1,
+                entropy(lambda wr, c=ci, a=ss, b=se: ac_scan(
+                    wr, c, a, b, 0, 1
+                )),
+            ))
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            scans.append((
+                [(ci + 1, 0, 0)], ss, se, 1, 0,
+                entropy(lambda wr, c=ci, a=ss, b=se: ac_scan(
+                    wr, c, a, b, 1, 0
+                )),
+            ))
+    scans.append((all_comps, 0, 0, 1, 0,
+                  entropy(lambda wr: dc_refine(wr, 0))))
+
+    # ---- assemble ----
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in enumerate([qy] + ([qc] if not gray else [])):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(x) for x in qt[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
+    out += struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, qtab_of[ci]])
+    specs = [(0x00, DC_LUMA_SPEC), (0x10, PROG_AC_SPEC)]
+    if not gray:
+        specs.append((0x01, DC_CHROMA_SPEC))
+    for tc_id, (bits, values) in specs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values))
+        out += bytes([tc_id]) + bytes(bits) + bytes(values)
+    for scan_comps, ss, se, ah, al, data in scans:
+        ns = len(scan_comps)
+        out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ns) + bytes([ns])
+        for cid, td, ta in scan_comps:
+            out += bytes([cid, (td << 4) | ta])
+        out += bytes([ss, se, (ah << 4) | al])
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -541,18 +816,237 @@ def _split_entropy(data: bytes, start: int) -> Tuple[List[bytes], int]:
     return segments, i
 
 
+def _apply_scan(
+    scan: dict,
+    comps,
+    by_id,
+    coeffs,
+    comp_bx,
+    comp_tbx,
+    comp_tby,
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    """Decode ONE scan (progressive or multi-scan sequential) into the
+    coefficient store: spectral band [ss, se], successive-approximation
+    bit position al with prior precision ah (T.81 G.2).  DC scans may be
+    interleaved (multi-component MCU order); AC scans are always
+    single-component in component-raster order.  Restart markers reset
+    predictors and the EOB run."""
+    ss, se = scan["ss"], scan["se"]
+    ah, al = scan["ah"], scan["al"]
+    scan_comps = scan["comps"]
+    segments = scan["segments"]
+    htabs = scan["htables"]
+    rint = scan["restart_interval"]
+    ns = len(scan_comps)
+    if ss == 0 and se not in (0, 63):
+        raise CorruptJPEGError("bad spectral band")
+    if ss == 0 and se == 63 and (ah or al):
+        raise CorruptJPEGError("approximation on a sequential scan")
+    if ss > 0 and ns != 1:
+        raise CorruptJPEGError("interleaved AC scan")
+
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    predictors = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << al
+
+    def restart():
+        nonlocal seg_idx, reader, eobrun, predictors
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise CorruptJPEGError("missing restart segment")
+        reader = _BitReader(segments[seg_idx])
+        predictors = [0] * len(comps)
+        eobrun = 0
+
+    def units_and_targets():
+        """Unit count + per-unit target blocks: MCU-interleaved when the
+        scan has several components, component raster otherwise."""
+        if ns > 1:
+            return mcus_x * mcus_y
+        k0 = by_id[scan_comps[0][0]]
+        return comp_tbx[k0] * comp_tby[k0]
+
+    def targets_of(u: int):
+        if ns > 1:
+            my, mx = divmod(u, mcus_x)
+            out = []
+            for cs, td, ta in scan_comps:
+                k = by_id[cs]
+                _, hs, vs, _ = comps[k]
+                for by in range(vs):
+                    for bx in range(hs):
+                        out.append(
+                            (k, td, ta,
+                             (my * vs + by) * comp_bx[k] + mx * hs + bx)
+                        )
+            return out
+        cs, td, ta = scan_comps[0]
+        k = by_id[cs]
+        row, col = divmod(u, comp_tbx[k])
+        return [(k, td, ta, row * comp_bx[k] + col)]
+
+    if ss == 0 and se == 63:
+        # ---- full-band SEQUENTIAL scan (multi-scan SOF0 files) ----
+        for u in range(units_and_targets()):
+            if rint and u and u % rint == 0:
+                restart()
+            for k, td, ta, bi in targets_of(u):
+                dc_tbl = htabs.get((0, td))
+                ac_tbl = htabs.get((1, ta))
+                if dc_tbl is None or ac_tbl is None:
+                    raise CorruptJPEGError("missing Huffman table")
+                size = reader.read_symbol(dc_tbl)
+                diff = _extend(reader.read_bits(size), size)
+                predictors[k] += diff
+                cb_ = coeffs[k]
+                cb_[bi, 0] = predictors[k]
+                pos = 1
+                while pos < 64:
+                    sym = reader.read_symbol(ac_tbl)
+                    if sym == 0x00:
+                        break
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            pos += 16
+                            continue
+                        raise CorruptJPEGError("bad AC symbol")
+                    pos += r
+                    if pos >= 64:
+                        raise CorruptJPEGError("AC run overflow")
+                    cb_[bi, pos] = _extend(reader.read_bits(s), s)
+                    pos += 1
+        return
+
+    if ss == 0:
+        # ---- DC-only progressive scan ----
+        for u in range(units_and_targets()):
+            if rint and u and u % rint == 0:
+                restart()
+            for k, td, _ta, bi in targets_of(u):
+                if ah == 0:  # first pass: Huffman-coded diffs << al
+                    dc_tbl = htabs.get((0, td))
+                    if dc_tbl is None:
+                        raise CorruptJPEGError("missing DC table")
+                    size = reader.read_symbol(dc_tbl)
+                    diff = _extend(reader.read_bits(size), size)
+                    predictors[k] += diff
+                    coeffs[k][bi, 0] = predictors[k] << al
+                else:  # refinement: one bit per block
+                    if reader.read_bit():
+                        coeffs[k][bi, 0] |= p1
+        return
+
+    # ---- AC scan (single component, raster order) ----
+    cs, _, ta = scan_comps[0]
+    k = by_id[cs]
+    ac_tbl = htabs.get((1, ta))
+    if ac_tbl is None:
+        raise CorruptJPEGError("missing AC table")
+    tbx, tby = comp_tbx[k], comp_tby[k]
+    cb = coeffs[k]
+    m1 = -p1
+
+    def correct(bi: int, pos: int) -> None:
+        # correction bit for an already-nonzero coefficient (G.1.2.3)
+        if reader.read_bit():
+            v = int(cb[bi, pos])
+            if (v & p1) == 0:
+                cb[bi, pos] = v + (p1 if v >= 0 else m1)
+
+    for u in range(tbx * tby):
+        if rint and u and u % rint == 0:
+            restart()
+        row, col = divmod(u, tbx)
+        bi = row * comp_bx[k] + col
+        if ah == 0:
+            # ---- first AC pass: values are (decoded << al) ----
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            pos = ss
+            while pos <= se:
+                sym = reader.read_symbol(ac_tbl)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        pos += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (
+                        reader.read_bits(r) if r else 0
+                    )
+                    break
+                pos += r
+                if pos > se:
+                    raise CorruptJPEGError("AC band overflow")
+                cb[bi, pos] = _extend(reader.read_bits(s), s) << al
+                pos += 1
+        else:
+            # ---- AC refinement pass (libjpeg decode_mcu_AC_refine) ----
+            pos = ss
+            if eobrun == 0:
+                while pos <= se:
+                    sym = reader.read_symbol(ac_tbl)
+                    r, s = sym >> 4, sym & 0x0F
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise CorruptJPEGError(
+                                "refinement size > 1"
+                            )
+                        val = p1 if reader.read_bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) + (
+                                reader.read_bits(r) if r else 0
+                            )
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    # advance over r zero-history positions, emitting
+                    # correction bits for nonzero-history ones passed
+                    while pos <= se:
+                        if cb[bi, pos] != 0:
+                            correct(bi, pos)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        pos += 1
+                    if val and pos <= se:
+                        cb[bi, pos] = val
+                    pos += 1
+            if eobrun > 0:
+                # tail of an EOB run: only correction bits remain
+                while pos <= se:
+                    if cb[bi, pos] != 0:
+                        correct(bi, pos)
+                    pos += 1
+                eobrun -= 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF/EXIF bytes -> uint8 array (H, W, 3) RGB or (H, W, 1)."""
+    """JFIF/EXIF bytes -> uint8 array (H, W, 3) RGB or (H, W, 1).
+
+    Baseline sequential (SOF0/1) single-scan streams take the fast path
+    below; PROGRESSIVE (SOF2) and multi-scan sequential streams decode
+    through the general scan machinery (_apply_scan): spectral selection,
+    successive approximation (DC+AC first/refinement passes, EOB runs),
+    interleaved DC scans, non-interleaved per-component scans, restart
+    markers.  Arithmetic coding, hierarchical and 12-bit remain gated."""
     if payload[:2] != b"\xff\xd8":
         raise CorruptJPEGError("missing SOI")
     qtables: Dict[int, np.ndarray] = {}
     htables: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    progressive = False
     i = 2
     n = len(payload)
-    segments: Optional[List[bytes]] = None
-    scan_comps = None
+    scans: List[dict] = []
     while i < n:
         if payload[i] != 0xFF:
             i += 1
@@ -594,10 +1088,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(body[j + 17 : j + 17 + nv])
                 htables[(tc, th)] = _build_decoder(bits, values)
                 j += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (prog)
             precision = body[0]
             if precision != 8:
                 raise UnsupportedJPEGError(f"{precision}-bit precision")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             comps = []
@@ -612,10 +1107,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     )
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedJPEGError(
-                "progressive / arithmetic / hierarchical JPEG"
+                "arithmetic / hierarchical / lossless JPEG"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -628,16 +1123,31 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs = body[1 + 2 * c]
                 tdta = body[2 + 2 * c]
                 scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
             segments, i = _split_entropy(payload, i + 2 + seglen)
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0x0F,
+                    "segments": segments,
+                    # tables/DRI are snapshotted at scan time: later DHT
+                    # segments may redefine ids for later scans
+                    "htables": dict(htables),
+                    "restart_interval": restart_interval,
+                }
+            )
             continue
         # APPn / COM / others: skip
         i += 2 + seglen
 
-    if frame is None or segments is None or scan_comps is None:
+    if frame is None or not scans:
         raise CorruptJPEGError("no frame/scan found")
     h, w, comps = frame
-    if len(scan_comps) != len(comps):
-        raise UnsupportedJPEGError("multi-scan (non-interleaved) JPEG")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -646,64 +1156,94 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     by_id = {c[0]: idx for idx, c in enumerate(comps)}
 
     ncomp = len(comps)
-    blocks_per_mcu = [comps[by_id[cs]][1] * comps[by_id[cs]][2]
-                      for cs, _, _ in scan_comps]
-    # coefficient store per component: (n_blocks, 64) zigzag ints
+    # coefficient store per component: (n_blocks, 64) zigzag ints, laid
+    # out on the INTERLEAVED (MCU-padded) grid; non-interleaved scans
+    # cover the ceil(comp_dim/8) sub-grid of the same store
     comp_bx = [mcus_x * comps[k][1] for k in range(ncomp)]
     comp_by = [mcus_y * comps[k][2] for k in range(ncomp)]
+    # true per-component block dims (T.81 A.2.2: non-interleaved scans
+    # cover ceil(ceil(dim·sampling/max_sampling)/8) blocks, NOT the
+    # MCU-padded grid)
+    comp_tbx = [
+        -(-(-(-w * comps[k][1] // hmax)) // 8) for k in range(ncomp)
+    ]
+    comp_tby = [
+        -(-(-(-h * comps[k][2] // vmax)) // 8) for k in range(ncomp)
+    ]
     coeffs = [
         np.zeros((comp_bx[k] * comp_by[k], 64), dtype=np.int32)
         for k in range(ncomp)
     ]
 
-    total_mcus = mcus_x * mcus_y
-    mcu = 0
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    predictors = [0] * ncomp
-    while mcu < total_mcus:
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise CorruptJPEGError("missing restart segment")
-            reader = _BitReader(segments[seg_idx])
-            predictors = [0] * ncomp
-        my, mx = divmod(mcu, mcus_x)
-        for sc in range(len(scan_comps)):
-            cs, td, ta = scan_comps[sc]
-            k = by_id[cs]
-            _, hs, vs, _ = comps[k]
-            dc_tbl = htables.get((0, td))
-            ac_tbl = htables.get((1, ta))
-            if dc_tbl is None or ac_tbl is None:
-                raise CorruptJPEGError("missing Huffman table")
-            for by in range(vs):
-                for bx in range(hs):
-                    blk = np.zeros(64, dtype=np.int32)
-                    size = reader.read_symbol(dc_tbl)
-                    diff = _extend(reader.read_bits(size), size)
-                    predictors[k] += diff
-                    blk[0] = predictors[k]
-                    pos = 1
-                    while pos < 64:
-                        sym = reader.read_symbol(ac_tbl)
-                        if sym == 0x00:  # EOB
-                            break
-                        run = sym >> 4
-                        sz = sym & 0x0F
-                        if sz == 0:
-                            if run == 15:  # ZRL
-                                pos += 16
-                                continue
-                            raise CorruptJPEGError("bad AC symbol")
-                        pos += run
-                        if pos >= 64:
-                            raise CorruptJPEGError("AC run overflow")
-                        blk[pos] = _extend(reader.read_bits(sz), sz)
-                        pos += 1
-                    bi = (my * vs + by) * comp_bx[k] + (mx * hs + bx)
-                    coeffs[k][bi] = blk
-        mcu += 1
+    baseline_fast = (
+        not progressive
+        and len(scans) == 1
+        and scans[0]["ss"] == 0
+        and scans[0]["se"] == 63
+        and scans[0]["ah"] == 0
+        and scans[0]["al"] == 0
+        and len(scans[0]["comps"]) == ncomp
+    )
+    if baseline_fast:
+        sc0 = scans[0]
+        scan_comps = sc0["comps"]
+        segments = sc0["segments"]
+        htabs = sc0["htables"]
+        rint = sc0["restart_interval"]
+        total_mcus = mcus_x * mcus_y
+        mcu = 0
+        seg_idx = 0
+        reader = _BitReader(segments[0])
+        predictors = [0] * ncomp
+        while mcu < total_mcus:
+            if rint and mcu and mcu % rint == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise CorruptJPEGError("missing restart segment")
+                reader = _BitReader(segments[seg_idx])
+                predictors = [0] * ncomp
+            my, mx = divmod(mcu, mcus_x)
+            for sc in range(len(scan_comps)):
+                cs, td, ta = scan_comps[sc]
+                k = by_id[cs]
+                _, hs, vs, _ = comps[k]
+                dc_tbl = htabs.get((0, td))
+                ac_tbl = htabs.get((1, ta))
+                if dc_tbl is None or ac_tbl is None:
+                    raise CorruptJPEGError("missing Huffman table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = np.zeros(64, dtype=np.int32)
+                        size = reader.read_symbol(dc_tbl)
+                        diff = _extend(reader.read_bits(size), size)
+                        predictors[k] += diff
+                        blk[0] = predictors[k]
+                        pos = 1
+                        while pos < 64:
+                            sym = reader.read_symbol(ac_tbl)
+                            if sym == 0x00:  # EOB
+                                break
+                            run = sym >> 4
+                            sz = sym & 0x0F
+                            if sz == 0:
+                                if run == 15:  # ZRL
+                                    pos += 16
+                                    continue
+                                raise CorruptJPEGError("bad AC symbol")
+                            pos += run
+                            if pos >= 64:
+                                raise CorruptJPEGError("AC run overflow")
+                            blk[pos] = _extend(reader.read_bits(sz), sz)
+                            pos += 1
+                        bi = (my * vs + by) * comp_bx[k] + (mx * hs + bx)
+                        coeffs[k][bi] = blk
+            mcu += 1
+    else:
+        for sc0 in scans:
+            _apply_scan(
+                sc0, comps, by_id, coeffs,
+                comp_bx, comp_tbx, comp_tby, mcus_x, mcus_y,
+            )
 
     # dequantize + IDCT per component (vectorized over all blocks)
     planes = []

@@ -9,12 +9,12 @@ multimodal stages (stages/multimodal.py), no external codec libraries:
 * PPM / PGM — binary P5/P6.
 * WAV  — stdlib ``wave`` (PCM 8/16/32-bit).
 * JPEG — baseline sequential (sources/minijpeg.py: Huffman + DCT in
-  numpy; 4:4:4 / 4:2:2 / 4:2:0 / grayscale, restart markers; progressive
+  numpy; 4:4:4 / 4:2:2 / 4:2:0 / grayscale, restart markers, progressive
   and arithmetic coding stay gated).
 * GIF  — 87a/89a, global/local palettes, interlace, variable-width LZW;
   ``gif_frames`` exposes every frame for the frame-sampling stage.
 
-Formats beyond these (video containers, JPEG-progressive) still raise
+Formats beyond these (video containers, arithmetic-coded JPEG) still raise
 ``UnsupportedMediaError`` — the honest posture for codecs that genuinely
 need a native library.  ``encode_png`` / ``encode_jpeg`` / ``encode_gif``
 exist so tests (and synthetic corpora) can round-trip pixels through the

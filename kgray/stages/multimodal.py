@@ -58,7 +58,7 @@ class MediaDecoder:
         # REAL decode first (round 3): PNG/BMP/PPM/PGM/baseline-JPEG/GIF
         # pixels and WAV samples decode pure-python (sources/minimedia.py,
         # sources/minijpeg.py); only formats that genuinely need a native
-        # codec (video containers, progressive JPEG) fall through — and
+        # codec (video containers, arithmetic-coded JPEG) fall through — and
         # every fall-through RECORDS WHY in ``unsupported`` (r3 verdict
         # ask #7: a 100-TB run must report what fraction of its assets
         # hit a codec gate, per reason, not silently fake them).
@@ -94,9 +94,9 @@ class MediaDecoder:
         if self.strict:
             raise NotImplementedError(
                 "strict decode: payload absent or format needs a native "
-                "codec (video containers, progressive JPEG); supported "
-                "pure-python formats are PNG, BMP, PPM/PGM, baseline "
-                "JPEG, GIF, WAV — run strict=False for the deterministic "
+                "codec (video containers, arithmetic-coded JPEG); supported "
+                "pure-python formats are PNG, BMP, PPM/PGM, baseline and "
+                "progressive JPEG, GIF, WAV — run strict=False for the deterministic "
                 "fake fallback"
             )
         return {**_fake_decode(ref, payload), "unsupported": unsupported}

@@ -67,11 +67,14 @@ def test_jpeg_quality_monotone_size():
     assert sizes[0] < sizes[1] < sizes[2]
 
 
-def test_jpeg_progressive_gated():
-    """SOF2 raises the honest UnsupportedJPEGError, not garbage pixels."""
+def test_jpeg_progressive_header_without_scan_is_corrupt():
+    """SOF2 no longer gates (the progressive decoder is real since
+    round 4); a frame header with no scan is a CORRUPT stream, and the
+    remaining honest gate is arithmetic coding (see
+    test_arithmetic_still_gated)."""
     prog = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
             + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00")
-    with pytest.raises(mj.UnsupportedJPEGError):
+    with pytest.raises(mj.CorruptJPEGError):
         mj.decode_jpeg(prog)
 
 
@@ -224,3 +227,84 @@ def test_frame_sampler_real_gif_frames(ray_session):
     )
     v = out[out.doc_id == "v"]
     assert len(v) == 3  # ceil(2500/1000) = 3 stub frames
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (round 4): the hermetic round trip — the progressive
+# encoder reuses the baseline quantizer, so after every scan (DC first +
+# refinement, split AC spectral bands, AC successive-approximation
+# refinement with EOB runs) the coefficients are IDENTICAL and the
+# decoded pixels must equal the baseline decode bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def test_progressive_roundtrip_matches_baseline():
+    from kgray.sources.minijpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        (rng.randint(0, 256, (16, 16), dtype=np.uint8), {}),
+        (rng.randint(0, 256, (21, 13), dtype=np.uint8), {}),
+        (rng.randint(0, 256, (24, 24, 3), dtype=np.uint8), {}),
+        (rng.randint(0, 256, (35, 27, 3), dtype=np.uint8),
+         {"subsample": True}),
+        (rng.randint(0, 256, (33, 18, 3), dtype=np.uint8),
+         {"subsample": "422"}),
+    ]
+    yy, xx = np.mgrid[0:64, 0:48]
+    smooth = ((np.sin(xx / 19) + np.cos(yy / 23)) * 60 + 128).astype(
+        np.uint8
+    )
+    cases.append((np.stack([smooth] * 3, axis=2), {}))  # deep EOB runs
+    for img, kw in cases:
+        for q in (90, 40):
+            base = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, **kw)
+            )
+            assert np.array_equal(base, prog), (img.shape, kw, q)
+
+
+def test_progressive_is_sof2():
+    from kgray.sources.minijpeg import encode_jpeg_progressive
+
+    p = encode_jpeg_progressive(
+        np.zeros((8, 8), dtype=np.uint8), quality=90
+    )
+    assert b"\xff\xc2" in p  # SOF2 marker present
+    assert p.count(b"\xff\xda") >= 4  # genuinely multi-scan
+
+
+def test_arithmetic_still_gated():
+    from kgray.sources.minijpeg import UnsupportedJPEGError, decode_jpeg
+
+    sof9 = bytes([0xFF, 0xD8, 0xFF, 0xC9, 0x00, 0x0B,
+                  8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(UnsupportedJPEGError):
+        decode_jpeg(sof9)
+
+
+def test_media_decoder_strict_decodes_progressive(ray_session):
+    """The multimodal strict path now REALLY decodes progressive JPEG."""
+    import pyarrow as pa
+
+    from kgray.sources.minijpeg import encode_jpeg_progressive
+    from kgray.stages.multimodal import MediaDecoder
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 17, 3), dtype=np.uint8)
+    payload = encode_jpeg_progressive(img, quality=85)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d1"], pa.string()),
+            "span_seq": pa.array([0], pa.int32()),
+            "media_ref": pa.array(["mem://prog"], pa.string()),
+            "payload": pa.array([payload], pa.binary()),
+        }
+    )
+    out = MediaDecoder(strict=True)(batch).to_pandas()
+    assert int(out.width[0]) == 17 and int(out.height[0]) == 24
+    assert out.unsupported[0] is None

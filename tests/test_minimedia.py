@@ -276,30 +276,31 @@ def test_unsupported_media_counter(ray_session):
     """r3 verdict ask #7: every decode that hits a codec gate must be
     COUNTED with its reason — a 100-TB run reports the gated fraction
     instead of silently faking it.  Three rows: real PNG (decoded),
-    progressive JPEG (gated with the SOF2 reason), payload-less ref."""
+    arithmetic-coded JPEG (gated with its reason), payload-less ref."""
     import ray.data
 
     from kgray.stages.multimodal import MediaDecoder, unsupported_media_stats
 
     png = mm.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
-    # minimal progressive stream: SOI + SOF2 frame header (8-bit, 8x8, 1
-    # component) — the decoder gates on the SOF2 marker itself
-    sof2 = bytes([0xFF, 0xD8, 0xFF, 0xC2, 0x00, 0x0B,
+    # minimal arithmetic-coded stream: SOI + SOF9 frame header (the
+    # decoder gates on the arithmetic marker itself; progressive SOF2
+    # decodes for REAL since round 4)
+    sof9 = bytes([0xFF, 0xD8, 0xFF, 0xC9, 0x00, 0x0B,
                   8, 0, 8, 0, 8, 1, 1, 0x11, 0])
     batch = pa.table(
         {
             "doc_id": pa.array(["d1", "d2", "d3"], pa.string()),
             "span_seq": pa.array([0, 0, 0], pa.int32()),
             "media_ref": pa.array(
-                ["mem://png", "mem://pjpeg", "s3://missing"], pa.string()
+                ["mem://png", "mem://ajpeg", "s3://missing"], pa.string()
             ),
-            "payload": pa.array([png, sof2, None], pa.binary()),
+            "payload": pa.array([png, sof9, None], pa.binary()),
         }
     )
     out = MediaDecoder()(batch).to_pandas()
     reasons = dict(zip(out.doc_id, out.unsupported))
     assert reasons["d1"] is None
-    assert "progressive" in reasons["d2"]
+    assert "arithmetic" in reasons["d2"]
     assert reasons["d3"] == "no payload"
     stats = unsupported_media_stats(
         ray.data.from_arrow(MediaDecoder()(batch))
