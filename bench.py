@@ -655,8 +655,11 @@ def run_dedup_leg() -> dict:
 
     q = entrymod.queries()["minhash_near_dup"]
     t0 = time.time()
-    n_pairs = q(sf_dir).count()
+    res = q(sf_dir)
+    n_pairs = res.count()
     sec = time.time() - t0
+    if os.environ.get("KGRAY_DEDUP_STATS"):
+        print(res.stats(), file=sys.stderr)
     n_docs = pds.dataset(docs_path, format="parquet").count_rows()
     return {
         "metric": "minhash_near_dup_sec",
@@ -700,19 +703,30 @@ def run_scaling_dedup() -> dict:
     # the min-of-repeats rule every other bench number here follows.
     # Raw-CPU controls bracket the measurements; a whole attempt retries
     # (bounded) unless both leg ratios and both controls clear 0.8.
-    attempts_max = int(os.environ.get("KGRAY_DEDUP_ATTEMPTS", "2"))
+    attempts_max = int(os.environ.get("KGRAY_DEDUP_ATTEMPTS", "4"))
     reps = int(os.environ.get("KGRAY_DEDUP_REPS", "3"))
     ratios = ((8, 32), (4, 16))
 
     def measure_levels() -> dict:
         out = {}
         pair_counts = set()
-        for ncpu in sorted({c for r in ratios for c in r}):
-            runs = [one(ncpu) for _ in range(reps)]
-            pair_counts.update(r["n_pairs"] for r in runs)
+        levels = sorted({c for r in ratios for c in r})
+        runs = {c: [] for c in levels}
+        # ROUND-ROBIN the levels inside each repetition: this box's noise
+        # regimes last minutes, so timing a level's reps consecutively
+        # drew that level's whole sample from ONE regime while another
+        # level sampled a different one — the ratio then compared windows,
+        # not parallelism (observed: the same 8-CPU leg read 55s and 131s
+        # across attempts).  Interleaved, every level gets one draw per
+        # window and min-of-reps compares like with like.
+        for _ in range(reps):
+            for ncpu in levels:
+                runs[ncpu].append(one(ncpu))
+        for ncpu in levels:
+            pair_counts.update(r["n_pairs"] for r in runs[ncpu])
             out[ncpu] = {
-                "sec": min(r["value"] for r in runs),
-                "all_sec": [r["value"] for r in runs],
+                "sec": min(r["value"] for r in runs[ncpu]),
+                "all_sec": [r["value"] for r in runs[ncpu]],
             }
         # same answer at every parallelism level and every repetition
         assert len(pair_counts) == 1, pair_counts
@@ -726,6 +740,20 @@ def run_scaling_dedup() -> dict:
                     for lo, hi in ratios}
         kernel_ctls = {f"{lo}v{hi}": kernel_control(lo, hi)
                        for lo, hi in ratios}
+        # Dirty-window gate: when the BOX itself can't scale its own
+        # bandwidth-matched kernel ≥0.8 right now, a 15-minute Ray
+        # measurement can only record the hypervisor.  Skip it (cheaply),
+        # wait, and re-probe — but never skip the final attempt, so the
+        # lane always publishes at least one real measurement.
+        dirty = any(c["efficiency"] < 0.8 for c in controls.values()) or \
+            any(k["efficiency"] < 0.8 for k in kernel_ctls.values())
+        if dirty and attempt < attempts_max - 1:
+            attempt_log.append({
+                "attempt": attempt, "skipped": "dirty_window",
+                "controls": controls, "kernel_controls": kernel_ctls,
+            })
+            time.sleep(int(os.environ.get("KGRAY_DEDUP_GATE_SLEEP", "45")))
+            continue
         levels = measure_levels()
         legs = {}
         for lo, hi in ratios:

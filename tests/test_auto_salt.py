@@ -53,6 +53,19 @@ def _empty_unary():
     )
 
 
+def _empty_url_agg():
+    # canonicalize_nodes takes the URL aggregate as a DATASET now (the
+    # collected-dict API was removed with the r3 build_url_map fix)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entry_name": pa.array([], pa.string()),
+                "url": pa.array([], pa.string()),
+            }
+        )
+    )
+
+
 def test_top_key_share_measures_planted_skew(ray_session):
     edges = ray.data.from_arrow(_planted_edges()).repartition(16)
     mentions = edges.map_batches(
@@ -85,7 +98,7 @@ def test_top_key_share_measures_planted_skew(ray_session):
 
 def test_salted_plan_engages_and_matches_unsalted(ray_session):
     edges = ray.data.from_arrow(_planted_edges()).repartition(16)
-    url_ref = ray.put({})
+    url_ref = _empty_url_agg()
 
     # auto mode with thresholds scaled to the test corpus: must salt
     auto = canonicalize_nodes(
@@ -124,7 +137,7 @@ def test_auto_salt_decision_boundary(ray_session, monkeypatch):
     monkeypatch.setattr(nodes_mod, "measure_top_key_share", spy)
     edges = ray.data.from_arrow(_planted_edges()).repartition(16)
     canonicalize_nodes(
-        edges, _empty_unary(), ray.put({}),
+        edges, _empty_unary(), _empty_url_agg(),
         salt_buckets=None, salt_min_rows=100, salt_share_threshold=0.02,
     ).materialize()
     assert chosen["share"] > 0.02
