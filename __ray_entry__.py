@@ -1645,6 +1645,12 @@ def _q_unigram_nll(sf_dir: str):
     return unigram_nll(sf_dir)
 
 
+def _q_bigram_nll(sf_dir: str):
+    from kgray.stages.corpus_stats import bigram_nll
+
+    return bigram_nll(sf_dir)
+
+
 def _q_length_deciles(sf_dir: str):
     from kgray.stages.corpus_stats import length_deciles
 
@@ -2209,6 +2215,12 @@ def _q_supplier_count_by_part(sf_dir: str):
     return supplier_count_by_part(sf_dir)
 
 
+def _q_excess_suppliers(sf_dir: str):
+    from kgray.pipelines.tpch_final import excess_suppliers
+
+    return excess_suppliers(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """All driver-checkable pipelines, ORACLE-BEARING ENTRIES FIRST.
 
@@ -2354,6 +2366,7 @@ def _query_impls() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": _q_events_interarrival,
         "events_props_stats": _q_events_props_stats,
         "unigram_nll": _q_unigram_nll,
+        "bigram_nll": _q_bigram_nll,
         "length_deciles": _q_length_deciles,
         "ccnet_buckets": _q_ccnet_buckets,
         "bm25_topk": _q_bm25_topk,
@@ -2409,6 +2422,7 @@ def _query_impls() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "important_parts": _q_important_parts,
         "supplier_count_by_part": _q_supplier_count_by_part,
+        "excess_suppliers": _q_excess_suppliers,
         "pretrain_corpus": _q_pretrain_corpus,
         "media_dedup": _q_media_dedup,
         "kg_incremental": _q_kg_incremental,
@@ -4234,6 +4248,24 @@ WHERE p.p_brand <> 'Brand#2'
                     AND s.s_acctbal < 1000.0)
 GROUP BY 1, 2, 3
 """,
+        "excess_suppliers": """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM ps GROUP BY 1
+)
+SELECT DISTINCT s_name, n_name
+FROM ps JOIN tot USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE 2 * qty > total_qty
+ORDER BY s_name
+""",
         "duplicate_ngrams": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
 u AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
@@ -4349,6 +4381,25 @@ lp AS (SELECT tok, ln(c / (SELECT n FROM tot)) AS logp FROM cnt)
 SELECT ne.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
        floor(-(sum(lp.logp) / count(*)) * 1e6 + 0.5) / 1e6 AS avg_nll
 FROM ne JOIN lp ON ne.tok = lp.tok GROUP BY ne.doc_id
+""",
+        "bigram_nll": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
+ne AS (SELECT doc_id, tok,
+              row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+       FROM u WHERE tok <> ''),
+b AS (SELECT a.doc_id, a.tok AS prev, c.tok AS cur
+      FROM ne a JOIN ne c ON c.doc_id = a.doc_id AND c.j = a.j + 1),
+c2 AS (SELECT prev, cur, CAST(count(*) AS DOUBLE) c FROM b GROUP BY 1, 2),
+c1 AS (SELECT prev, CAST(sum(c) AS DOUBLE) n FROM c2 GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) v FROM ne),
+lp AS (SELECT c2.prev, c2.cur,
+              ln((c2.c + 0.5) / (c1.n + 0.5 * (SELECT v FROM v))) AS logp
+       FROM c2 JOIN c1 USING (prev))
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(-(sum(lp.logp) / count(*)) * 1e6 + 0.5) / 1e6 AS avg_nll
+FROM b JOIN lp ON b.prev = lp.prev AND b.cur = lp.cur
+GROUP BY b.doc_id
 """,
         "length_deciles": """
 SELECT doc_id, n_chars,

@@ -897,3 +897,141 @@ def disjunctive_brand_revenue(
     return ray.data.from_arrow(
         pa.table({"revenue": pa.array([(total or 0) / 100.0], pa.float64())})
     )
+
+
+# ---------------------------------------------------------------------------
+# Q20: excess suppliers — suppliers dominating a prefix-named part's volume
+# ---------------------------------------------------------------------------
+
+def excess_suppliers(
+    sf_dir: str,
+    name_prefix: str = "small",
+    year_lo: str = "1996-01-01",
+    year_hi: str = "1997-01-01",
+) -> "ray.data.Dataset":
+    """Suppliers who shipped MORE THAN HALF of a part's total shipped
+    quantity within one year, for parts whose name starts with
+    ``name_prefix`` (TPC-H Q20's nested-subquery shape: the per-
+    (supplier, part) sum compared against a per-part scalar subquery;
+    partsupp availability is proxied by shipped volume, the reference
+    data model has no partsupp table).
+
+    Shape: the fact table is filtered map-side (date window) and
+    pre-aggregated per batch before its ONE hash partitioning — the
+    keyed reduce yields the (partkey, suppkey, qty) supply relation.
+    The part dimension arrives prefix-filtered through an adaptive
+    smart_join (broadcast while the filtered subset fits, shuffle when
+    it doesn't — at web scale a part dimension is NOT broadcastable
+    unfiltered).  Per-part totals are a second keyed reduce over the
+    SAME supply relation (no second fact scan), re-attached by partkey;
+    the >50% threshold compares exact int64 quantity sums (quantities
+    are integral), so no FP boundary exists.  Qualifying suppkeys
+    dedup to a small set that joins the supplier + 25-row nation
+    dimensions.
+    """
+    import numpy as _np
+
+    lo = _np.datetime64(year_lo)
+    hi = _np.datetime64(year_hi)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+
+    def supply_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        sd = df.l_shipdate.to_numpy()
+        df = df.loc[(sd >= lo) & (sd < hi)]
+        df = df.assign(qty=df.l_quantity.to_numpy().astype(np.int64))
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False).agg(
+            qty=("qty", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    supply = coarse_grouped_map(
+        li.map_batches(supply_partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        lambda df: df.groupby(
+            ["l_partkey", "l_suppkey"], as_index=False
+        ).agg(qty=("qty", "sum")),
+    )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    pref = name_prefix
+
+    def prefix_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.loc[df.p_name.str.startswith(pref), ["p_partkey"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ..utils import smart_join
+
+    supply = smart_join(
+        supply,
+        part.map_batches(prefix_keys, batch_format="pyarrow"),
+        left_on="l_partkey",
+        right_on="p_partkey",
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "qty": pa.int64()},
+        right_types={"p_partkey": pa.int64()},
+        how="semi",
+    ).materialize()  # consumed twice: per-part totals + threshold probe
+
+    totals = coarse_grouped_map(
+        supply,
+        "l_partkey",
+        lambda df: df.groupby("l_partkey", as_index=False).agg(
+            total_qty=("qty", "sum")
+        ),
+    )
+
+    probed = smart_join(
+        supply,
+        totals,
+        left_on="l_partkey",
+        right_on="l_partkey",
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "qty": pa.int64()},
+        right_types={"l_partkey": pa.int64(), "total_qty": pa.int64()},
+    )
+
+    def dominating(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.loc[2 * df.qty.to_numpy() > df.total_qty.to_numpy(),
+                    ["l_suppkey"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    winners = coarse_grouped_map(
+        probed.map_batches(dominating, batch_format="pyarrow"),
+        "l_suppkey",
+        lambda df: df.drop_duplicates("l_suppkey"),
+    )
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name", "s_nationkey"])
+    named = smart_join(
+        winners,
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_types={"l_suppkey": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_name": pa.string(),
+                     "s_nationkey": pa.int32()},
+    )
+
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = ray.put(dict(zip(nat.column("n_nationkey").to_pylist(),
+                            nat.column("n_name").to_pylist())))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = ray.get(nmap)
+        df["n_name"] = df.s_nationkey.map(m)
+        return pa.Table.from_pandas(
+            df[["s_name", "n_name"]], preserve_index=False
+        )
+
+    return named.map_batches(finish, batch_format="pyarrow").sort("s_name")

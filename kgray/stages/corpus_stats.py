@@ -19,6 +19,7 @@ from typing import Dict
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -716,6 +717,151 @@ def unigram_nll(sf_dir: str) -> "ray.data.Dataset":
                 "n_tok": g.n_tok.astype(np.int64),
                 "avg_nll": _round6(
                     -(g.sum_lp.to_numpy() / g.n_tok.to_numpy(np.float64))
+                ),
+            }
+        )
+
+    return coarse_grouped_map(joined, "doc_id", score)
+
+
+def bigram_nll(sf_dir: str, k: float = 0.5) -> "ray.data.Dataset":
+    """Per-document average negative log-likelihood under an add-k
+    smoothed BIGRAM language model learned from the corpus itself —
+    the second-order sibling of :func:`unigram_nll` (KenLM-style
+    perplexity filtering conditions on context; a unigram score cannot
+    tell scrambled text from fluent text, a bigram score can).
+
+    P(cur | prev) = (c(prev,cur) + k) / (c(prev) + k·V), with c(prev)
+    the CONTEXT count (Σ over bigrams starting at prev) and V the
+    distinct-token vocabulary size.  Docs with fewer than two tokens
+    have no bigrams and drop out — on both sides of the oracle.
+
+    Fully distributed, no vocabulary-sized driver state: bigram
+    postings (doc_id, key="prev cur", bf) are built map-side with a
+    C-speed per-doc ``groupby().shift`` (tokens cannot contain the
+    space separator, so the joined key is unambiguous); the bigram
+    model is a key-keyed coarse reduce, context counts a prev-keyed
+    coarse reduce OVER THE MODEL (bigram-type-sized, not
+    occurrence-sized), logp attaches via one prev-keyed repartition
+    join; scoring is a key-keyed join with a combiner through the join
+    (post_fn) and a doc-keyed finish.  The driver sees exactly one
+    scalar (V).  Same 1e-6 rounding contract as unigram_nll.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df.assign(token=df.text.str.split(" ")).explode("token")
+        d = d[d.token.notna() & (d.token != "")]
+        d = d.assign(prev=d.groupby("doc_id").token.shift(1))
+        d = d[d.prev.notna()]
+        g = d.groupby(["doc_id", "prev", "token"], as_index=False).agg(
+            bf=("token", "size")
+        )
+        g["key"] = g.prev + " " + g.token
+        g["bf"] = g.bf.astype(np.int64)
+        return pa.Table.from_pandas(
+            g[["doc_id", "key", "bf"]], preserve_index=False
+        )
+
+    bg = docs.map_batches(
+        bigram_rows, batch_format="pyarrow"
+    ).materialize()  # two consumers: model build + scoring join
+
+    model = coarse_grouped_map(
+        bg.map_batches(
+            lambda b: pa.table({"key": b.column("key"),
+                                "c": b.column("bf")})
+            .group_by("key").aggregate([("c", "sum")])
+            .rename_columns(["key", "c"]),
+            batch_format="pyarrow",
+        ),
+        "key",
+        lambda d: d.groupby("key", as_index=False).agg(c=("c", "sum")),
+    ).materialize()  # feeds context counts AND the logp join
+
+    def split_prev(d: pd.DataFrame) -> pd.DataFrame:
+        return d.assign(prev=d.key.str.split(" ").str[0])
+
+    ctx = coarse_grouped_map(
+        model.map_batches(
+            lambda d: split_prev(d).groupby("prev", as_index=False).agg(
+                n=("c", "sum")
+            ),
+            batch_format="pandas",
+        ),
+        "prev",
+        lambda d: d.groupby("prev", as_index=False).agg(n=("n", "sum")),
+    )
+
+    # V: distinct tokens in the corpus (unigram-model row count; the
+    # shared-scan memoized posting table makes this a metadata-cheap
+    # reduce, and the driver sees only the scalar)
+    tf = _tf_table(sf_dir)
+    vocab = coarse_grouped_map(
+        tf.map_batches(
+            lambda b: pa.table(
+                {"token": pc.unique(b.column("token"))}
+            ),
+            batch_format="pyarrow",
+        ),
+        "token",
+        lambda d: d.drop_duplicates("token"),
+    ).count()
+    V = float(vocab)
+
+    def add_logp(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": d.key,
+                "logp": np.log(
+                    (d.c.to_numpy(np.float64) + k)
+                    / (d.n.to_numpy(np.float64) + k * V)
+                ),
+            }
+        )
+
+    model_lp = repartition_join(
+        model.map_batches(split_prev, batch_format="pandas"),
+        ctx,
+        "prev",
+        "prev",
+        {"prev": pa.string(), "key": pa.string(), "c": pa.int64()},
+        {"prev": pa.string(), "n": pa.int64()},
+        num_partitions=32,
+        post_fn=add_logp,
+    )
+
+    def partial_score(d: pd.DataFrame) -> pd.DataFrame:
+        bfv = d.bf.to_numpy(np.float64)
+        return d.assign(
+            sum_lp=bfv * d.logp.to_numpy(np.float64), n_bigrams=d.bf
+        ).groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"), sum_lp=("sum_lp", "sum")
+        )
+
+    joined = repartition_join(
+        bg,
+        model_lp,
+        "key",
+        "key",
+        {"key": pa.string(), "doc_id": pa.int64(), "bf": pa.int64()},
+        {"key": pa.string(), "logp": pa.float64()},
+        num_partitions=32,
+        post_fn=partial_score,
+    )
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"), sum_lp=("sum_lp", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g.doc_id.astype(np.int64),
+                "n_bigrams": g.n_bigrams.astype(np.int64),
+                "avg_nll": _round6(
+                    -(g.sum_lp.to_numpy()
+                      / g.n_bigrams.to_numpy(np.float64))
                 ),
             }
         )

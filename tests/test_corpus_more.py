@@ -142,3 +142,70 @@ def test_jsonl_and_csv_roundtrip(tmp_path):
     assert cback.n.tolist() == [1, 3, 2]
     cpruned = read_csv_table(cdir, columns=["doc_id", "n"]).to_pandas()
     assert sorted(cpruned.columns) == ["doc_id", "n"]
+
+
+def test_bigram_nll_hand_computed(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from kgray.stages.corpus_stats import bigram_nll
+
+    # doc1 bigrams: (a,b) (b,a) (a,b); doc2: (a,b); doc3: none (1 token)
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b a b", "a b", "a"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = (
+        bigram_nll(str(tmp_path), k=0.5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # model: c(a,b)=3  c(b,a)=1  ctx: c1(a)=3 c1(b)=1  V=2
+    lab = np.log((3 + 0.5) / (3 + 0.5 * 2))
+    lba = np.log((1 + 0.5) / (1 + 0.5 * 2))
+    exp1 = np.floor(-((2 * lab + lba) / 3) * 1e6 + 0.5) / 1e6
+    exp2 = np.floor(-lab * 1e6 + 0.5) / 1e6
+    assert out.loc[1].tolist() == [3, exp1]
+    assert out.loc[2].tolist() == [1, exp2]
+    assert 3 not in out.index  # <2 tokens: no bigrams, no row
+
+
+def test_excess_suppliers_dominance(tmp_path):
+    import pandas as pd
+
+    from kgray.pipelines.tpch_final import excess_suppliers
+
+    # part 1 ('small x'): supp 7 ships 30 of 40 (>50% — dominates);
+    # part 2 ('small y'): supp 7 and 8 ship 20 each (ties never pass);
+    # part 3 ('red z'): prefix-excluded even though supp 9 owns it.
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3],
+            "p_name": ["small x", "small y", "red z"],
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame(
+        {
+            "s_suppkey": [7, 8, 9],
+            "s_name": ["S7", "S8", "S9"],
+            "s_nationkey": pd.array([0, 0, 1], dtype="int32"),
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame(
+        {
+            "n_nationkey": pd.array([0, 1], dtype="int32"),
+            "n_name": ["N0", "N1"],
+        }
+    ).to_parquet(tmp_path / "nation.parquet")
+    ts = pd.Timestamp("1996-06-01")
+    out_ts = pd.Timestamp("1999-06-01")  # outside the window
+    pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 1, 2, 2, 3, 1],
+            "l_suppkey": [7, 7, 8, 7, 8, 9, 8],
+            "l_quantity": [20.0, 10.0, 10.0, 20.0, 20.0, 50.0, 99.0],
+            "l_shipdate": [ts, ts, ts, ts, ts, ts, out_ts],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    out = excess_suppliers(str(tmp_path)).to_pandas()
+    assert out.values.tolist() == [["S7", "N0"]]
