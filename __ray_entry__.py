@@ -867,6 +867,78 @@ def _q_supplier_balance(sf_dir: str):
     return supplier_balance_stats(sf_dir)
 
 
+def _q_media_video_real(sf_dir: str):
+    """REAL video frame sampling (rows-only): a deterministic synthetic
+    corpus of MJPEG-AVI containers probes (avih header → true duration)
+    and frame-samples (only the PICKED frames' byte ranges decode via
+    the vendored JPEG codec) through the strict actor pools — no fake
+    kernels anywhere on this path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.sources import minimedia as mm
+    from kgray.stages.multimodal import FrameSampler, MediaProber
+
+    rows = {"doc_id": [], "span_seq": [], "media_ref": [], "payload": []}
+    for i in range(12):
+        rng = np.random.RandomState(4000 + i)
+        n_frames = 6 + (i % 5) * 3
+        h, w = 8 + (i % 3) * 8, 16 + (i % 4) * 8
+        base = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        frames = [
+            np.clip(
+                base.astype(np.int32) + k * 7 - 20, 0, 255
+            ).astype(np.uint8)
+            for k in range(n_frames)
+        ]
+        rows["doc_id"].append(f"v{i:03d}")
+        rows["span_seq"].append(0)
+        rows["media_ref"].append(f"mem://vid{i}.avi")
+        rows["payload"].append(
+            mm.encode_avi_mjpeg(frames, fps=4 + (i % 3) * 2)
+        )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "span_seq": pa.array(rows["span_seq"], pa.int32()),
+                "media_ref": pa.array(rows["media_ref"], pa.string()),
+                "payload": pa.array(rows["payload"], pa.binary()),
+            }
+        )
+    ).repartition(4)
+    probed = ds.map_batches(
+        MediaProber, batch_format="pyarrow", batch_size=4,
+        concurrency=(1, 2), num_cpus=1,
+        fn_constructor_kwargs={"strict": True},
+    )
+    sampled = probed.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=4,
+        concurrency=(1, 2), num_cpus=1,
+        fn_constructor_kwargs={
+            "interval_ms": 250, "max_frames": 6, "strict": True,
+        },
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f0 = pc.round(
+            pc.list_element(batch.column("feature"), 0), ndigits=5
+        )
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "frame_idx": batch.column("frame_idx"),
+                "ts_ms": batch.column("ts_ms"),
+                "feat0": pc.cast(f0, pa.float64()),
+            }
+        )
+
+    return sampled.map_batches(project, batch_format="pyarrow")
+
+
 def _q_media_frames(sf_dir: str):
     """Video frame sampling over the synthetic interleaved corpus' media
     spans (rows-only: modality/duration are probe-derived, non-SQL)."""
@@ -2253,6 +2325,7 @@ def _query_impls() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_real_decode": _q_media_real_decode,
+        "media_video_real": _q_media_video_real,
         "media_gate_stats": _q_media_gate_stats,
         "extract_errors": _q_extract_errors,
         "graph_summaries": _q_graph_summaries,

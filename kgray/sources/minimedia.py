@@ -8,17 +8,23 @@ multimodal stages (stages/multimodal.py), no external codec libraries:
   top-down rows.
 * PPM / PGM — binary P5/P6.
 * WAV  — stdlib ``wave`` (PCM 8/16/32-bit).
-* JPEG — baseline sequential (sources/minijpeg.py: Huffman + DCT in
-  numpy; 4:4:4 / 4:2:2 / 4:2:0 / grayscale, restart markers, progressive
-  and arithmetic coding stay gated).
+* JPEG — baseline sequential AND progressive (sources/minijpeg.py:
+  Huffman + DCT in numpy; 4:4:4 / 4:2:2 / 4:2:0 / grayscale, restart
+  markers, spectral-selection/successive-approximation scans; only
+  arithmetic coding stays gated).
 * GIF  — 87a/89a, global/local palettes, interlace, variable-width LZW;
   ``gif_frames`` exposes every frame for the frame-sampling stage.
+* AVI  — RIFF container walk (hdrl probe + movi chunk index, nested
+  ``LIST rec`` groups, idx1 ignored); MJPEG video streams decode for
+  real through minijpeg (``avi_probe`` / ``avi_frames`` /
+  ``encode_avi_mjpeg``).  Non-MJPEG streams raise with the handler
+  fourcc in the message — the per-reason media gate counts them.
 
-Formats beyond these (video containers, arithmetic-coded JPEG) still raise
-``UnsupportedMediaError`` — the honest posture for codecs that genuinely
-need a native library.  ``encode_png`` / ``encode_jpeg`` / ``encode_gif``
-exist so tests (and synthetic corpora) can round-trip pixels through the
-real decode paths.
+Formats beyond these (non-MJPEG video codecs, arithmetic-coded JPEG)
+still raise ``UnsupportedMediaError`` — the honest posture for codecs
+that genuinely need a native library.  ``encode_png`` / ``encode_jpeg``
+/ ``encode_gif`` / ``encode_avi_mjpeg`` exist so tests (and synthetic
+corpora) can round-trip pixels through the real decode paths.
 """
 from __future__ import annotations
 
@@ -42,7 +48,7 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def detect_format(payload: bytes) -> Optional[str]:
-    """'png' | 'bmp' | 'ppm' | 'pgm' | 'wav' | 'jpeg' | 'gif' | None."""
+    """'png'|'bmp'|'ppm'|'pgm'|'wav'|'avi'|'jpeg'|'gif'|None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:8] == _PNG_MAGIC:
@@ -53,6 +59,8 @@ def detect_format(payload: bytes) -> Optional[str]:
         return "ppm" if payload[:2] == b"P6" else "pgm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -515,6 +523,178 @@ def encode_gif(img: np.ndarray, frames: Optional[list] = None) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF) container — MJPEG video streams decode for real
+# ---------------------------------------------------------------------------
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Walk a run of RIFF chunks in buf[pos:end], yielding
+    (fourcc, data_start, data_size).  Chunks are word-aligned (a pad
+    byte follows odd sizes).  Truncated tails stop the walk rather than
+    raising — callers decide whether a short container is an error."""
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            break
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _avi_top(payload: bytes):
+    if detect_format(payload) != "avi":
+        raise UnsupportedMediaError("not an AVI container")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    return _riff_chunks(payload, 12, min(len(payload), 8 + riff_size))
+
+
+def avi_probe(payload: bytes) -> dict:
+    """Container header probe: parse the ``avih`` main header inside
+    ``LIST hdrl`` → {width, height, n_frames, us_per_frame, fps,
+    duration_ms, handler} (handler = the video stream's fourcc from
+    ``strh``, e.g. 'MJPG')."""
+    avih = None
+    handler = ""
+    for fourcc, ds, size in _avi_top(payload):
+        if fourcc != b"LIST" or payload[ds : ds + 4] != b"hdrl":
+            continue
+        for sub, sds, ssize in _riff_chunks(payload, ds + 4, ds + size):
+            if sub == b"avih" and ssize >= 40:
+                avih = struct.unpack("<10I", payload[sds : sds + 40])
+            elif sub == b"LIST" and payload[sds : sds + 4] == b"strl":
+                for s2, s2ds, s2size in _riff_chunks(
+                    payload, sds + 4, sds + ssize
+                ):
+                    if (s2 == b"strh" and s2size >= 8
+                            and payload[s2ds : s2ds + 4] == b"vids"):
+                        handler = (
+                            payload[s2ds + 4 : s2ds + 8]
+                            .decode("ascii", "replace").strip("\x00 ")
+                        )
+        break
+    if avih is None:
+        raise UnsupportedMediaError("AVI without an avih main header")
+    us_per_frame, _bps, _pad, _flags, n_frames, _init, _streams, _buf, \
+        w, h = avih
+    fps = 1_000_000.0 / us_per_frame if us_per_frame else 0.0
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n_frames),
+        "us_per_frame": int(us_per_frame),
+        "fps": fps,
+        "duration_ms": int(n_frames * us_per_frame // 1000),
+        "handler": handler,
+    }
+
+
+def _avi_frame_ranges(payload: bytes) -> list:
+    """(start, size) byte ranges of every video frame chunk (``##dc`` /
+    ``##db``) inside ``LIST movi``, recursing into nested ``LIST rec``
+    groups.  Only ranges move — frame bytes are sliced lazily so a
+    sampler can decode just the frames it picked."""
+    ranges = []
+
+    def walk(pos: int, end: int):
+        for fourcc, ds, size in _riff_chunks(payload, pos, end):
+            if fourcc == b"LIST" and payload[ds : ds + 4] == b"rec ":
+                walk(ds + 4, ds + size)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                ranges.append((ds, size))
+
+    for fourcc, ds, size in _avi_top(payload):
+        if fourcc == b"LIST" and payload[ds : ds + 4] == b"movi":
+            walk(ds + 4, ds + size)
+    return ranges
+
+
+def avi_frames(payload: bytes, picks=None) -> list:
+    """Decode AVI video frames as uint8 (h, w[, 3]) arrays.  ``picks``
+    (iterable of frame indices) decodes ONLY those frames — the
+    frame-sampling stage never pays for frames it skips.  MJPEG frames
+    decode through minijpeg; any other stream codec raises
+    ``UnsupportedMediaError`` naming the handler fourcc."""
+    ranges = _avi_frame_ranges(payload)
+    if not ranges:
+        raise UnsupportedMediaError("AVI with no video frame chunks")
+    idx = range(len(ranges)) if picks is None else picks
+    out = []
+    for i in idx:
+        start, size = ranges[int(i)]
+        frame = payload[start : start + size]
+        if frame[:3] != b"\xff\xd8\xff":
+            handler = ""
+            try:
+                handler = avi_probe(payload)["handler"]
+            except UnsupportedMediaError:
+                pass
+            raise UnsupportedMediaError(
+                f"AVI stream codec needs a native library: "
+                f"{handler or 'unknown handler'}"
+            )
+        out.append(decode_image(frame))
+    return out
+
+
+def decode_avi(payload: bytes) -> np.ndarray:
+    """First video frame of an MJPEG AVI as uint8 (h, w[, 3])."""
+    return avi_frames(payload, picks=[0])[0]
+
+
+def encode_avi_mjpeg(
+    frames: list,
+    fps: int = 10,
+    quality: int = 90,
+    subsample: bool = False,
+) -> bytes:
+    """Same-shape uint8 frames → RIFF AVI with an MJPEG video stream
+    (avih + strl/strh/strf headers, movi '00dc' chunks, idx1 keyframe
+    index).  Test/synthetic-corpus encoder, hermetic counterpart of the
+    real ``avi_frames`` decode path."""
+    from . import minijpeg
+
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    jpegs = [
+        minijpeg.encode_jpeg(
+            np.asarray(f, dtype=np.uint8), quality=quality,
+            subsample=subsample,
+        )
+        for f in frames
+    ]
+    h, w = np.asarray(frames[0]).shape[:2]
+    us_per_frame = int(round(1_000_000 / fps))
+    buf_size = max(len(j) for j in jpegs)
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack(
+        "<14I", us_per_frame, buf_size * fps, 0, 0x10,  # HASINDEX
+        len(jpegs), 0, 1, buf_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, len(jpegs), buf_size, 0xFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+        w * h * 3, 0, 0, 0, 0,
+    )
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                 + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = chunk(b"LIST", b"movi" + movi_body)
+    idx, off = bytearray(), 4  # offsets relative to the 'movi' fourcc
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
 # unified decode + features
 # ---------------------------------------------------------------------------
 
@@ -541,6 +721,11 @@ def decode_image(payload: bytes) -> np.ndarray:
             return decode_gif(payload)
         except (struct.error, IndexError) as e:
             raise UnsupportedMediaError(f"corrupt GIF: {e}") from e
+    if fmt == "avi":
+        try:
+            return decode_avi(payload)
+        except (struct.error, IndexError) as e:
+            raise UnsupportedMediaError(f"corrupt AVI: {e}") from e
     raise UnsupportedMediaError(
         f"no pure-python decoder for format {fmt or 'unknown'}"
     )

@@ -68,7 +68,10 @@ class MediaDecoder:
         if payload:
             fmt = mm.detect_format(payload)
             try:
-                if fmt in ("png", "bmp", "ppm", "pgm", "jpeg", "gif"):
+                if fmt in ("png", "bmp", "ppm", "pgm", "jpeg", "gif",
+                           "avi"):
+                    # avi: MJPEG streams — dims + first-frame feature
+                    # (decode_image slices only frame 0's byte range)
                     img = mm.decode_image(payload)
                     return {
                         "width": int(img.shape[1]),
@@ -94,10 +97,10 @@ class MediaDecoder:
         if self.strict:
             raise NotImplementedError(
                 "strict decode: payload absent or format needs a native "
-                "codec (video containers, arithmetic-coded JPEG); supported "
+                "codec (non-MJPEG video, arithmetic-coded JPEG); supported "
                 "pure-python formats are PNG, BMP, PPM/PGM, baseline and "
-                "progressive JPEG, GIF, WAV — run strict=False for the deterministic "
-                "fake fallback"
+                "progressive JPEG, GIF, MJPEG-AVI, WAV — run strict=False "
+                "for the deterministic fake fallback"
             )
         return {**_fake_decode(ref, payload), "unsupported": unsupported}
 
@@ -260,22 +263,61 @@ def _fake_probe(ref: str) -> dict:
     return {"modality": modality, "duration_ms": duration_ms}
 
 
+def _real_probe(payload: bytes) -> Optional[dict]:
+    """Header-sniff probe for payload formats the vendored decoders
+    cover: AVI → video with the container's true duration; WAV → audio
+    with sample-count duration; image formats → image, duration 0.
+    None = format not probeable pure-python (caller falls back / raises)."""
+    from ..sources import minimedia as mm
+
+    fmt = mm.detect_format(payload)
+    if fmt == "avi":
+        try:
+            info = mm.avi_probe(payload)
+            return {"modality": "video",
+                    "duration_ms": int(info["duration_ms"])}
+        except mm.UnsupportedMediaError:
+            return None
+    if fmt == "wav":
+        try:
+            samples, rate = mm.decode_wav(payload)
+            return {"modality": "audio",
+                    "duration_ms": int(len(samples) * 1000 // max(1, rate))}
+        except mm.UnsupportedMediaError:
+            return None
+    if fmt in ("png", "bmp", "ppm", "pgm", "jpeg", "gif"):
+        return {"modality": "image", "duration_ms": 0}
+    return None
+
+
 class MediaProber:
-    """Actor stage: media rows → + (modality, duration_ms).  The real
-    kernel is an ffprobe/PIL header sniff — once-per-actor init seam kept;
-    the fake derives both deterministically from the ref."""
+    """Actor stage: media rows → + (modality, duration_ms).  Payload
+    headers the vendored decoders understand (AVI/WAV/images) probe for
+    REAL; payload-less refs use the deterministic fake (strict=True
+    raises for them instead — the honest production posture)."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "container probing requires ffprobe/PIL, absent here"
-            )
-        probes = [
-            _fake_probe(r) for r in batch.column("media_ref").to_pylist()
-        ]
+        refs = batch.column("media_ref").to_pylist()
+        payloads = (
+            batch.column("payload").to_pylist()
+            if "payload" in batch.schema.names
+            else [None] * len(refs)
+        )
+        probes = []
+        for r, p in zip(refs, payloads):
+            probe = _real_probe(p) if p else None
+            if probe is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "strict container probe: payload absent or format "
+                        "not probeable pure-python (probeable: AVI, WAV, "
+                        "PNG/BMP/PPM/PGM/JPEG/GIF)"
+                    )
+                probe = _fake_probe(r)
+            probes.append(probe)
         t = batch.append_column(
             "modality",
             pa.array([p["modality"] for p in probes], pa.string()),
@@ -295,10 +337,12 @@ class FrameSampler:
     training-data sampling policy).  Output: (doc_id, span_seq, media_ref,
     frame_idx, ts_ms, feature list<float32>).
 
-    Animated GIF payloads get REAL frame extraction (sources/minimedia
-    ``gif_frames``: frames sampled uniformly up to ``max_frames``, feature
-    = content-derived ``image_feature`` per frame).  Other containers'
-    per-frame decode is the stubbed kernel (video codecs absent); the
+    Animated GIF and MJPEG-AVI payloads get REAL frame extraction
+    (sources/minimedia ``gif_frames`` / ``avi_frames``: frames sampled
+    uniformly up to ``max_frames``, feature = content-derived
+    ``image_feature`` per frame; the AVI path slices and decodes ONLY
+    the picked frames' byte ranges).  Other containers' per-frame decode
+    is the stubbed kernel (those codecs need native libraries); the
     fan-out, capping, timestamps and batch layout are the real Ray-side
     work either way.  batch_size stays small upstream: with real codecs
     each input row is a multi-MB container."""
@@ -356,6 +400,37 @@ class FrameSampler:
                         ).tolist()
                     )
                 continue
+            if p is not None and mm.detect_format(p) == "avi":
+                # REAL video path: probe → pick → decode only the picks
+                try:
+                    info = mm.avi_probe(p)
+                    total = int(info["n_frames"])
+                    if total <= 0:
+                        continue
+                    if total > self.max_frames:
+                        picks = np.linspace(
+                            0, total - 1, self.max_frames
+                        ).round().astype(int)
+                    else:
+                        picks = np.arange(total)
+                    frames = mm.avi_frames(p, picks=picks)
+                    ms_per = info["us_per_frame"] / 1000.0
+                    for i, (k, img) in enumerate(zip(picks, frames)):
+                        doc.append(d)
+                        seq.append(s)
+                        ref.append(r)
+                        fidx.append(i)
+                        ts.append(int(round(float(k) * ms_per)))
+                        feat.append(
+                            mm.image_feature(
+                                img, MEDIA_FEATURE_DIM
+                            ).tolist()
+                        )
+                    continue
+                except mm.UnsupportedMediaError:
+                    if self.strict:
+                        raise
+                    # non-MJPEG stream: fall through to the fake kernel
             if m != "video" or not ms:
                 continue
             n = max(1, int(np.ceil(ms / self.interval_ms)))
