@@ -233,12 +233,16 @@ def _q_minhash_near_dup(sf_dir: str):
 
     import ray.data
 
-    from kgray.stages.dedup import minhash_lsh_pairs
+    from kgray.stages.dedup import _bounded_shuffle_width, minhash_lsh_pairs
 
+    # size the read itself to the shuffle width: the pipeline can then
+    # skip its coalescing repartition (one fewer full-corpus barrier)
     docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        override_num_blocks=_bounded_shuffle_width(None),
     )
-    return minhash_lsh_pairs(docs, threshold=0.5)
+    return minhash_lsh_pairs(docs, threshold=0.5, shuffle_blocks=0)
 
 
 def _q_near_dup_dedup(sf_dir: str):
@@ -291,6 +295,23 @@ def _q_simhash_pairs(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def _q_substring_dup_spans(sf_dir: str):
+    """Exact duplicated-substring detection (Lee et al. 2022 suffix-window
+    dedup): per-document count of duplicated 8-token windows and their
+    merged token coverage.  Hash-pruned candidates, exact gram-string
+    verification, doc-keyed interval merge."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.dedup import duplicate_window_spans
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return duplicate_window_spans(docs, k=8)
 
 
 def _q_curate_corpus(sf_dir: str):
@@ -2348,6 +2369,7 @@ def _query_impls() -> dict[str, Callable[[str], Any]]:
         "train_val_split": _q_train_val_split,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "substring_dup_spans": _q_substring_dup_spans,
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_filtered": _q_knn_filtered,
@@ -2786,6 +2808,29 @@ FROM documents
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+""",
+        "substring_dup_spans": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+u AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) tok FROM t),
+g AS (SELECT doc_id, i AS pos,
+        string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+        count(*) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS width
+      FROM u),
+w AS (SELECT doc_id, pos, gram FROM g WHERE width = 8),
+d AS (SELECT gram FROM w GROUP BY gram HAVING count(*) > 1),
+s AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (gram)),
+m AS (SELECT doc_id, pos,
+        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM s)
+SELECT doc_id,
+       count(*)::BIGINT AS dup_windows,
+       sum(CASE WHEN prev_end IS NULL OR prev_end <= pos THEN 8
+                ELSE greatest(0, pos + 8 - prev_end) END)::BIGINT
+         AS dup_tokens
+FROM m GROUP BY doc_id
 """,
         "minhash_near_dup": f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

@@ -647,9 +647,23 @@ def run_dedup_leg() -> dict:
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     pq.read_table(docs_path)  # page cache (file OR per-replica directory)
+
+    def _warm(b):
+        # pre-import the operator library in every worker: a cold worker
+        # pays ~1.5s of kgray+pandas import at its FIRST task, which
+        # otherwise lands inside the timed window as a parallelism-
+        # independent cost (identical at every CPU level → pure ratio
+        # damage).  A real long-lived cluster pays this once per node
+        # at deploy time, not per job.
+        import pandas  # noqa: F401
+
+        import kgray.stages.dedup  # noqa: F401
+
+        return b
+
     ray.data.range(ncpu * 8, override_num_blocks=ncpu * 8).map_batches(
-        lambda b: b, batch_size=1
-    ).count()  # worker warmup (untimed)
+        _warm, batch_size=1
+    ).count()  # worker + import warmup (untimed)
 
     import __ray_entry__ as entrymod
 
@@ -679,10 +693,12 @@ def run_scaling_dedup() -> dict:
     as run_scaling: replica-salted ×KGRAY_DEDUP_REPLICATE corpus, both
     CPU ratios, raw-CPU hardware controls."""
     src = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # ×256: big enough that the 32-CPU leg is >~25s of real work even
-    # after the round-4 reservation fix tripled small-budget throughput —
-    # fixed per-shuffle costs must be noise, not signal, at the hi leg
-    factor = int(os.environ.get("KGRAY_DEDUP_REPLICATE", "256"))
+    # ×1024: the 32-CPU leg must be >~25s of real work — at ×256 it read
+    # 9.3s after the round-4 reservation fix tripled small-budget
+    # throughput, and the plan's ~4-5s of fixed per-shuffle cost alone
+    # capped 8v32 at ~0.62 even on a clean box.  Fixed costs must be
+    # noise, not signal, at the hi leg.
+    factor = int(os.environ.get("KGRAY_DEDUP_REPLICATE", "1024"))
     dedup_dir, n_docs = _prep_amplified_docs(src, factor)
 
     def one(ncpu: int) -> dict:
@@ -704,7 +720,7 @@ def run_scaling_dedup() -> dict:
     # Raw-CPU controls bracket the measurements; a whole attempt retries
     # (bounded) unless both leg ratios and both controls clear 0.8.
     attempts_max = int(os.environ.get("KGRAY_DEDUP_ATTEMPTS", "4"))
-    reps = int(os.environ.get("KGRAY_DEDUP_REPS", "3"))
+    reps = int(os.environ.get("KGRAY_DEDUP_REPS", "2"))
     ratios = ((8, 32), (4, 16))
 
     def measure_levels() -> dict:
@@ -721,7 +737,10 @@ def run_scaling_dedup() -> dict:
         # window and min-of-reps compares like with like.
         for _ in range(reps):
             for ncpu in levels:
-                runs[ncpu].append(one(ncpu))
+                r = one(ncpu)
+                runs[ncpu].append(r)
+                print(f"[scaling-dedup] cpus={ncpu} sec={r['value']}",
+                      file=sys.stderr, flush=True)
         for ncpu in levels:
             pair_counts.update(r["n_pairs"] for r in runs[ncpu])
             out[ncpu] = {
@@ -741,12 +760,18 @@ def run_scaling_dedup() -> dict:
         kernel_ctls = {f"{lo}v{hi}": kernel_control(lo, hi)
                        for lo, hi in ratios}
         # Dirty-window gate: when the BOX itself can't scale its own
-        # bandwidth-matched kernel ≥0.8 right now, a 15-minute Ray
-        # measurement can only record the hypervisor.  Skip it (cheaply),
-        # wait, and re-probe — but never skip the final attempt, so the
-        # lane always publishes at least one real measurement.
-        dirty = any(c["efficiency"] < 0.8 for c in controls.values()) or \
-            any(k["efficiency"] < 0.8 for k in kernel_ctls.values())
+        # bandwidth-matched kernel right now, a 15-minute Ray measurement
+        # can only record the hypervisor.  Skip it (cheaply), wait, and
+        # re-probe — but never skip the final attempt, so the lane always
+        # publishes at least one real measurement.  The skip threshold is
+        # 0.75, not the 0.8 cleanliness bar: a marginal spin reading
+        # (observed 0.789 in an otherwise-excellent bandwidth window)
+        # should not discard the window — measure it, record it, and let
+        # the ≥0.8-everything early-exit below decide whether it counts
+        # as the clean row.
+        gate = float(os.environ.get("KGRAY_DEDUP_GATE", "0.75"))
+        dirty = any(c["efficiency"] < gate for c in controls.values()) or \
+            any(k["efficiency"] < gate for k in kernel_ctls.values())
         if dirty and attempt < attempts_max - 1:
             attempt_log.append({
                 "attempt": attempt, "skipped": "dirty_window",

@@ -449,29 +449,9 @@ def copurchase_components(
 # Bloom-filter-accelerated semi join
 # ---------------------------------------------------------------------------
 
-_BLOOM_MIX = np.uint64(0xFF51AFD7ED558CCD)
-
-
-def _bloom_hashes(keys: np.ndarray):
-    """Two independent 64-bit hash streams for double hashing
-    (pos_i = h1 + i·h2), both via the engine's stable vectorized hasher."""
-    from pandas.util import hash_array
-
-    k = np.asarray(keys)
-    h1 = hash_array(k)
-    with np.errstate(over="ignore"):
-        h2 = hash_array(h1 * _BLOOM_MIX) | np.uint64(1)  # odd → full cycle
-    return h1, h2
-
-
-def _bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int):
-    h1, h2 = _bloom_hashes(keys)
-    m = np.uint64(m_bits)
-    with np.errstate(over="ignore"):
-        return [
-            ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
-            for i in range(n_hashes)
-        ]
+# kernels shared with the dedup text-side prefilter live in kgray.utils
+from ..utils import bloom_hashes as _bloom_hashes  # noqa: F401
+from ..utils import bloom_positions as _bloom_positions
 
 
 def customers_semi_join_bloom(

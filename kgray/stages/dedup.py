@@ -237,6 +237,23 @@ def jaccard_verify_frame(
     return df.loc[keep, ["doc_a", "doc_b"]].reset_index(drop=True)
 
 
+def jaccard_verify_sets(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact-Jaccard filter over candidate pair rows that already carry
+    both docs' distinct shingle-hash sets (sh_a, sh_b int64 arrays) —
+    the set-payload twin of ``jaccard_verify_frame``."""
+    keep = np.zeros(len(df), dtype=bool)
+    i = 0
+    for x, y in zip(df.sh_a, df.sh_b):
+        x = np.asarray(x)
+        y = np.asarray(y)
+        if len(x) and len(y):
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = len(x) + len(y) - inter
+            keep[i] = union > 0 and inter / union >= threshold
+        i += 1
+    return df.loc[keep, ["doc_a", "doc_b"]].reset_index(drop=True)
+
+
 def _bounded_shuffle_width(shuffle_blocks) -> int:
     """Default sort-shuffle fan-in: one partition per cluster core.
 
@@ -251,7 +268,7 @@ def _bounded_shuffle_width(shuffle_blocks) -> int:
     if shuffle_blocks is not None:
         return shuffle_blocks
     try:
-        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+        return 2 * max(8, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         return 32
 
@@ -268,9 +285,11 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (doc_a < doc_b) with exact word-``k``-gram
     Jaccard ≥ ``threshold``, found via MinHash-LSH banding.
 
-    Pipeline: signature actor pool → band explode → groupby(band_id,
-    band_hash) → per-bucket pairs → distinct → doc_id-keyed distributed
-    join (attach text_a, then text_b) → exact-Jaccard verify actor pool.
+    Pipeline: signature task pool → band explode (fused 64-bit bucket
+    key) → sharded bucket groupby → per-bucket pairs → pair-keyed
+    DISTINCT (micro-shuffle) → Bloom-prefiltered doc_id-keyed join
+    attaching each doc's shingle-hash SET → pair-keyed exact-Jaccard
+    verify on the sets.
     Recall: a pair at Jaccard j is missed with prob (1-j^r)^b — with the
     defaults (r=4, b=32) that is ~5e-8 at j=0.8 and ~1.3e-1 at j=0.5, so
     raise ``bands`` (or lower rows-per-band) when hunting low-similarity
@@ -287,8 +306,11 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     # Coalesce micro-blocks ONCE at the top: every downstream stage (and
-    # all three sort shuffles) inherits this block count.
-    docs = docs.repartition(_bounded_shuffle_width(shuffle_blocks))
+    # all three sort shuffles) inherits this block count.  A caller whose
+    # read is ALREADY block-sized (read_parquet with override_num_blocks)
+    # passes shuffle_blocks=0 to skip this barrier outright.
+    if shuffle_blocks != 0:
+        docs = docs.repartition(_bounded_shuffle_width(shuffle_blocks))
     doc_txt = docs.select_columns(["doc_id", "text"])
     # Task pool, not actor pool: MinHasher's state is a tiny coefficient
     # matrix (μs to rebuild, bytes to ship), and an actor pool's spin-up
@@ -308,36 +330,62 @@ def minhash_lsh_pairs(
     # self-merge.  Hot buckets (a degenerate shingle shared by many docs)
     # would explode the merge quadratically — exactly the salt-the-hot-key
     # case — so oversized buckets are capped and logged rather than paired.
-    def add_shard(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.append_column(
-            "shard",
-            pc.cast(
-                pc.bit_wise_and(batch.column("band_hash"), 1023), pa.int32()
-            ),
+    # (band_id, band_hash) is FUSED into one 64-bit bucket key before the
+    # band shuffle: it cuts sort1's row width by 8 bytes × docs × bands,
+    # and a fused-key collision can only MERGE two buckets — producing
+    # extra candidates the exact verify removes — never split one, so
+    # recall is untouched.
+    def mix_bands(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        bid = batch.column("band_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            fused = bh * np.uint64(0x9E3779B97F4A7C15) + bid
+        return pa.table(
+            {
+                "bh": pa.array(fused.view(np.int64), pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "shard": pa.array(
+                    (fused & np.uint64(1023)).astype(np.int32), pa.int32()
+                ),
+            }
         )
 
     MAX_BUCKET = 256
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band_id", "band_hash", "doc_id"])
-        sizes = g.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        g = g.drop_duplicates(["bh", "doc_id"])
+        sizes = g.groupby("bh")["doc_id"].transform("size")
         g = g[sizes <= MAX_BUCKET]
-        m = g.merge(g, on=["band_id", "band_hash"])
+        m = g.merge(g, on="bh")
         m = m[m.doc_id_x < m.doc_id_y]
         out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
         out.columns = ["doc_a", "doc_b"]
         return out.astype("int64")
 
-
-    # Duplicate pairs (the same pair surfacing from several bands/shards)
-    # are tolerated here: the final pair-grouped verify dedupes for free,
-    # so no separate distinct-aggregate shuffle is needed.
     cand = (
-        band_tbl.map_batches(add_shard, batch_format="pyarrow")
+        band_tbl.map_batches(mix_bands, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(shard_pairs, batch_format="pandas")
+    )
+
+    # A pair typically surfaces from SEVERAL bands; deduping candidates
+    # with one pair-keyed micro-shuffle (16 bytes/row) before the
+    # verification machinery cut its two sorts' volume ~10-30× measured —
+    # without it every duplicate of a pair shipped both docs' payloads
+    # through both downstream shuffles.
+    from ..utils import coarse_grouped_map
+
+    # coalesce_blocks=0: cand's blocks are sort1's reduce outputs, already
+    # one per partition — the helper's usual pre-sort repartition would be
+    # a pure extra barrier here
+    cand = coarse_grouped_map(
+        cand,
+        ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        num_partitions=join_partitions,
+        coalesce_blocks=0,
     )
 
     # ---- distributed verification, corpus shuffled exactly once ----
@@ -349,6 +397,14 @@ def minhash_lsh_pairs(
         h = hash_array(np.asarray(ids, dtype=np.int64)) % np.uint64(P)
         return pa.array(h.astype(np.int32), pa.int32())
 
+    _SH_T = pa.list_(pa.int64())
+
+    def _empty_lists(n: int) -> pa.Array:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+            pa.array([], pa.int64()),
+        )
+
     def tag_pairs(batch: pa.Table) -> pa.Table:
         if "doc_a" not in batch.schema.names or batch.num_rows == 0:
             return pa.table(
@@ -357,7 +413,7 @@ def minhash_lsh_pairs(
                  "_side": pa.array([], pa.int8()),
                  "doc_a": pa.array([], pa.int64()),
                  "doc_b": pa.array([], pa.int64()),
-                 "text": pa.array([], pa.string())}
+                 "sh": pa.array([], _SH_T)}
             )
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False)
@@ -372,11 +428,37 @@ def minhash_lsh_pairs(
                 ),
                 "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
                 "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
-                "text": pa.array([""] * (2 * n), pa.string()),
+                "sh": _empty_lists(2 * n),
             }
         )
 
-    def tag_texts(batch: pa.Table) -> pa.Table:
+    # The verification payload is each candidate doc's DISTINCT shingle-
+    # hash SET (computed once per doc, list<int64>), not its text: the
+    # exact-Jaccard verify consumes hash sets anyway, so shipping text
+    # meant re-deriving every doc's set once per pair it appeared in.
+    def doc_sets(batch: pa.Table) -> pa.Table:
+        sets = shingle_hash_sets(
+            batch.column("text").to_pylist(), shingle_k
+        )
+        lens = np.fromiter(
+            (len(s) for s in sets), np.int64, count=len(sets)
+        )
+        offs = np.zeros(len(sets) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        vals = (
+            np.concatenate(sets) if sets else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()),
+                    pa.array(vals.view(np.int64), pa.int64()),
+                ),
+            }
+        )
+
+    def tag_sets(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         n = len(ids)
         z = pa.array(np.zeros(n, np.int64), pa.int64())
@@ -387,28 +469,77 @@ def minhash_lsh_pairs(
                 "_side": pa.array(np.full(n, 2, np.int8), pa.int8()),
                 "doc_a": z,
                 "doc_b": z,
-                "text": batch.column("text"),
+                "sh": batch.column("sh"),
             }
         )
 
+    # Bloom-prefilter the TEXT side of the verification join: only docs
+    # that appear in some candidate pair need their text shuffled, and on
+    # real corpora that is a small fraction (~10% here) — without the
+    # filter the join's sort moves the whole corpus text to verify a
+    # candidate-sized pair set, a parallelism-independent I/O cost that
+    # was the largest term in the lane's measured serial floor.  The
+    # bitmap reduce is SKETCH-sized (blocks × m/8 bytes, independent of
+    # how many candidate docs there are) and the broadcast is one
+    # ray.put; a false positive only ships one useless text row that
+    # attaches to no pair, so the output is exactly unchanged.
+    from ..utils import bloom_set, bloom_test
+
+    m_bits, n_hashes = 1 << 23, 4
+    # materialize: consumed twice (bitmap build + pair tagging); volume
+    # is candidate pairs, not corpus
+    cand = cand.materialize()
+
+    def cand_bitmap(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+        if "doc_a" in batch.schema.names and batch.num_rows:
+            keys = np.unique(
+                np.concatenate(
+                    [
+                        batch.column("doc_a").to_numpy(zero_copy_only=False),
+                        batch.column("doc_b").to_numpy(zero_copy_only=False),
+                    ]
+                )
+            )
+            bloom_set(bits, keys, m_bits, n_hashes)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    # sketch-bounded driver reduce (blocks × m/8 bytes, independent of
+    # candidate count), STREAMED batch by batch — never a collected frame
+    merged = np.zeros(m_bits >> 3, dtype=np.uint8)
+    for part in cand.map_batches(
+        cand_bitmap, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in part.column("bits").to_pylist():
+            merged |= np.frombuffer(buf, dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    def probe_texts(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        keys = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bloom_test(bits, keys, m_bits,
+                                                n_hashes)))
+
     tagged = cand.map_batches(tag_pairs, batch_format="pyarrow").union(
-        doc_txt.map_batches(tag_texts, batch_format="pyarrow")
+        doc_txt.map_batches(probe_texts, batch_format="pyarrow")
+        .map_batches(doc_sets, batch_format="pyarrow")
+        .map_batches(tag_sets, batch_format="pyarrow")
     )
 
-    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+    def attach_sets(g: pd.DataFrame) -> pd.DataFrame:
         pairs = g[g._side < 2]
         if pairs.empty:
             return pd.DataFrame()
-        tmap = g[g._side == 2].set_index("_jkey")["text"]
+        tmap = g[g._side == 2].set_index("_jkey")["sh"]
         out = pairs[["doc_a", "doc_b", "_side"]].copy()
-        out["text"] = pairs._jkey.map(tmap)
+        out["sh"] = pairs._jkey.map(tmap)
         return out
 
     half = tagged.groupby("_pkey").map_groups(
-        attach_text, batch_format="pandas"
+        attach_sets, batch_format="pandas"
     )
 
-    thr, k = threshold, shingle_k
+    thr = threshold
 
     def add_pshard(batch: pa.Table) -> pa.Table:
         if "doc_a" not in batch.schema.names or batch.num_rows == 0:
@@ -416,7 +547,7 @@ def minhash_lsh_pairs(
                 {"doc_a": pa.array([], pa.int64()),
                  "doc_b": pa.array([], pa.int64()),
                  "_side": pa.array([], pa.int8()),
-                 "text": pa.array([], pa.string()),
+                 "sh": pa.array([], _SH_T),
                  "_pshard": pa.array([], pa.int32())}
             )
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
@@ -430,16 +561,16 @@ def minhash_lsh_pairs(
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["doc_a", "doc_b", "_side"])
-        lhs = g[g._side == 0][["doc_a", "doc_b", "text"]].rename(
-            columns={"text": "text_a"}
+        lhs = g[g._side == 0][["doc_a", "doc_b", "sh"]].rename(
+            columns={"sh": "sh_a"}
         )
-        rhs = g[g._side == 1][["doc_a", "doc_b", "text"]].rename(
-            columns={"text": "text_b"}
+        rhs = g[g._side == 1][["doc_a", "doc_b", "sh"]].rename(
+            columns={"sh": "sh_b"}
         )
         m = lhs.merge(rhs, on=["doc_a", "doc_b"])
         if m.empty:
             return pd.DataFrame()
-        return jaccard_verify_frame(m, thr, k)
+        return jaccard_verify_sets(m, thr)
 
     return (
         half.map_batches(add_pshard, batch_format="pyarrow")
@@ -1024,4 +1155,234 @@ def dedup_incremental(
         {"text": pa.string()},
         how="anti",
         post_fn=keep_first,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (duplicated token-window) detection — the suffix-array
+# dedup of Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" (ACL 2022), re-expressed for Ray Data.  A true distributed
+# suffix array is replaced by the standard scalable equivalent: every
+# full-width window of k tokens is hashed with a per-position polynomial
+# (stride 1), windows whose hash appears more than once anywhere in the
+# corpus are candidate duplicates, candidates are EXACT-verified on the
+# gram string (so a 64-bit collision can never fabricate a duplicate),
+# and each document's surviving window starts are merged into covered-
+# token spans.  Tokenization is split-on-single-space to match the SQL
+# oracle's string_split(text, ' ').
+
+
+def _window_hash_rows(texts, doc_ids, k: int):
+    """numpy (gh int64 bit-view, doc_id, pos) arrays for every full-width
+    k-token window; pos is the 1-indexed window start (SQL
+    generate_subscripts convention)."""
+    toks = [t.split(" ") if t else [] for t in texts]
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    flat = np.array([w for ts in toks for w in ts], dtype=object)
+    th = _hash_token_array(flat)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    C = _pos_consts(k)
+    ghs, dids, poss = [], [], []
+    with np.errstate(over="ignore"):
+        for i in range(len(toks)):
+            h = th[offs[i] : offs[i + 1]]
+            n = len(h)
+            if n < k:
+                continue
+            s = h[0 : n - k + 1] * C[0]
+            for j in range(1, k):
+                s = s + h[j : n - k + 1 + j] * C[j]
+            ghs.append(s.view(np.int64))
+            dids.append(np.full(n - k + 1, doc_ids[i], dtype=np.int64))
+            poss.append(np.arange(1, n - k + 2, dtype=np.int64))
+    if not ghs:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    return np.concatenate(ghs), np.concatenate(dids), np.concatenate(poss)
+
+
+def duplicate_window_spans(
+    docs: "ray.data.Dataset", k: int = 8, num_partitions: int = 32
+) -> "ray.data.Dataset":
+    """Per-document duplicated-substring summary: (doc_id, dup_windows,
+    dup_tokens) for every document containing at least one k-token window
+    that occurs elsewhere in the corpus (or twice in the same document).
+    ``dup_windows`` counts the duplicated window STARTS; ``dup_tokens``
+    is the merged token coverage of their [pos, pos+k) intervals — the
+    amount of text an exact-substring dedup pass would cut.
+
+    Plan (all distributed, nothing driver-sized):
+      1. slim pass — (hash, doc_id, pos) rows, 8+8+8 bytes per window,
+         per-block combiner, then a coarse keyed count: hashes with
+         count > 1 (a superset of the true duplicates).
+      2. semi-join the slim rows to the duplicate hashes: survivors are
+         the candidate windows — a small fraction of the corpus.
+      3. re-attach the document text (doc_id-keyed join) and slice each
+         survivor's gram STRING once per document; exact-count grams and
+         keep count > 1: hash collisions die here, never in the output.
+      4. doc_id-keyed interval merge (vectorized cummax islands) to the
+         final per-document summary.
+    The full k-gram string expansion — what the SQL oracle shuffles — is
+    never materialized: strings exist only for surviving candidates.
+    """
+    import pandas as pd
+
+    from ..utils import coarse_grouped_map, repartition_join, schema_floor
+
+    def slim(batch: pa.Table) -> pa.Table:
+        gh, did, pos = _window_hash_rows(
+            batch.column("text").to_pylist(),
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            k,
+        )
+        return pa.table(
+            {
+                "gh": pa.array(gh, pa.int64()),
+                "doc_id": pa.array(did, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    windows = docs.map_batches(slim, batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["gh"]).group_by("gh").aggregate([("gh", "count")])
+        return g.rename_columns(["gh", "c"])
+
+    def count_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby("gh", as_index=False).agg(c=("c", "sum"))
+        return out[out["c"] > 1][["gh"]]
+
+    dup_gh = coarse_grouped_map(
+        windows.map_batches(count_partial, batch_format="pyarrow"),
+        "gh",
+        count_reduce,
+        num_partitions=num_partitions,
+    )
+
+    survivors = repartition_join(
+        windows,
+        dup_gh,
+        "gh",
+        "gh",
+        {"gh": pa.int64(), "doc_id": pa.int64(), "pos": pa.int64()},
+        {"gh": pa.int64()},
+        num_partitions=num_partitions,
+        how="semi",
+    )
+
+    def attach_gram(df: "pd.DataFrame") -> "pd.DataFrame":
+        # one text split per DOCUMENT (grouped), not per survivor row
+        out = []
+        for _, g in df.groupby("doc_id", sort=False):
+            t = g["text"].iloc[0]
+            w = t.split(" ") if t else []
+            gram = [
+                " ".join(w[p - 1 : p - 1 + k]) for p in g["pos"].tolist()
+            ]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": g["doc_id"].to_numpy(),
+                        "pos": g["pos"].to_numpy(),
+                        "gram": gram,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                    "gram": pd.Series([], dtype="object"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    with_gram = repartition_join(
+        survivors.select_columns(["doc_id", "pos"]),
+        docs.select_columns(["doc_id", "text"]),
+        "doc_id",
+        "doc_id",
+        {"doc_id": pa.int64(), "pos": pa.int64()},
+        {"doc_id": pa.int64(), "text": pa.string()},
+        num_partitions=num_partitions,
+        how="inner",
+        post_fn=attach_gram,
+    )
+    # materialize: consumed by two downstream branches (the exact gram
+    # count and the final semi-join); survivor volume is the duplicated
+    # fraction of the corpus, not the corpus
+    with_gram = with_gram.materialize()
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["gram"])
+            .group_by("gram")
+            .aggregate([("gram", "count")])
+        )
+        return g.rename_columns(["gram", "c"])
+
+    def gram_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby("gram", as_index=False).agg(c=("c", "sum"))
+        return out[out["c"] > 1][["gram"]]
+
+    dup_gram = coarse_grouped_map(
+        with_gram.map_batches(gram_partial, batch_format="pyarrow"),
+        "gram",
+        gram_reduce,
+        num_partitions=num_partitions,
+    )
+
+    confirmed = repartition_join(
+        with_gram,
+        dup_gram,
+        "gram",
+        "gram",
+        {"gram": pa.string(), "doc_id": pa.int64(), "pos": pa.int64()},
+        {"gram": pa.string()},
+        num_partitions=num_partitions,
+        how="semi",
+    )
+
+    def merge_spans(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "dup_windows": pd.Series([], dtype="int64"),
+                    "dup_tokens": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        e = df["pos"].to_numpy() + k
+        cm = pd.Series(e).groupby(df["doc_id"].to_numpy()).cummax()
+        prev = cm.shift(1).to_numpy()
+        first = df["doc_id"].ne(df["doc_id"].shift(1)).to_numpy()
+        pos = df["pos"].to_numpy().astype("float64")
+        prev[first] = pos[first]  # no predecessor → full k contribution
+        contrib = np.clip(e - np.maximum(prev, pos), 0, None).astype(
+            "int64"
+        )
+        df["_contrib"] = contrib
+        return df.groupby("doc_id", as_index=False).agg(
+            dup_windows=("pos", "size"),
+            dup_tokens=("_contrib", "sum"),
+        )
+
+    out = coarse_grouped_map(
+        confirmed.select_columns(["doc_id", "pos"]),
+        "doc_id",
+        merge_spans,
+        num_partitions=num_partitions,
+    )
+    return schema_floor(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("dup_windows", pa.int64()),
+                ("dup_tokens", pa.int64()),
+            ]
+        ),
     )
