@@ -265,6 +265,7 @@ def run_bench() -> dict:
         "decontaminate",
         "pii_scrub",
         "chunk_dedup",
+        "substring_dup_spans",
         "quota_sample",
         "events_interarrival",
         "events_props_stats",
