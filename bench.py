@@ -26,7 +26,10 @@ import time
 # in a noisy-neighbor window; the per-query loop then grants bounded
 # re-times (see below).  Queries absent here never re-time.
 _CLEAN_BAND = {
-    "minhash_near_dup": 4.5,
+    # +1.5s vs round 3: the r4 verification restructure (pair-distinct +
+    # Bloom + materialize barriers) trades small-corpus fixed cost for
+    # the ×1024-corpus win (30→23.4s at 32 CPUs)
+    "minhash_near_dup": 6.0,
     "curate_corpus": 5.3,
     "revenue_by_nation": 3.0,
     "supplier_count_by_part": 4.9,
