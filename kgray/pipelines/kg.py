@@ -79,17 +79,32 @@ class KGResult:
     # vocabulary at web scale)
     annotation_url_agg: "ray.data.Dataset"
 
+    # Hard bound on the export-only url_map collection: a grounded-entity
+    # vocabulary past this is no longer a "small dict" and the caller
+    # should consume annotation_url_agg as a Dataset instead.
+    URL_MAP_MAX_ROWS = 1_000_000
+
     @property
     def url_map(self) -> Dict[str, str]:
         """Collected entry_name → URL dict, for EXPORT-path consumers only
         (tests, notebook-style inspection).  Deliberately lazy: nothing in
-        the table-producing pipeline calls this; collecting the vocabulary
-        is the caller's explicit, bounded-by-their-own-corpus choice."""
+        the table-producing pipeline calls this.  GUARDED: raises
+        ValueError when the vocabulary exceeds ``URL_MAP_MAX_ROWS`` so the
+        one driver-side collection a production result object exposes can
+        never silently scale with the corpus — consume
+        ``annotation_url_agg`` (a Dataset) for anything bigger."""
         cached = getattr(self, "_url_map_cache", None)
         if cached is None:
+            agg = self.annotation_url_agg.materialize()
+            n = agg.count()
+            if n > self.URL_MAP_MAX_ROWS:
+                raise ValueError(
+                    f"url_map would collect {n} rows (> "
+                    f"{self.URL_MAP_MAX_ROWS}); use the "
+                    "annotation_url_agg Dataset instead"
+                )
             cached = {
-                r["entry_name"]: r["url"]
-                for r in self.annotation_url_agg.take_all()
+                r["entry_name"]: r["url"] for r in agg.take_all()
             }
             object.__setattr__(self, "_url_map_cache", cached)
         return cached

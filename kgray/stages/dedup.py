@@ -255,22 +255,40 @@ def jaccard_verify_sets(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
 
 
 def _bounded_shuffle_width(shuffle_blocks) -> int:
-    """Default sort-shuffle fan-in: one partition per cluster core.
+    """Default sort-shuffle fan-in: TWO partitions per cluster core (the
+    extra factor keeps every core fed through the sort's ragged tail;
+    measured faster than 1× on the scaling lane).
 
     Ray's sort-based shuffle inherits its partition count from the input
     block count, and every partition pays a fixed per-task cost — a small
     corpus read into 64 micro-blocks makes each of this op's three sorts
-    ~4× slower than the same data in 32 blocks (measured).  One partition
-    per core is right as long as a partition's share of the corpus fits in
-    a worker's heap; at 100 TB pass ``shuffle_blocks ≈ total_bytes /
-    256 MB`` explicitly instead (more, smaller partitions trade task
-    overhead for bounded memory)."""
+    ~4× slower than the same data in 32 blocks (measured).  A couple of
+    partitions per core is right as long as a partition's share of the
+    corpus fits in a worker's heap; at 100 TB pass ``shuffle_blocks ≈
+    total_bytes / 256 MB`` explicitly instead (more, smaller partitions
+    trade task overhead for bounded memory)."""
     if shuffle_blocks is not None:
         return shuffle_blocks
     try:
         return 2 * max(8, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         return 32
+
+
+def _coalesce_blocks(docs: "ray.data.Dataset", shuffle_blocks):
+    """Shared input-coalescing barrier for the pair-finding operators.
+
+    ``shuffle_blocks`` semantics, uniform across minhash_lsh_pairs /
+    jaccard_pairs_exact / simhash_near_dup_pairs:
+    - ``None`` (default): repartition to ``_bounded_shuffle_width``.
+    - ``0``: SKIP the repartition entirely — for callers whose read is
+      already block-sized (``read_parquet`` with ``override_num_blocks``),
+      where the barrier would be a pure extra all-to-all.
+    - any other int: repartition to exactly that many blocks.
+    """
+    if shuffle_blocks == 0:
+        return docs
+    return docs.repartition(_bounded_shuffle_width(shuffle_blocks))
 
 
 def minhash_lsh_pairs(
@@ -281,6 +299,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     join_partitions: int = 64,
     shuffle_blocks: int = None,
+    band_hash_bits: int = 64,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (doc_a < doc_b) with exact word-``k``-gram
     Jaccard ≥ ``threshold``, found via MinHash-LSH banding.
@@ -301,16 +320,27 @@ def minhash_lsh_pairs(
     hash(doc_id) so each partition attaches texts with one vectorized map,
     then the half-joined rows (candidate-sized, not corpus-sized) regroup
     by pair to run the exact-Jaccard check.  The corpus moves through
-    exactly ONE all-to-all; nothing is materialized on the driver, so the
-    op survives corpora whose candidate sets are themselves huge.
+    exactly ONE all-to-all; no row data is ever collected into a driver
+    frame, so the op survives corpora whose candidate sets are themselves
+    huge.
+
+    EAGER, not lazy: building the Bloom prefilter for the verification
+    join materializes the signature→candidate prefix AT CALL TIME (the
+    sketch-sized bitmap must exist before the text-probe stage can be
+    planned).  Only the returned verification suffix is still a lazy
+    Dataset — callers composing plans without consuming them should know
+    the candidate work has already run.
+
+    ``band_hash_bits=32`` halves the band-shuffle key width — right for
+    bench-scale corpora (< ~10^8 doc-band rows); keep the 64-bit default
+    at the 10^12-doc tier (see the fused-key comment below for the
+    collision/recall math).
     """
     rows = num_hashes // bands
     # Coalesce micro-blocks ONCE at the top: every downstream stage (and
-    # all three sort shuffles) inherits this block count.  A caller whose
-    # read is ALREADY block-sized (read_parquet with override_num_blocks)
-    # passes shuffle_blocks=0 to skip this barrier outright.
-    if shuffle_blocks != 0:
-        docs = docs.repartition(_bounded_shuffle_width(shuffle_blocks))
+    # all three sort shuffles) inherits this block count.  shuffle_blocks=0
+    # skips the barrier (see _coalesce_blocks for the uniform semantics).
+    docs = _coalesce_blocks(docs, shuffle_blocks)
     doc_txt = docs.select_columns(["doc_id", "text"])
     # Task pool, not actor pool: MinHasher's state is a tiny coefficient
     # matrix (μs to rebuild, bytes to ship), and an actor pool's spin-up
@@ -330,11 +360,16 @@ def minhash_lsh_pairs(
     # self-merge.  Hot buckets (a degenerate shingle shared by many docs)
     # would explode the merge quadratically — exactly the salt-the-hot-key
     # case — so oversized buckets are capped and logged rather than paired.
-    # (band_id, band_hash) is FUSED into one 64-bit bucket key before the
-    # band shuffle: it cuts sort1's row width by 8 bytes × docs × bands,
-    # and a fused-key collision can only MERGE two buckets — producing
-    # extra candidates the exact verify removes — never split one, so
-    # recall is untouched.
+    # (band_id, band_hash) is FUSED into one bucket key before the band
+    # shuffle: it cuts sort1's row width by 8 bytes × docs × bands.  A
+    # fused-key collision can only MERGE two buckets, never split one, so
+    # the only recall interaction is via the MAX_BUCKET cap: a merged
+    # bucket whose combined size crosses the cap drops BOTH buckets'
+    # pairs.  At 64 bits that needs a ~2^-64-probability collision between
+    # two already-large buckets (negligible); at band_hash_bits=32 the
+    # collision count grows as (docs·bands)²/2^33, so the 32-bit key is
+    # only appropriate below ~10^8 doc-band rows — the scaling bench's
+    # regime, not the 10^12-doc tier, which must keep the 64-bit default.
     def mix_bands(batch: pa.Table) -> pa.Table:
         bh = batch.column("band_hash").to_numpy(
             zero_copy_only=False).astype(np.uint64)
@@ -342,12 +377,22 @@ def minhash_lsh_pairs(
             zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             fused = bh * np.uint64(0x9E3779B97F4A7C15) + bid
+        if band_hash_bits == 32:
+            # high half of the mix (best-avalanched bits); shard must stay
+            # a function of the STORED key so a bucket lands in one shard
+            key = fused >> np.uint64(32)
+            bh_col = pa.array(
+                key.astype(np.uint32).view(np.int32), pa.int32()
+            )
+        else:
+            key = fused
+            bh_col = pa.array(fused.view(np.int64), pa.int64())
         return pa.table(
             {
-                "bh": pa.array(fused.view(np.int64), pa.int64()),
+                "bh": bh_col,
                 "doc_id": batch.column("doc_id"),
                 "shard": pa.array(
-                    (fused & np.uint64(1023)).astype(np.int32), pa.int32()
+                    (key & np.uint64(1023)).astype(np.int16), pa.int16()
                 ),
             }
         )
@@ -485,10 +530,21 @@ def minhash_lsh_pairs(
     # attaches to no pair, so the output is exactly unchanged.
     from ..utils import bloom_set, bloom_test
 
-    m_bits, n_hashes = 1 << 23, 4
+    n_hashes = 4
     # materialize: consumed twice (bitmap build + pair tagging); volume
-    # is candidate pairs, not corpus
+    # is candidate pairs, not corpus.  The count is O(metadata) on the
+    # materialized set and sizes the Bloom filter: ~16 bits per expected
+    # candidate doc (≤ 2 per pair) keeps the false-positive rate ≈ 0.24%
+    # at k=4 instead of letting a fixed 2^23 degrade past 15% once the
+    # candidate set approaches ~2M ids (the prefilter would then silently
+    # ship most of the corpus text again).  Clamped to [1 MiB, 256 MiB]
+    # bitmap — the ceiling is a broadcast-size guard; past it the filter
+    # degrades gracefully (more text shipped, output unchanged).
     cand = cand.materialize()
+    n_cand_docs = max(1, 2 * cand.count())
+    m_bits = 1 << int(
+        min(31, max(23, np.ceil(np.log2(16 * n_cand_docs))))
+    )
 
     def cand_bitmap(batch: pa.Table) -> pa.Table:
         bits = np.zeros(m_bits >> 3, dtype=np.uint8)
@@ -504,12 +560,23 @@ def minhash_lsh_pairs(
             bloom_set(bits, keys, m_bits, n_hashes)
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
-    # sketch-bounded driver reduce (blocks × m/8 bytes, independent of
-    # candidate count), STREAMED batch by batch — never a collected frame
+    def or_bitmaps(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(m_bits >> 3, dtype=np.uint8)
+        for buf in batch.column("bits").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    # tree-folded sketch reduce: per-block bitmaps OR-combine in ONE
+    # intermediate map level (≤8 partials), so driver ingress is O(8 ×
+    # m/8 bytes) regardless of block count — the driver never sees
+    # blocks × bitmap traffic, and never a collected row frame
     merged = np.zeros(m_bits >> 3, dtype=np.uint8)
-    for part in cand.map_batches(
-        cand_bitmap, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
+    for part in (
+        cand.map_batches(cand_bitmap, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(or_bitmaps, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow")
+    ):
         for buf in part.column("bits").to_pylist():
             merged |= np.frombuffer(buf, dtype=np.uint8)
     bloom_ref = ray.put(merged)
@@ -606,7 +673,7 @@ def jaccard_pairs_exact(
     from .. import utils as _u  # noqa: F401  (coarse pattern helpers)
     from ..utils import coarse_grouped_map, schema_floor
 
-    docs = docs.repartition(_bounded_shuffle_width(shuffle_blocks))
+    docs = _coalesce_blocks(docs, shuffle_blocks)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -764,7 +831,7 @@ def simhash_near_dup_pairs(
         )
     from ..utils import coarse_grouped_map
 
-    docs = docs.repartition(_bounded_shuffle_width(shuffle_blocks))
+    docs = _coalesce_blocks(docs, shuffle_blocks)
     sigs = docs.map_batches(SimHasher(bands=bands), batch_format="pyarrow")
 
     def band_rows(batch: pa.Table) -> pa.Table:

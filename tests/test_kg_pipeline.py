@@ -186,3 +186,18 @@ def test_zero_document_corpus_yields_empty_graph():
     res = run_kg_pipeline(ray.data.from_arrow(docs.slice(0, 0)))
     assert res.edges.count() == 0
     assert res.nodes.count() == 0
+
+
+def test_url_map_guard(pipeline_result):
+    """The export-only url_map collection is bounded: past
+    URL_MAP_MAX_ROWS it refuses to collect (r4 verdict: no unbounded
+    take_all reachable from a production result object)."""
+    import dataclasses
+
+    import pytest
+
+    _, _, _, res = pipeline_result
+    guarded = dataclasses.replace(res)
+    object.__setattr__(guarded, "URL_MAP_MAX_ROWS", 0)
+    with pytest.raises(ValueError, match="url_map would collect"):
+        guarded.url_map

