@@ -43,43 +43,56 @@ def shipping_priority(
     order, top-k by revenue — the classic 3-table analytic join.
 
     Join strategy (same reasoning as relational.revenue_by_nation): the
-    customer side is reduced to a FILTERED KEY SET and broadcast (at TPC-H
-    ratios customer is the 10×-smaller side; at 100 TB swap the broadcast
-    for a repartition_join semi on o_custkey — one more shuffle, same
-    result).  The fact↔fact hop lineitem↔orders runs as a distributed
+    customer side is filtered to the segment DISTRIBUTED (a map over the
+    customer Dataset — customer scales with sf, so its keys are never
+    unconditionally collected) and attached with a ``smart_join`` SEMI on
+    o_custkey: a broadcast key-set probe while the filtered side is
+    provably small, an automatic repartition semi-join past the
+    threshold.  The fact↔fact hop lineitem↔orders runs as a distributed
     repartition join on the order key, with lineitem pre-aggregated per
     order inside map_batches so the join's left side carries ≤ one row per
     (orderkey × block); the per-order revenue sum and the per-partition
     top-k combiner run FUSED inside the join task (post_fn), so the only
     rows after the join's all-to-all are ≤ partitions × k candidates.
     """
-    import pyarrow.parquet as pq
+    from ..utils import smart_join
 
     cutoff_ts = pd.Timestamp(cutoff)
 
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_mktsegment"],
-    ).to_pandas()
-    seg_keys = ray.put(
-        set(cust.loc[cust.c_mktsegment == segment, "c_custkey"].tolist())
-    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def seg_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch.column("c_mktsegment"), segment)
+        ).select(["c_custkey"])
+
+    cust_seg = cust.map_batches(seg_filter, batch_format="pyarrow")
 
     orders = _read(
         sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
     )
 
-    def filter_orders(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        keys = ray.get(seg_keys)
-        df = df[(df.o_orderdate < cutoff_ts) & df.o_custkey.isin(keys)]
-        return pa.Table.from_pandas(
-            df[["o_orderkey", "o_orderdate", "o_orderpriority"]],
-            preserve_index=False,
+    def date_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.less(batch.column("o_orderdate"), pa.scalar(cutoff_ts))
         )
 
-    o_filt = orders.map_batches(filter_orders, batch_format="pyarrow")
+    o_filt = smart_join(
+        orders.map_batches(date_filter, batch_format="pyarrow"),
+        cust_seg,
+        "o_custkey",
+        "c_custkey",
+        {"o_custkey": pa.int64(), "o_orderkey": pa.int64(),
+         "o_orderdate": pa.timestamp("us"),
+         "o_orderpriority": pa.string()},
+        {"c_custkey": pa.int64()},
+        how="semi",
+    )
 
     li = _read(
         sf_dir, "lineitem",

@@ -97,48 +97,54 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
 def revenue_by_nation(
     sf_dir: str, join_partitions: int = 64
 ) -> "ray.data.Dataset":
-    """lineitem ⋈ orders ⋈ customer ⋈ nation: the TRUE dimensions
-    (customer, nation) are broadcast; the fact-fact hop
+    """lineitem ⋈ orders ⋈ customer ⋈ nation.  nation (a FIXED 25-row
+    table) is the only driver-read broadcast; customer SCALES with sf
+    (1.5M rows at sf10, far more at the web tier), so the orders⋈customer
+    hop goes through ``smart_join`` — broadcast while the dimension is
+    provably small, automatic repartition join past the threshold, never
+    an unconditional driver collect.  The fact-fact hop
     (lineitem ↔ orders on l_orderkey) is a distributed repartition join
-    (utils.repartition_join) — orders scales with sf, so it must never be
-    collected on the driver.  Lineitem is pre-aggregated per l_orderkey
-    inside map_batches before the join, so the join's left side carries
-    ≤ one row per (orderkey × block)."""
-    from ..utils import repartition_join
+    — orders scales with sf, so it must never be collected on the driver.
+    Lineitem is pre-aggregated per l_orderkey inside map_batches before
+    the join, so the join's left side carries ≤ one row per
+    (orderkey × block)."""
+    from ..utils import repartition_join, smart_join
 
-    # Dimensions are read driver-local with pyarrow (KB-to-MB sized): going
-    # through a ray.data read + to_pandas costs ~1s of task overhead each
-    # for tables that will be ray.put as a broadcast anyway.
+    # nation is genuinely constant-sized (25 rows by TPC-H definition):
+    # the one dimension a driver-local read + ray.put is always right for.
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    )
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"),
         columns=["n_nationkey", "n_name"],
-    )
-    cn = cust.to_pandas().merge(
-        nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
-    )
-    cn_ref = ray.put(
-        cn[["c_custkey", "n_name"]].set_index("c_custkey")["n_name"]
-    )
+    ).to_pandas()
+    n_ref = ray.put(nation.set_index("n_nationkey")["n_name"])
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def attach_nname(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(n_ref)  # 25 rows, zero-copy from local store
+        df = batch.to_pandas()
+        df["n_name"] = df.c_nationkey.map(lookup)
+        return pa.Table.from_pandas(
+            df[["c_custkey", "n_name"]], preserve_index=False
+        )
+
+    cust_n = cust.map_batches(attach_nname, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    # Task pool: the broadcast lookup is a zero-copy ray.get from the
-    # local object store per batch; an actor pool would only add spin-up.
-    def attach_nation(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(cn_ref)  # customer-dimension-sized
-        df = batch.to_pandas()
-        df["n_name"] = df.o_custkey.map(lookup)
-        return pa.Table.from_pandas(
-            df[["o_orderkey", "n_name"]], preserve_index=False
-        )
-
-    o_n = orders.map_batches(attach_nation, batch_format="pyarrow")
+    # adaptive: broadcast at bench scale (customer ≤ 100k rows), shuffle
+    # join automatically once the dimension outgrows a task heap
+    o_n = smart_join(
+        orders,
+        cust_n,
+        "o_custkey",
+        "c_custkey",
+        {"o_custkey": pa.int64(), "o_orderkey": pa.int64()},
+        {"c_custkey": pa.int64(), "n_name": pa.string()},
+        num_partitions=join_partitions,
+    )
 
     li = _read(
         sf_dir,
@@ -232,8 +238,13 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
 
     import pyarrow.parquet as pq
 
+    # dimension attach for the FINAL k rows only, with the key filter
+    # pushed into the parquet read (row-group + dictionary pruning): the
+    # driver reads O(k) part rows, never the sf-scaling part table
     p_df = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"],
+        filters=[("p_partkey", "in", t.l_partkey.tolist())],
     ).to_pandas()
     t = t.merge(p_df, left_on="l_partkey", right_on="p_partkey")
     # rank column makes the result order-insensitive for comparison
@@ -625,23 +636,33 @@ def top_customers_per_nation(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
     orders are pre-aggregated per customer inside map_batches (combiner),
     reduced with a coarse keyed reduce (customer-cardinality groups), the
-    customer→nation dimension attached from a broadcast, and the final
-    per-nation top-k is ONE more coarse pass keyed by nation — each
-    partition ranks all its nations with a vectorized groupby-head."""
+    customer→nation dimension attached through ``smart_join`` (customer
+    SCALES with sf — broadcast only while provably small, shuffle join
+    past the threshold; only the fixed 25-row nation table is a driver
+    broadcast), and the final per-nation top-k is ONE more coarse pass
+    keyed by nation — each partition ranks all its nations with a
+    vectorized groupby-head."""
     import pyarrow.parquet as pq
 
-    from ..utils import coarse_grouped_map
+    from ..utils import coarse_grouped_map, smart_join
 
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).to_pandas()
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"),
         columns=["n_nationkey", "n_name"],
     ).to_pandas()
-    cn = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    cn_ref = ray.put(cn.set_index("c_custkey")["n_name"])
+    n_ref = ray.put(nation.set_index("n_nationkey")["n_name"])
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def attach_nname(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(n_ref)  # fixed 25 rows
+        df = batch.to_pandas()
+        df["n_name"] = df.c_nationkey.map(lookup)
+        return pa.Table.from_pandas(
+            df[["c_custkey", "n_name"]], preserve_index=False
+        )
+
+    cust_n = cust.map_batches(attach_nname, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -660,11 +681,14 @@ def top_customers_per_nation(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         ),
     )
 
-    def attach_nation(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(cn_ref)
-        df = batch.to_pandas()
-        df["n_name"] = df.o_custkey.map(lookup)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    with_nation = smart_join(
+        per_cust,
+        cust_n,
+        "o_custkey",
+        "c_custkey",
+        {"o_custkey": pa.int64(), "total_spent": pa.float64()},
+        {"c_custkey": pa.int64(), "n_name": pa.string()},
+    )
 
     def topk_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -676,11 +700,10 @@ def top_customers_per_nation(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         return g[["n_name", "rnk", "o_custkey", "total_spent"]]
 
     out = coarse_grouped_map(
-        per_cust.map_batches(attach_nation, batch_format="pyarrow"),
+        with_nation,
         "n_name",
         topk_partition,
         num_partitions=8,
-        coalesce_blocks=None,  # per_cust is already coarse-partitioned
     )
     return _round_half_up(out, {"total_spent": 2})
 

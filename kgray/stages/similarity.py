@@ -1155,16 +1155,19 @@ def knn_label_purity(
 
     from ..utils import coarse_grouped_map
 
+    # only the SAMPLED query rows reach the driver: the predicate is
+    # pushed into the parquet read (row-group pruning), never a full-table
+    # driver read of an sf-scaling table
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", n_queries)],
     )
     vid = np.asarray(t.column("vec_id").to_pylist())
     lab = np.asarray(t.column("label").to_pylist())
     emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    mask = vid < n_queries
-    qm = _normalize(emb[mask])
-    q_ref = ray.put((qm, vid[mask], lab[mask]))
+    qm = _normalize(emb)
+    q_ref = ray.put((qm, vid, lab))
 
     emb_ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
