@@ -155,6 +155,51 @@ def _q_chunk_spans(sf_dir: str):
     return chunks.select_columns(["doc_id", "span_seq", "text", "admitted"])
 
 
+def _q_kg_subgraph(sf_dir: str, k: int = 2):
+    """GraphRAG retrieval: k-hop neighborhood of a deterministic seed
+    entity over the evidence-keyed edge table — the engine-side
+    equivalent of the reference's NDEx
+    ``get_neighborhood(network, query_string, search_depth=k)`` call
+    (examples/bel_graph_rag.ipynb)."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.subgraph import khop_subgraph
+
+    edges = _kg_result(sf_dir).edges.select_columns(
+        ["doc_id", "span_seq", "subj", "pred", "obj"]
+    )
+    # deterministic seed: lexicographically smallest subject entity
+    # (scalar reduce — one min per block, tiny driver finish)
+    mins = edges.map_batches(
+        lambda df: pd.DataFrame({"m": [df.subj.min()]})
+        if len(df) else pd.DataFrame({"m": pd.Series([], dtype="object")}),
+        batch_format="pandas",
+        batch_size=None,
+    ).to_pandas()
+    seeds = ray.data.from_pandas(pd.DataFrame({"node": [mins.m.min()]}))
+    return khop_subgraph(edges, seeds, k=k)
+
+
+def _q_kg_subgraph_prompt(sf_dir: str):
+    """GraphRAG prompt assembly: the retrieved subgraph's statements +
+    supporting evidence flattened into the newline-joined knowledge-graph
+    block the reference feeds its review prompt
+    (bel_graph_rag.ipynb ``knowledge_graph += bel_expression``)."""
+    import pandas as pd
+
+    from kgray.sources.generic import generic_documents_dataset
+    from kgray.stages.chunk import explode_spans
+    from kgray.stages.subgraph import assemble_prompt, subgraph_evidence
+
+    sub = _q_kg_subgraph(sf_dir)
+    chunks = generic_documents_dataset(sf_dir).map_batches(
+        explode_spans, batch_format="pyarrow"
+    ).select_columns(["doc_id", "span_seq", "text"])
+    prompt = assemble_prompt(subgraph_evidence(sub, chunks))
+    return pd.DataFrame({"prompt": [prompt]})
+
+
 def _q_token_count(sf_dir: str):
     import os
 
@@ -2339,6 +2384,9 @@ def _query_impls() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_annotation_urls": _q_kg_annotation_urls,
         "chunk_spans": _q_chunk_spans,
+        # GraphRAG retrieval (reference examples/bel_graph_rag.ipynb)
+        "kg_subgraph": _q_kg_subgraph,
+        "kg_subgraph_prompt": _q_kg_subgraph_prompt,
         # KG pipeline (reference semantics, self-checking parity)
         "kg_synthetic_parity": _q_kg_synthetic_parity,
         "kg_eval_matcher": _q_kg_eval_matcher,
@@ -2781,6 +2829,75 @@ SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
        span AS span_seq, span_text AS text,
        length(span_text) >= 20 AS admitted
 FROM spans
+""",
+        # GraphRAG k-hop neighborhood (k=2, seed = min subject entity):
+        # undirected BFS distances via a bounded recursive CTE, edges
+        # kept when an endpoint is within k-1 hops — the SQL twin of
+        # stages/subgraph.khop_subgraph
+        "kg_subgraph": _KG_CTE + """
+, eg AS (SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                span AS span_seq,
+                'w(X:' || ta || ')' AS subj, 'cooccurs' AS pred,
+                'w(X:' || tb || ')' AS obj
+         FROM pairs),
+und AS (SELECT DISTINCT subj AS src, obj AS dst FROM eg
+        UNION SELECT DISTINCT obj, subj FROM eg),
+seed AS (SELECT min(subj) AS node FROM eg),
+dist AS (
+  SELECT node, MIN(d) AS dist FROM (
+    WITH RECURSIVE walk(node, d) AS (
+      SELECT node, 0 FROM seed
+      UNION ALL
+      SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.node
+      WHERE w.d < 1
+    ) SELECT node, d FROM walk
+  ) GROUP BY node
+)
+SELECT e.doc_id, e.span_seq, e.subj, e.pred, e.obj,
+       CAST(least(coalesce(ds.dist, 99), coalesce(dd.dist, 99)) + 1
+            AS BIGINT) AS hop
+FROM eg e
+LEFT JOIN dist ds ON ds.node = e.subj
+LEFT JOIN dist dd ON dd.node = e.obj
+WHERE least(coalesce(ds.dist, 99), coalesce(dd.dist, 99)) <= 1
+""",
+        "kg_subgraph_prompt": _KG_CTE + """
+, eg AS (SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                doc_id AS raw_doc, span AS span_seq,
+                'w(X:' || ta || ')' AS subj, 'cooccurs' AS pred,
+                'w(X:' || tb || ')' AS obj
+         FROM pairs),
+und AS (SELECT DISTINCT subj AS src, obj AS dst FROM eg
+        UNION SELECT DISTINCT obj, subj FROM eg),
+seed AS (SELECT min(subj) AS node FROM eg),
+dist AS (
+  SELECT node, MIN(d) AS dist FROM (
+    WITH RECURSIVE walk(node, d) AS (
+      SELECT node, 0 FROM seed
+      UNION ALL
+      SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.node
+      WHERE w.d < 1
+    ) SELECT node, d FROM walk
+  ) GROUP BY node
+),
+sub AS (
+  SELECT e.doc_id, e.raw_doc, e.span_seq, e.subj, e.pred, e.obj
+  FROM eg e
+  LEFT JOIN dist ds ON ds.node = e.subj
+  LEFT JOIN dist dd ON dd.node = e.obj
+  WHERE least(coalesce(ds.dist, 99), coalesce(dd.dist, 99)) <= 1
+),
+ev AS (
+  SELECT s.doc_id, s.span_seq, s.subj, s.pred, s.obj,
+         sp.span_text AS evidence
+  FROM sub s JOIN spans sp
+    ON sp.doc_id = s.raw_doc AND sp.span = s.span_seq
+)
+SELECT 'Knowledge graph statements (one per line, with supporting ' ||
+       'evidence):' || chr(10) ||
+       string_agg(subj || ' ' || pred || ' ' || obj || ' : ' || evidence,
+                  chr(10) ORDER BY doc_id, span_seq, subj, obj) AS prompt
+FROM ev
 """,
         "token_count": """
 SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
