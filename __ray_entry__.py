@@ -55,6 +55,69 @@ pairs AS (
 """
 
 
+def _simhash_portable_sql() -> str:
+    """Full from-text recomputation of the portable-hash SimHash pairs in
+    ANSI SQL: polynomial-31 token hash (inlined 31^i mod 2^64 power
+    table), splitmix64 finalizer (64-bit modular multiplication split
+    into 32-bit halves so INT128 never overflows), per-(doc, bit) vote
+    sums, sign-split signature halves, and brute-force pair XOR +
+    bit_count — the oracle twin of stages/dedup.portable_token_hash +
+    simhash_near_dup_pairs(token_hash=portable_token_hash)."""
+    M = 1 << 64
+    SMC = 0x9E3779B97F4A7C15
+    SM1 = 0xBF58476D1CE4E5B9
+    SM2 = 0x94D049BB133111EB
+
+    def mulmod(var: str, c: int) -> str:
+        lo, hi = c & 0xFFFFFFFF, c >> 32
+        return (
+            f"CAST((CAST({var} AS HUGEINT) * {lo} + "
+            f"((CAST({var} AS HUGEINT) * {hi}) % 4294967296) * 4294967296)"
+            f" % {M} AS UBIGINT)"
+        )
+
+    pows = ",".join(f"({i},{pow(31, i, M)})" for i in range(256))
+    return f"""
+WITH pows(i, pw) AS (VALUES {pows}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+ut AS (SELECT DISTINCT tok FROM tok),
+chars AS (SELECT tok, unnest(str_split_regex(tok, '')) AS ch,
+                 generate_subscripts(str_split_regex(tok, ''), 1) AS i
+          FROM ut),
+th0 AS (SELECT c.tok,
+        CAST(SUM(CAST(ascii(c.ch) AS HUGEINT) * p.pw) % {M} AS UBIGINT)
+          AS h
+        FROM chars c JOIN pows p ON p.i = length(c.tok) - c.i
+        GROUP BY c.tok),
+s1 AS (SELECT tok, CAST((CAST(h AS HUGEINT) + {SMC}) % {M} AS UBIGINT)
+              AS z FROM th0),
+s2 AS (SELECT tok, xor(z, z >> 30) AS z FROM s1),
+s3 AS (SELECT tok, {mulmod('z', SM1)} AS z FROM s2),
+s4 AS (SELECT tok, xor(z, z >> 27) AS z FROM s3),
+s5 AS (SELECT tok, {mulmod('z', SM2)} AS z FROM s4),
+th AS (SELECT tok, xor(z, z >> 31) AS h FROM s5),
+bitpos AS (SELECT unnest(range(64)) AS b),
+votes AS (SELECT t.doc_id, bp.b,
+          SUM(CASE WHEN (th.h >> bp.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM tok t JOIN th ON th.tok = t.tok CROSS JOIN bitpos bp
+          GROUP BY t.doc_id, bp.b),
+sig AS (SELECT doc_id,
+        CAST(SUM(CASE WHEN v > 0 AND b < 32
+                 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS BIGINT)
+          AS lo,
+        CAST(SUM(CASE WHEN v > 0 AND b >= 32
+                 THEN CAST(1 AS HUGEINT) << (b - 32) ELSE 0 END) AS BIGINT)
+          AS hi
+        FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+"""
+
+
 def entry() -> Any:
     """Flagship: generic-corpus KG pipeline over sf0.001 → edges Dataset."""
     from kgray.pipelines.kg import run_kg_pipeline
@@ -379,6 +442,67 @@ def _q_simhash(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return simhash_signatures(docs).select_columns(["doc_id", "simhash"])
+
+
+def _q_simhash_pairs_portable(sf_dir: str):
+    """SimHash near-dup pairs over the SQL-portable token hash
+    (polynomial-31 + splitmix64): the same banded recall-guaranteed
+    pipeline as simhash_pairs, but with signatures an ANSI-SQL oracle
+    recomputes from the raw text — promoting the simhash lane from
+    rows-only to value-hash-exact (r4 verdict ask #7)."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.dedup import portable_token_hash, simhash_near_dup_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_near_dup_pairs(
+        docs, max_hamming=3, token_hash=portable_token_hash
+    )
+
+
+def _q_events_quantiles_approx_check(sf_dir: str):
+    """HASH-EXACT certificate for the histogram-sketch quantiles: the
+    sketch's selected bin is, by construction, exactly the bin
+    containing the ceil(q·n)-th order statistic (searchsorted over
+    integer cumulative counts ≥ q·n ⟺ rank ≥ ceil(q·n)) — a
+    deterministic function of the data the SQL oracle recomputes from
+    the raw values via a windowed rank, promoting the approx-quantile
+    lane from rows-only to value-hash-exact (r4 verdict ask #7)."""
+    from kgray.pipelines.relational import events_value_quantiles_approx
+
+    return events_value_quantiles_approx(sf_dir, emit="bin")
+
+
+def _q_events_distinct_hll_check(sf_dir: str):
+    """Error-bound certificate for the HLL distinct-user sketch: the
+    sketch estimate is compared against the DISTRIBUTED exact distinct
+    count; rows carry (exact count, within_bound at 5σ of the b=10
+    standard error) and the oracle recomputes the exact counts and
+    asserts TRUE (r4 verdict ask #7)."""
+    import pandas as pd
+
+    from kgray.pipelines.relational import (
+        events_distinct_users,
+        events_distinct_users_hll,
+    )
+
+    exact = events_distinct_users(sf_dir).to_pandas()
+    approx = events_distinct_users_hll(sf_dir).to_pandas()
+    m = exact.merge(approx, on="event_type")
+    # 5 sigma of the b=10 HLL standard error (1.04/sqrt(1024) ≈ 3.25%)
+    tol = (0.1625 * m.n_users).clip(lower=5)
+    m["within_bound"] = (m.n_users_approx - m.n_users).abs() <= tol
+    return pd.DataFrame(
+        {
+            "event_type": m.event_type,
+            "n_users": m.n_users,
+            "within_bound": m.within_bound,
+        }
+    )
 
 
 def _load_queries(sf_dir: str, n: int = 10):
@@ -2417,6 +2541,7 @@ def _query_impls() -> dict[str, Callable[[str], Any]]:
         "train_val_split": _q_train_val_split,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_pairs_portable": _q_simhash_pairs_portable,
         "substring_dup_spans": _q_substring_dup_spans,
         # similarity search
         "knn_cosine": _q_knn_cosine,
@@ -2440,6 +2565,8 @@ def _query_impls() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "events_quantiles": _q_events_quantiles,
         "events_quantiles_approx": _q_events_quantiles_approx,
+        "events_quantiles_approx_check": _q_events_quantiles_approx_check,
+        "events_distinct_hll_check": _q_events_distinct_hll_check,
         "orders_top100": _q_orders_top100,
         "customers_semi_join": _q_customers_semi,
         "customers_anti_join": _q_customers_anti,
@@ -3323,6 +3450,33 @@ WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
 SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk,
        token, n
 FROM counts ORDER BY n DESC, token LIMIT 20
+""",
+        "simhash_pairs_portable": _simhash_portable_sql(),
+        # the sketch's bin certificate: bin of the ceil(q*n)-th order
+        # statistic, with the same min/max-derived equi-width binning and
+        # the same float64 arithmetic as the engine's partial_hist
+        "events_quantiles_approx_check": """
+WITH st AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+                   CAST(max(value) AS DOUBLE) AS hi FROM events),
+ranked AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value)
+             AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                 (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+pick AS (SELECT r.event_type, q.q, r.value AS xk
+         FROM ranked r JOIN qs q
+           ON r.rn = CAST(ceil(q.q * r.n) AS BIGINT))
+SELECT p.event_type, p.q,
+       LEAST(CAST(floor((p.xk - st.lo) / ((st.hi - st.lo) / 4096))
+                  AS BIGINT), 4095) AS qbin
+FROM pick p, st
+""",
+        "events_distinct_hll_check": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
 """,
         "events_quantiles": """
 SELECT event_type, 0.25 AS q,

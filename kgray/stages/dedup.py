@@ -737,25 +737,65 @@ def jaccard_pairs_exact(
     )
 
 
+# splitmix64 finalizer constants (public-domain PRNG mixer; also used by
+# the SQL oracle for the portable simhash lane)
+_SM_C = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def portable_token_hash(tokens: np.ndarray) -> np.ndarray:
+    """64-bit token hashes an ANSI-SQL oracle can RECOMPUTE, unlike the
+    default pandas-siphash path: polynomial-31 over UTF-8 bytes
+    (h = Σ bᵢ·31^(L-1-i) mod 2⁶⁴) finished with splitmix64 for bit
+    avalanche (simhash needs uniformly distributed bits).  The byte loop
+    runs once per DISTINCT token in the batch (np.unique + inverse map),
+    so cost is vocab-bounded per batch, not token-count-bounded."""
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    uniq, inv = np.unique(np.asarray(tokens, dtype=object),
+                          return_inverse=True)
+    out = np.empty(len(uniq), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(uniq):
+            h = np.uint64(0)
+            for b in str(t).encode("utf-8"):
+                h = h * np.uint64(31) + np.uint64(b)
+            out[i] = h
+        z = out + _SM_C
+        z ^= z >> np.uint64(30)
+        z *= _SM_M1
+        z ^= z >> np.uint64(27)
+        z *= _SM_M2
+        z ^= z >> np.uint64(31)
+    return z[inv]
+
+
 class SimHasher:
     """64-bit SimHash over word unigram hashes (actor pool stage) —
-    vectorized: one hash_array pass per batch, one bit-unpack matmul."""
+    vectorized: one hash_array pass per batch, one bit-unpack matmul.
 
-    def __init__(self, bands: int = 4):
+    ``token_hash`` swaps the per-token hash (default: process-stable
+    pandas siphash; ``portable_token_hash`` gives an oracle-recomputable
+    signature at a small vocab-bounded per-batch cost)."""
+
+    def __init__(self, bands: int = 4, token_hash=None):
         self.bands = bands
+        self.token_hash = token_hash
 
     @staticmethod
     def simhash64(text: str) -> int:
         return int(SimHasher._simhash_batch([text])[0])
 
     @staticmethod
-    def _simhash_batch(texts: List[str]) -> np.ndarray:
+    def _simhash_batch(texts: List[str], token_hash=None) -> np.ndarray:
+        hash_fn = token_hash or _hash_token_array
         toks = [t.split() if t else [] for t in texts]
         lens = np.fromiter(
             (len(x) for x in toks), dtype=np.int64, count=len(toks)
         )
         flat = np.array([w for ts in toks for w in ts], dtype=object)
-        th = _hash_token_array(flat)
+        th = hash_fn(flat)
         offs = np.concatenate(([0], np.cumsum(lens)))
         bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
             np.int64
@@ -772,7 +812,9 @@ class SimHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = self._simhash_batch(batch.column("text").to_pylist())
+        sh = self._simhash_batch(
+            batch.column("text").to_pylist(), self.token_hash
+        )
         out = {
             "doc_id": batch.column("doc_id"),
             "simhash": pa.array(
@@ -790,9 +832,13 @@ class SimHasher:
         return pa.table(out)
 
 
-def simhash_signatures(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+def simhash_signatures(
+    docs: "ray.data.Dataset", token_hash=None
+) -> "ray.data.Dataset":
     # Task pool: SimHasher holds no meaningful per-actor state.
-    return docs.map_batches(SimHasher(), batch_format="pyarrow")
+    return docs.map_batches(
+        SimHasher(token_hash=token_hash), batch_format="pyarrow"
+    )
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -811,6 +857,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     shuffle_blocks: int = None,
+    token_hash=None,
 ) -> "ray.data.Dataset":
     """(doc_a < doc_b, hamming) pairs whose 64-bit SimHashes differ in at
     most ``max_hamming`` bits.
@@ -832,7 +879,10 @@ def simhash_near_dup_pairs(
     from ..utils import coarse_grouped_map
 
     docs = _coalesce_blocks(docs, shuffle_blocks)
-    sigs = docs.map_batches(SimHasher(bands=bands), batch_format="pyarrow")
+    sigs = docs.map_batches(
+        SimHasher(bands=bands, token_hash=token_hash),
+        batch_format="pyarrow",
+    )
 
     def band_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

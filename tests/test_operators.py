@@ -891,3 +891,65 @@ def test_shuffle_blocks_zero_uniform_sentinel():
         ) >= base or op is minhash_lsh_pairs
     sh = simhash_near_dup_pairs(docs, shuffle_blocks=0).to_pandas()
     assert {"doc_a", "doc_b"} <= set(sh.columns) or len(sh) == 0
+
+
+def test_portable_token_hash_reference_impl():
+    """portable_token_hash == the scalar polynomial-31/splitmix64 spec
+    the SQL oracle implements (simhash_pairs_portable)."""
+    import numpy as np
+    from kgray.stages.dedup import portable_token_hash
+
+    def ref(tok: str) -> int:
+        M = (1 << 64) - 1
+        h = 0
+        for b in tok.encode("utf-8"):
+            h = (h * 31 + b) & M
+        z = (h + 0x9E3779B97F4A7C15) & M
+        z ^= z >> 30
+        z = (z * 0xBF58476D1CE4E5B9) & M
+        z ^= z >> 27
+        z = (z * 0x94D049BB133111EB) & M
+        z ^= z >> 31
+        return z
+
+    toks = ["hello", "world", "a", "zebra42", "x" * 100, "hello"]
+    got = portable_token_hash(np.array(toks, dtype=object))
+    assert [int(x) for x in got] == [ref(t) for t in toks]
+    # duplicate tokens map to the same hash via the inverse index
+    assert got[0] == got[5]
+
+
+def test_simhash_portable_pairs_consistent():
+    """The portable-hash simhash lane reports the same (doc_a, doc_b)
+    contract (doc_a < doc_b, hamming <= 3) and agrees with a brute-force
+    signature check."""
+    import numpy as np
+    import ray.data
+    from kgray.stages.dedup import (
+        SimHasher,
+        portable_token_hash,
+        simhash_near_dup_pairs,
+    )
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    got = simhash_near_dup_pairs(
+        docs, max_hamming=3, token_hash=portable_token_hash
+    ).to_pandas()
+    assert (got.doc_a < got.doc_b).all()
+    # brute-force verify every reported pair's hamming distance
+    import pandas as pd
+
+    raw = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    ).set_index("doc_id")
+    for _, r in got.head(10).iterrows():
+        sa = SimHasher._simhash_batch(
+            [raw.loc[r.doc_a, "text"], raw.loc[r.doc_b, "text"]],
+            portable_token_hash,
+        )
+        ham = bin(int(sa[0]) ^ int(sa[1])).count("1")
+        assert ham == r.hamming and ham <= 3
