@@ -511,13 +511,17 @@ def _load_queries(sf_dir: str, n: int = 10):
     import numpy as np
     import pyarrow.parquet as pq
 
+    # only the n query rows reach the driver: predicate pushed into the
+    # parquet read (row-group pruning), never a full read of an
+    # sf-scaling table
     t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
     )
     vid = np.asarray(t.column("vec_id").to_pylist())
     emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    mask = vid < n
-    return emb[mask], vid[mask]
+    return emb, vid
 
 
 def _q_knn_cosine(sf_dir: str):
@@ -544,19 +548,20 @@ def _q_knn_filtered(sf_dir: str):
 
     from kgray.stages.similarity import knn_cosine_filtered
 
+    # query rows only — predicate pushed into the driver-side read
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", 10)],
     )
     vid = np.asarray(t.column("vec_id").to_pylist())
     emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     lab = np.asarray(t.column("label").to_pylist(), dtype=object)
-    mask = vid < 10
     corpus = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding", "label"],
     )
-    return knn_cosine_filtered(corpus, emb[mask], vid[mask], lab[mask], k=5)
+    return knn_cosine_filtered(corpus, emb, vid, lab, k=5)
 
 
 def _q_knn_lsh(sf_dir: str):

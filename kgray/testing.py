@@ -26,3 +26,21 @@ class MarkerBackend:
         with open(os.path.join(self._dir, uuid.uuid4().hex), "w") as f:
             f.write(str(len(texts)))
         return self._inner.extract_batch(texts, annotations)
+
+
+class KillOnceBackend:
+    """StubBackend wrapper that HARD-KILLS the hosting worker process
+    (os._exit — no exception, no cleanup, exactly how OOM-killers and
+    preemptions look to Ray) on the first extract_batch call anywhere.
+    The flag file makes every retry — in the restarted actor — succeed."""
+
+    def __init__(self, flag_path: str):
+        self._inner = StubBackend()
+        self._flag = flag_path
+
+    def extract_batch(self, texts, annotations):
+        if not os.path.exists(self._flag):
+            with open(self._flag, "w") as f:
+                f.write("killed")
+            os._exit(1)
+        return self._inner.extract_batch(texts, annotations)
