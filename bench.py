@@ -325,6 +325,9 @@ def run_bench() -> dict:
         "association_rules",
         "rolling_active_users",
         "events_histogram",
+        "kg_subgraph",
+        "simhash_pairs_portable",
+        "events_quantiles_approx_check",
     ]:
         best = None
         tries = repeats
