@@ -55,6 +55,50 @@ pairs AS (
 """
 
 
+def _fingerprints_rolling_sql() -> str:
+    """SQL twin of text_analysis._rolling_min_hash: per 16-byte window,
+    h = Σ byteᵢ·B^(15-i) mod 2⁶⁴ (B=1000003) via a char × power-table
+    join keyed on the in-window index; unsigned MIN over windows, then
+    the engine's sign mask (mod 2⁶³).  Texts of ≤16 bytes hash as one
+    whole-text window; empty texts fingerprint 0."""
+    B, M, K = 1000003, 1 << 64, 16
+    pows = ",".join(f"({j},{pow(B, K - 1 - j, M)})" for j in range(K))
+    powse = ",".join(f"({e},{pow(B, e, M)})" for e in range(K))
+    return f"""
+WITH pows(j, pw) AS (VALUES {pows}),
+powse(e, pw) AS (VALUES {powse}),
+chars AS (SELECT doc_id, unnest(str_split_regex(text, '')) AS c,
+                 generate_subscripts(str_split_regex(text, ''), 1) AS i
+          FROM documents),
+cv AS (SELECT doc_id, ascii(c) AS v, i FROM chars),
+lens AS (SELECT doc_id, length(text) AS n FROM documents),
+win AS (
+  SELECT c.doc_id, (c.i - p.j) AS w,
+         CAST(SUM(CAST(c.v AS HUGEINT) * p.pw) % {M} AS UBIGINT) AS h
+  FROM cv c CROSS JOIN pows p
+  JOIN lens l ON l.doc_id = c.doc_id
+  WHERE c.i - p.j >= 1 AND c.i - p.j <= l.n - {K - 1}
+  GROUP BY c.doc_id, w
+),
+long_min AS (SELECT doc_id, MIN(h) AS h FROM win GROUP BY doc_id),
+short_h AS (
+  SELECT c.doc_id,
+         CAST(SUM(CAST(c.v AS HUGEINT) * pe.pw) % {M} AS UBIGINT) AS h
+  FROM cv c
+  JOIN lens l ON l.doc_id = c.doc_id
+  JOIN powse pe ON pe.e = l.n - c.i
+  WHERE l.n <= {K} AND l.n >= 1
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(lm.h, sh.h, 0) % 9223372036854775808 AS BIGINT)
+         AS fp_rolling
+FROM documents d
+LEFT JOIN long_min lm ON lm.doc_id = d.doc_id
+LEFT JOIN short_h sh ON sh.doc_id = d.doc_id
+"""
+
+
 def _simhash_portable_sql() -> str:
     """Full from-text recomputation of the portable-hash SimHash pairs in
     ANSI SQL: polynomial-31 token hash (inlined 31^i mod 2^64 power
@@ -321,6 +365,30 @@ def _q_fingerprints(sf_dir: str):
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(fingerprint, batch_format="pyarrow")
+
+
+def _q_fingerprints_rolling(sf_dir: str):
+    """The content-defined rolling fingerprint alone (doc_id,
+    fp_rolling): minimum Rabin-Karp hash over all 16-byte windows, base
+    1000003 mod 2^64, sign-masked — fully recomputable in SQL (windowed
+    power-table dot products + unsigned MIN), promoting the rolling half
+    of the fingerprint lane to a hash-exact oracle.  fp_crc stays
+    rows-only: DuckDB has no crc32.  ASCII corpus assumption (bytes ==
+    codepoints), same as the kwic oracle."""
+    import os
+
+    import ray.data
+
+    from kgray.stages.text_analysis import fingerprint
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(fingerprint, batch_format="pyarrow")
+        .select_columns(["doc_id", "fp_rolling"])
+    )
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -2537,6 +2605,7 @@ def _query_impls() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "fingerprints_rolling": _q_fingerprints_rolling,
         # dedup
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dup": _q_minhash_near_dup,
@@ -3457,6 +3526,7 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk,
 FROM counts ORDER BY n DESC, token LIMIT 20
 """,
         "simhash_pairs_portable": _simhash_portable_sql(),
+        "fingerprints_rolling": _fingerprints_rolling_sql(),
         # the sketch's bin certificate: bin of the ceil(q*n)-th order
         # statistic, with the same min/max-derived equi-width binning and
         # the same float64 arithmetic as the engine's partial_hist
