@@ -292,14 +292,17 @@ def _q_kg_subgraph_prompt(sf_dir: str):
     """GraphRAG prompt assembly: the retrieved subgraph's statements +
     supporting evidence flattened into the newline-joined knowledge-graph
     block the reference feeds its review prompt
-    (bel_graph_rag.ipynb ``knowledge_graph += bel_expression``)."""
+    (bel_graph_rag.ipynb ``knowledge_graph += bel_expression``).
+    k=1, the notebook's own ``search_depth=1`` — the seed's incident
+    edges — which also keeps the prompt collection inside the
+    assemble_prompt guard at bench scale."""
     import pandas as pd
 
     from kgray.sources.generic import generic_documents_dataset
     from kgray.stages.chunk import explode_spans
     from kgray.stages.subgraph import assemble_prompt, subgraph_evidence
 
-    sub = _q_kg_subgraph(sf_dir)
+    sub = _q_kg_subgraph(sf_dir, k=1)
     chunks = generic_documents_dataset(sf_dir).map_batches(
         explode_spans, batch_format="pyarrow"
     ).select_columns(["doc_id", "span_seq", "text"])
@@ -3068,25 +3071,12 @@ WHERE least(coalesce(ds.dist, 99), coalesce(dd.dist, 99)) <= 1
                 'w(X:' || ta || ')' AS subj, 'cooccurs' AS pred,
                 'w(X:' || tb || ')' AS obj
          FROM pairs),
-und AS (SELECT DISTINCT subj AS src, obj AS dst FROM eg
-        UNION SELECT DISTINCT obj, subj FROM eg),
 seed AS (SELECT min(subj) AS node FROM eg),
-dist AS (
-  SELECT node, MIN(d) AS dist FROM (
-    WITH RECURSIVE walk(node, d) AS (
-      SELECT node, 0 FROM seed
-      UNION ALL
-      SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.node
-      WHERE w.d < 1
-    ) SELECT node, d FROM walk
-  ) GROUP BY node
-),
 sub AS (
+  -- k=1 (the notebook's search_depth=1): the seed's incident edges
   SELECT e.doc_id, e.raw_doc, e.span_seq, e.subj, e.pred, e.obj
-  FROM eg e
-  LEFT JOIN dist ds ON ds.node = e.subj
-  LEFT JOIN dist dd ON dd.node = e.obj
-  WHERE least(coalesce(ds.dist, 99), coalesce(dd.dist, 99)) <= 1
+  FROM eg e, seed s
+  WHERE e.subj = s.node OR e.obj = s.node
 ),
 ev AS (
   SELECT s.doc_id, s.span_seq, s.subj, s.pred, s.obj,
